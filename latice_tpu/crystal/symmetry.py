@@ -1,0 +1,144 @@
+"""Cubic crystal symmetry operators and symmetry-aware orientation ops.
+
+TPU-native replacement for the reference's symmetry machinery
+(latice/utils/constants.py:13-39, duplicated at latice/utils/utils.py:24-50,
+and the nearest-symmetry-equivalent search at latice/index/faiss_db.py:374-393
+/ latice/index/chroma_db.py:344-375).
+"""
+
+from __future__ import annotations
+
+from math import pi, sqrt
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latice_tpu.crystal.quaternion import (
+    misorientation_angle,
+    quat_inv,
+    quat_mul,
+)
+
+__all__ = [
+    "CUBIC_SYMMETRY",
+    "QUAT_SYM_WXYZ",
+    "cubic_symmetry_quats",
+    "nearest_symmetry_equivalent",
+    "symmetry_reduced_misorientation",
+    "PI_OVER_180",
+    "K_180_OVER_PI",
+    "SQRT2_INV",
+    "SQRT3_INV",
+    "USE_INVERSION",
+]
+
+PI_OVER_180 = pi / 180
+K_180_OVER_PI = 180 / pi
+SQRT2_INV = 1 / sqrt(2)
+SQRT3_INV = 1 / sqrt(3)
+USE_INVERSION = True
+
+# The 24 rotational symmetry operators of the cubic crystal system, in the
+# reference's on-disk layout, which is scipy scalar-LAST (x, y, z, w) because
+# the reference feeds these rows to `scipy.Rotation.from_quat`
+# (latice/utils/constants.py:13-39, utils.py:50).
+CUBIC_SYMMETRY: list[list[float]] = [
+    [1, 0, 0, 0],
+    [0, 1, 0, 0],
+    [0, 0, 1, 0],
+    [0, 0, 0, 1],
+    [0.5, 0.5, 0.5, 0.5],
+    [0.5, -0.5, -0.5, -0.5],
+    [0.5, 0.5, -0.5, 0.5],
+    [0.5, -0.5, 0.5, -0.5],
+    [0.5, -0.5, 0.5, 0.5],
+    [0.5, 0.5, -0.5, -0.5],
+    [0.5, -0.5, -0.5, 0.5],
+    [0.5, 0.5, 0.5, -0.5],
+    [SQRT2_INV, SQRT2_INV, 0, 0],
+    [SQRT2_INV, 0, SQRT2_INV, 0],
+    [SQRT2_INV, 0, 0, SQRT2_INV],
+    [SQRT2_INV, -SQRT2_INV, 0, 0],
+    [SQRT2_INV, 0, -SQRT2_INV, 0],
+    [SQRT2_INV, 0, 0, -SQRT2_INV],
+    [0, SQRT2_INV, SQRT2_INV, 0],
+    [0, -SQRT2_INV, SQRT2_INV, 0],
+    [0, 0, SQRT2_INV, SQRT2_INV],
+    [0, 0, -SQRT2_INV, SQRT2_INV],
+    [0, SQRT2_INV, 0, SQRT2_INV],
+    [0, -SQRT2_INV, 0, SQRT2_INV],
+]
+
+# Scalar-first (w, x, y, z) layout used throughout latice_tpu.
+_SYM_XYZW = np.asarray(CUBIC_SYMMETRY, dtype=np.float64)
+QUAT_SYM_WXYZ: np.ndarray = np.concatenate(
+    [_SYM_XYZW[:, 3:4], _SYM_XYZW[:, 0:3]], axis=1
+)
+
+
+def cubic_symmetry_quats(dtype=jnp.float32) -> jax.Array:
+    """The 24 cubic symmetry operators as scalar-first unit quaternions."""
+    return jnp.asarray(QUAT_SYM_WXYZ, dtype=dtype)
+
+
+def nearest_symmetry_equivalent(
+    ref: jax.Array, cand: jax.Array, sym: jax.Array | None = None
+) -> jax.Array:
+    """Symmetry-equivalent of ``cand`` closest to ``ref``, fully vectorized.
+
+    For each candidate this forms the 24 equivalents ``sym_k ⊗ cand`` and picks
+    the one minimizing the misorientation to ``ref`` — the reference's FAISS
+    semantics (faiss_db.py:388-392). The chroma variant (chroma_db.py:364-372)
+    composes as ``(cand⁻¹ ⊗ sym_k)⁻¹ = sym_k⁻¹ ⊗ cand``, which enumerates the
+    same group and selects the same element, so one implementation serves both.
+
+    Args:
+        ref: Reference quaternions, shape ``(..., 4)``.
+        cand: Candidate quaternions, shape ``(..., 4)`` (broadcasts with ref).
+        sym: Optional symmetry table ``(S, 4)``; defaults to the cubic table.
+
+    Returns:
+        Quaternions of shape ``broadcast(ref, cand).shape`` equivalent to
+        ``cand`` and closest to ``ref``.
+    """
+    if sym is None:
+        sym = cubic_symmetry_quats(dtype=cand.dtype)
+    # (..., S, 4): all symmetry images of the candidate.
+    all_sym = quat_mul(sym, cand[..., None, :])
+    delta = misorientation_angle(ref[..., None, :], all_sym)
+    idx = jnp.argmin(delta, axis=-1)
+    return jnp.take_along_axis(all_sym, idx[..., None, None], axis=-2).squeeze(-2)
+
+
+def symmetry_reduced_misorientation(
+    q1: jax.Array, q2: jax.Array, sym: jax.Array | None = None
+) -> jax.Array:
+    """Minimum misorientation angle (radians) over all symmetry images of q2.
+
+    The proper crystallographic disorientation; not used by the reference's
+    consensus loop (which thresholds raw misorientation, faiss_db.py:306-313)
+    but exposed for analysis APIs.
+    """
+    if sym is None:
+        sym = cubic_symmetry_quats(dtype=q2.dtype)
+    all_sym = quat_mul(sym, q2[..., None, :])
+    delta = misorientation_angle(q1[..., None, :], all_sym)
+    return jnp.min(delta, axis=-1)
+
+
+def apply_symmetry_to_axes(axes: np.ndarray) -> np.ndarray:
+    """Expand direction vectors by the 24 cubic operators (numpy, host-side).
+
+    Used by the IPF color key (reference: latice/utils/colorkey.py:76-84).
+
+    Args:
+        axes: Array of shape ``(3,)`` or ``(N, 3)``.
+
+    Returns:
+        Array of shape ``(24, 3)`` or ``(N, 24, 3)``.
+    """
+    from scipy.spatial.transform import Rotation as R  # host-side only
+
+    mats = R.from_quat(np.asarray(CUBIC_SYMMETRY)).as_matrix()  # (24, 3, 3)
+    return np.einsum("sij,...j->...si", mats, np.asarray(axes, dtype=np.float64))

@@ -1,0 +1,19 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX import.
+
+Mirrors the SURVEY §4 recommendation: multi-device tests run against
+`--xla_force_host_platform_device_count=8` on the CPU backend, the JAX
+analogue of the reference's mocked-backend unit-test style.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Persistent compilation cache: repeated test runs skip recompiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
