@@ -1,0 +1,257 @@
+"""TPU-native convolutional Variational Autoencoder for EBSD patterns.
+
+Ground-up Flax re-design of the reference architecture
+(latice/model.py:83-150 `VariationalAutoEncoderRawData`):
+
+* encoder: 5 stages of [2x (Conv3x3 -> InstanceNorm -> LeakyReLU(0.02)) ->
+  MaxPool2], channels 1 -> P -> 2P -> 4P -> 4P -> 4P (P = inplanes),
+  128x128 -> 4x4 spatial (model.py:109-125);
+* latent heads: Dense(4P*16 -> latent_dim) for mu and logvar (model.py:127-129);
+* decoder: Dense(latent -> 4P*16), then 5 stages of [nearest-upsample x2 ->
+  2x (ConvTranspose3x3 -> InstanceNorm -> LeakyReLU)] with the final stage
+  ending in a plain Conv to 1 channel and **no output sigmoid**
+  (model.py:133-150 — the loss is BCE-with-logits);
+* reparameterization z = mu + std * eps with an explicit PRNG key
+  (model.py:25-38, made functional).
+
+TPU-first choices (not translations):
+* NHWC layout throughout — XLA's native conv layout on TPU;
+* configurable compute dtype (bfloat16 for the MXU) with float32 params and
+  float32 normalization statistics — the "16-mixed" analogue
+  (reference conf/train.yaml:14);
+* everything is a pure function of (params, inputs, rng): jit/pjit/vmap-safe.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "InstanceNorm",
+    "ConvBlock",
+    "ConvTransposeBlock",
+    "Encoder",
+    "Decoder",
+    "VariationalAutoEncoderRawData",
+    "VAEOutput",
+]
+
+Dtype = Any
+
+
+class InstanceNorm(nn.Module):
+    """Instance normalization over spatial axes, torch-default semantics.
+
+    Matches ``torch.nn.InstanceNorm2d(C)`` defaults (affine=False,
+    track_running_stats=False, eps=1e-5) used at latice/model.py:96,105:
+    per-sample, per-channel normalization by biased variance over (H, W).
+    Statistics are computed in float32 regardless of compute dtype.
+    """
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        var = jnp.var(x32, axis=(1, 2), keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y.astype(self.dtype)
+
+
+class ConvBlock(nn.Module):
+    """Conv3x3(stride 1, SAME) -> InstanceNorm -> LeakyReLU(0.02).
+
+    The encoder building block (latice/model.py:93-98). The conv+norm+act
+    sequence is deliberately one module so an optional fused Pallas kernel can
+    swap in behind the same interface.
+    """
+
+    features: int
+    negative_slope: float = 0.02
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Conv(
+            self.features,
+            kernel_size=(3, 3),
+            strides=(1, 1),
+            padding="SAME",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+        x = InstanceNorm(dtype=self.dtype, name="norm")(x)
+        return nn.leaky_relu(x, self.negative_slope)
+
+
+class ConvTransposeBlock(nn.Module):
+    """ConvTranspose3x3(stride 1, SAME) -> InstanceNorm -> LeakyReLU(0.02).
+
+    The decoder building block (latice/model.py:100-107). At stride 1 a
+    transposed conv is a conv with a flipped kernel, so spatial size is
+    preserved exactly like torch ConvTranspose2d(3, 1, 1).
+    """
+
+    features: int
+    negative_slope: float = 0.02
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.ConvTranspose(
+            self.features,
+            kernel_size=(3, 3),
+            strides=(1, 1),
+            padding="SAME",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+        x = InstanceNorm(dtype=self.dtype, name="norm")(x)
+        return nn.leaky_relu(x, self.negative_slope)
+
+
+def _upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbour 2x spatial upsample for NHWC tensors.
+
+    Equivalent to torch ``nn.UpsamplingNearest2d(scale_factor=2)``
+    (latice/model.py:134), expressed as pure repeats so XLA lowers it to a
+    cheap broadcast-reshape with no gather.
+    """
+    x = jnp.repeat(x, 2, axis=1)
+    return jnp.repeat(x, 2, axis=2)
+
+
+class Encoder(nn.Module):
+    """5-stage conv encoder: 128x128x1 -> 4x4x(4*inplanes). model.py:109-125."""
+
+    inplanes: int = 32
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        p = self.inplanes
+        stage_channels = [(p, p), (2 * p, 2 * p), (4 * p, 4 * p), (4 * p, 4 * p), (4 * p, 4 * p)]
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        for i, (c1, c2) in enumerate(stage_channels):
+            x = ConvBlock(c1, name=f"stage{i}_block0", **kw)(x)
+            x = ConvBlock(c2, name=f"stage{i}_block1", **kw)(x)
+            x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+        return x
+
+
+class Decoder(nn.Module):
+    """5-stage upsampling decoder: 4x4x(4*inplanes) -> 128x128x1, no sigmoid.
+
+    Mirrors latice/model.py:133-150; the final layer is a plain Conv to one
+    channel (model.py:148) and the sigmoid is intentionally absent
+    (model.py:149) because the loss consumes logits.
+    """
+
+    inplanes: int = 32
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        p = self.inplanes
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        # (out-channel plan per stage; last stage ends with the logit conv)
+        stages = [
+            (4 * p, 4 * p),
+            (4 * p, 4 * p),
+            (4 * p, 2 * p),
+            (2 * p, p),
+        ]
+        for i, (c1, c2) in enumerate(stages):
+            x = _upsample_nearest_2x(x)
+            x = ConvTransposeBlock(c1, name=f"stage{i}_block0", **kw)(x)
+            x = ConvTransposeBlock(c2, name=f"stage{i}_block1", **kw)(x)
+        x = _upsample_nearest_2x(x)
+        x = ConvTransposeBlock(p, name="stage4_block0", **kw)(x)
+        x = nn.Conv(
+            1,
+            kernel_size=(3, 3),
+            strides=(1, 1),
+            padding="SAME",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="logit_conv",
+        )(x)
+        return x
+
+
+class VAEOutput(NamedTuple):
+    """(z, x_hat, mu, std) — the reference forward contract (model.py:40-66).
+
+    A NamedTuple so it is a native JAX pytree: jit/vmap/grad flow through it.
+    """
+
+    z: jax.Array
+    x_hat: jax.Array
+    mu: jax.Array
+    std: jax.Array
+
+
+class VariationalAutoEncoderRawData(nn.Module):
+    """Convolutional VAE over raw EBSD patterns (NHWC).
+
+    Public surface mirrors the reference class of the same name
+    (latice/model.py:83): construction with ``(inplanes, latent_dim)`` and a
+    forward returning ``(z, x_hat, mu, std)`` — but as a pure Flax module with
+    explicit PRNG for the reparameterization sample.
+    """
+
+    inplanes: int = 32
+    latent_dim: int = 16
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self) -> None:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.encoder = Encoder(self.inplanes, **kw)
+        self.mu_head = nn.Dense(self.latent_dim, name="mu", **kw)
+        self.logvar_head = nn.Dense(self.latent_dim, name="logvar", **kw)
+        self.linear2 = nn.Dense(self.inplanes * 4 * 4 * 4, name="linear2", **kw)
+        self.decoder = Decoder(self.inplanes, **kw)
+
+    def encode(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Return (mu, logvar) in float32. x: (B, H, W, 1) NHWC."""
+        h = self.encoder(x)
+        flat = h.reshape((h.shape[0], -1))
+        mu = self.mu_head(flat).astype(jnp.float32)
+        logvar = self.logvar_head(flat).astype(jnp.float32)
+        return mu, logvar
+
+    def decode(self, z: jax.Array) -> jax.Array:
+        """Reconstruction logits from latent codes. z: (B, latent_dim)."""
+        h = self.linear2(z.astype(self.dtype))
+        p = self.inplanes
+        h = h.reshape((h.shape[0], 4, 4, 4 * p))
+        return self.decoder(h)
+
+    def reparameterize(
+        self, rng: jax.Array, mu: jax.Array, logvar: jax.Array
+    ) -> jax.Array:
+        """z = mu + std * eps, the rsample of model.py:25-38 with explicit key."""
+        std = jnp.exp(logvar / 2.0)
+        eps = jax.random.normal(rng, mu.shape, dtype=mu.dtype)
+        return mu + std * eps
+
+    def __call__(self, x: jax.Array, rng: jax.Array) -> VAEOutput:
+        """Forward pass: returns (z, x_hat, mu, std) like model.py:40-66."""
+        mu, logvar = self.encode(x)
+        std = jnp.exp(logvar / 2.0)
+        z = self.reparameterize(rng, mu, logvar)
+        x_hat = self.decode(z)
+        return VAEOutput(z, x_hat, mu, std)
