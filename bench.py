@@ -1,0 +1,116 @@
+"""Benchmark: encode + top-10 index throughput per chip, and train steps/s.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "patterns/sec/chip", "vs_baseline": N, ...}
+
+The headline metric matches BASELINE.json: patterns/sec/chip through the
+fused encode + top-10 index pipeline against a 100k-entry dictionary;
+vs_baseline is the ratio to the 500k patterns/min north star. Timing uses
+chained device dispatches with a final host sync (block_until_ready alone
+returns optimistically early on tunneled backends).
+
+Patterns are device-resident during timing: the production input pipeline
+double-buffers transfers behind compute, and this harness measures the chip,
+not the host tunnel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+NORTH_STAR_PER_SEC = 500_000 / 60.0  # >=500k patterns/min/chip
+
+
+def bench_index_throughput(batch_size: int = 1024, dict_size: int = 100_000) -> float:
+    """Fused encode+top10+consensus patterns/sec on one chip."""
+    from latice_tpu.index import IndexPipeline
+    from latice_tpu.models import VariationalAutoEncoderRawData
+
+    rng = np.random.default_rng(0)
+    model = VariationalAutoEncoderRawData(inplanes=32, latent_dim=16, dtype=jnp.bfloat16)
+    params = model.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 128, 128, 1)), jax.random.key(1)
+    )["params"]
+
+    dict_vecs = rng.normal(size=(dict_size, 16)).astype(np.float32)
+    dict_vecs /= np.linalg.norm(dict_vecs, axis=1, keepdims=True)
+    dict_orients = rng.uniform([0, 20, 0], [340, 140, 340], size=(dict_size, 3))
+
+    pipe = IndexPipeline(
+        model,
+        params,
+        dict_vecs,
+        dict_orients,
+        top_n=10,
+        orientation_threshold=3.0,
+        min_required_matches=3,
+        batch_size=batch_size,
+    )
+    x_dev = jnp.asarray(rng.uniform(size=(batch_size, 128, 128, 1)).astype(np.float32))
+
+    run = pipe._run
+    out = run(pipe._params, x_dev)
+    float(out[0].sum())  # warm + sync
+
+    n_iter = 30
+    t0 = time.time()
+    for _ in range(n_iter):
+        out = run(pipe._params, x_dev)
+    float(out[0].sum())  # host sync closes the dispatch chain
+    dt = (time.time() - t0) / n_iter
+    return batch_size / dt
+
+
+def bench_train_steps(batch_size: int = 256) -> float:
+    """VAE train steps/s (fwd+loss+bwd+adam) at batch 256, bf16 mixed."""
+    from latice_tpu.models import VariationalAutoEncoderRawData
+    from latice_tpu.train import VAELoss, create_train_state, make_train_step
+
+    rng = np.random.default_rng(1)
+    model = VariationalAutoEncoderRawData(inplanes=32, latent_dim=16, dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.uniform(size=(batch_size, 128, 128, 1)).astype(np.float32))
+    params = model.init({"params": jax.random.key(0)}, x[:1], jax.random.key(1))[
+        "params"
+    ]
+    state = create_train_state(model, params, learning_rate=1e-4)
+    step = make_train_step(VAELoss(kl_lambda=5e-6), donate=True)
+    key = jax.random.key(2)
+
+    state, metrics = step(state, x, key)
+    float(metrics["loss"])  # warm + sync
+
+    n_iter = 20
+    t0 = time.time()
+    for _ in range(n_iter):
+        state, metrics = step(state, x, key)
+    float(metrics["loss"])
+    dt = (time.time() - t0) / n_iter
+    return 1.0 / dt
+
+
+def main() -> None:
+    patterns_per_sec = bench_index_throughput()
+    steps_per_sec = bench_train_steps()
+    result = {
+        "metric": "encode+top10-index throughput (100k dict, b1024, bf16)",
+        "value": round(patterns_per_sec, 1),
+        "unit": "patterns/sec/chip",
+        "vs_baseline": round(patterns_per_sec / NORTH_STAR_PER_SEC, 3),
+        "train_steps_per_sec_b256": round(steps_per_sec, 2),
+        "patterns_per_min": round(patterns_per_sec * 60),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Indexing CLI — dictionary build + batch pattern indexing.
+
+The reference only shipped this flow as notebooks (notebook/index.ipynb,
+index_faiss.ipynb — SURVEY §2 #16); here it is a first-class command:
+
+    # build a dictionary database from simulated patterns + angles
+    python index.py build --patterns dict.npy --angles angles.txt \
+        --checkpoint checkpoints/best --db latent_index.npz
+
+    # index unknown patterns against it
+    python index.py query --patterns scan.npy --db latent_index.npz \
+        --checkpoint checkpoints/best --out orientations.npy
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+
+import numpy as np
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger(__name__)
+
+
+def _load_model(checkpoint: str | None, inplanes: int, latent_dim: int):
+    import jax
+    import jax.numpy as jnp
+
+    from latice_tpu.models import VariationalAutoEncoderRawData
+    from latice_tpu.train.checkpoint import load_params
+
+    model = VariationalAutoEncoderRawData(
+        inplanes=inplanes, latent_dim=latent_dim, dtype=jnp.bfloat16
+    )
+    init_params = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, 128, 128, 1)),
+        jax.random.key(1),
+    )["params"]
+    if checkpoint:
+        params = load_params(checkpoint, init_params)
+        logger.info(f"Loaded checkpoint from {checkpoint}")
+    else:
+        params = init_params
+        logger.warning("No checkpoint given; using random weights")
+    return model, params
+
+
+def cmd_build(args) -> None:
+    from latice_tpu.index import (
+        DiffractionPatternIndexer,
+        IndexerConfig,
+        LatentVectorDatabaseConfig,
+        TpuLatentVectorDatabase,
+    )
+
+    model, params = _load_model(args.checkpoint, args.inplanes, args.latent_dim)
+    db = TpuLatentVectorDatabase(
+        LatentVectorDatabaseConfig(npz_path=args.db, dimension=args.latent_dim)
+    )
+    indexer = DiffractionPatternIndexer(
+        model,
+        params,
+        db=db,
+        config=IndexerConfig(
+            pattern_path=args.patterns,
+            angles_path=args.angles,
+            batch_size=args.batch_size,
+            latent_dim=args.latent_dim,
+        ),
+    )
+    t0 = time.time()
+    indexer.build_dictionary()
+    db.save()
+    logger.info(
+        f"Built dictionary of {db.get_count()} vectors in {time.time()-t0:.1f}s "
+        f"-> {args.db}"
+    )
+
+
+def cmd_query(args) -> None:
+    from latice_tpu.index import IndexPipeline, LatentVectorDatabaseConfig, TpuLatentVectorDatabase
+    from latice_tpu.data import default_transform
+
+    model, params = _load_model(args.checkpoint, args.inplanes, args.latent_dim)
+    db = TpuLatentVectorDatabase(
+        LatentVectorDatabaseConfig(npz_path=args.db, dimension=args.latent_dim)
+    )
+    if db.get_count() == 0:
+        raise SystemExit(f"Database {args.db} is empty — run 'build' first")
+
+    patterns = np.load(args.patterns)
+    x = default_transform(patterns, (128, 128))
+
+    pipe = IndexPipeline(
+        model,
+        params,
+        db._vectors,
+        db._orientations,
+        top_n=args.top_n,
+        orientation_threshold=args.threshold,
+        min_required_matches=args.min_matches,
+        batch_size=args.batch_size,
+    )
+    t0 = time.time()
+    result = pipe(x)
+    dt = time.time() - t0
+    logger.info(
+        f"Indexed {len(x)} patterns in {dt:.2f}s ({len(x)/dt:,.0f}/s); "
+        f"success rate {result.success.mean():.1%}"
+    )
+    np.save(args.out, result.best_orientation)
+    summary = {
+        "n_patterns": len(x),
+        "success_rate": float(result.success.mean()),
+        "seconds": dt,
+        "out": args.out,
+    }
+    print(json.dumps(summary))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--checkpoint", default=None, help="orbax params dir")
+    common.add_argument("--db", default="latent_index.npz")
+    common.add_argument("--inplanes", type=int, default=32)
+    common.add_argument("--latent-dim", type=int, default=16)
+    common.add_argument("--batch-size", type=int, default=256)
+
+    b = sub.add_parser("build", parents=[common], help="build dictionary DB")
+    b.add_argument("--patterns", required=True, help="dictionary .npy stack")
+    b.add_argument("--angles", required=True, help="angle file")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", parents=[common], help="index patterns")
+    q.add_argument("--patterns", required=True, help=".npy stack to index")
+    q.add_argument("--out", default="orientations.npy")
+    q.add_argument("--top-n", type=int, default=20)
+    q.add_argument("--threshold", type=float, default=3.0)
+    q.add_argument("--min-matches", type=int, default=18)
+    q.set_defaults(fn=cmd_query)
+
+    args = parser.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -108,7 +108,10 @@ def nearest_symmetry_equivalent(
     all_sym = quat_mul(sym, cand[..., None, :])
     delta = misorientation_angle(ref[..., None, :], all_sym)
     idx = jnp.argmin(delta, axis=-1)
-    return jnp.take_along_axis(all_sym, idx[..., None, None], axis=-2).squeeze(-2)
+    # One-hot contraction instead of take_along_axis: batched gathers over a
+    # small axis lower poorly on TPU; a (S,)-one-hot einsum stays on the VPU.
+    onehot = jax.nn.one_hot(idx, all_sym.shape[-2], dtype=all_sym.dtype)
+    return jnp.einsum("...s,...sq->...q", onehot, all_sym)
 
 
 def symmetry_reduced_misorientation(

@@ -1,0 +1,21 @@
+"""Data pipeline: vectorized pattern loading, transforms, splits, batching."""
+
+from latice_tpu.data.datamodule import DPDataModule, batch_iterator
+from latice_tpu.data.dataset import DPdataset, parse_angle_file
+from latice_tpu.data.transforms import (
+    center_crop,
+    create_default_transform,
+    default_transform,
+    to_grayscale,
+)
+
+__all__ = [
+    "DPDataModule",
+    "DPdataset",
+    "batch_iterator",
+    "center_crop",
+    "create_default_transform",
+    "default_transform",
+    "parse_angle_file",
+    "to_grayscale",
+]

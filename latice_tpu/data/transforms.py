@@ -1,0 +1,78 @@
+"""Pattern preprocessing as vectorized array ops.
+
+Replaces the reference's per-sample PIL transform pipeline
+(latice/data_module.py:17-33: ToPILImage -> Grayscale -> CenterCrop ->
+ToTensor) with whole-stack numpy/JAX ops: on TPU the right design is to
+preprocess the entire pattern stack once (or fuse the transform into the
+jitted encode), not to round-trip every image through PIL objects in loader
+workers.
+
+Semantics preserved:
+* grayscale: inputs are single-channel already; a trailing RGB axis is reduced
+  with the ITU-R 601 luma weights PIL uses for ``Grayscale()``;
+* center crop to ``image_size`` (torchvision CenterCrop coordinates);
+* dtype: integer inputs are scaled by 1/255 like ``ToTensor`` on uint8 images;
+  float inputs pass through unscaled, matching ToTensor's behavior on float
+  (mode "F") images — the path reference data actually takes
+  (data_module.py:132 casts to float64 before the transform).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["to_grayscale", "center_crop", "default_transform", "create_default_transform"]
+
+_LUMA = np.asarray([0.299, 0.587, 0.114], dtype=np.float32)
+
+
+def to_grayscale(patterns: np.ndarray) -> np.ndarray:
+    """Reduce a trailing RGB channel axis if present; pass through otherwise."""
+    if patterns.ndim >= 3 and patterns.shape[-1] == 3:
+        return patterns.astype(np.float32) @ _LUMA
+    return patterns
+
+
+def center_crop(patterns: np.ndarray, image_size: tuple[int, int]) -> np.ndarray:
+    """Center-crop the trailing (H, W) axes to ``image_size``.
+
+    Uses torchvision CenterCrop's coordinates (round-half-down offsets) and,
+    like it, zero-pads when the target exceeds the input.
+    """
+    th, tw = int(image_size[0]), int(image_size[1])
+    h, w = patterns.shape[-2], patterns.shape[-1]
+    if th > h or tw > w:
+        ph, pw = max(th - h, 0), max(tw - w, 0)
+        pad = [(0, 0)] * (patterns.ndim - 2)
+        pad += [(ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2)]
+        patterns = np.pad(patterns, pad)
+        h, w = patterns.shape[-2], patterns.shape[-1]
+    top = int(round((h - th) / 2.0 - 0.5)) if (h - th) % 2 else (h - th) // 2
+    left = int(round((w - tw) / 2.0 - 0.5)) if (w - tw) % 2 else (w - tw) // 2
+    top, left = max(top, 0), max(left, 0)
+    return patterns[..., top : top + th, left : left + tw]
+
+
+def default_transform(
+    patterns: np.ndarray, image_size: tuple[int, int] = (128, 128)
+) -> np.ndarray:
+    """Full default pipeline over a pattern or stack: gray, crop, float32, scale.
+
+    Accepts ``(H, W)``, ``(N, H, W)`` or ``(..., H, W, 3)`` arrays; returns
+    float32 with a trailing channel axis of 1 (NHWC-ready).
+    """
+    x = to_grayscale(np.asarray(patterns))
+    scale = (
+        np.float32(1.0 / 255.0) if np.issubdtype(x.dtype, np.integer) else np.float32(1)
+    )
+    x = center_crop(x, image_size).astype(np.float32) * scale
+    return x[..., None]
+
+
+def create_default_transform(image_size: tuple[int, int]):
+    """Factory matching the reference name (data_module.py:17-33)."""
+
+    def transform(patterns: np.ndarray) -> np.ndarray:
+        return default_transform(patterns, image_size)
+
+    return transform

@@ -1,0 +1,33 @@
+"""Indexing layer: on-TPU k-NN, orientation consensus, vector DB, indexer API."""
+
+from latice_tpu.index.consensus import (
+    ConsensusOutput,
+    consensus_from_euler,
+    consensus_orientations,
+)
+from latice_tpu.index.db import (
+    LatentVectorDatabaseBase,
+    LatentVectorDatabaseConfig,
+    TpuLatentVectorDatabase,
+)
+from latice_tpu.index.indexer import DiffractionPatternIndexer, IndexerConfig
+from latice_tpu.index.pipeline import DenseIndexResult, IndexPipeline
+from latice_tpu.index.knn import cosine_topk, cosine_topk_blocked, l2_normalize
+from latice_tpu.index.result import OrientationResult
+
+__all__ = [
+    "ConsensusOutput",
+    "DenseIndexResult",
+    "IndexPipeline",
+    "DiffractionPatternIndexer",
+    "IndexerConfig",
+    "LatentVectorDatabaseBase",
+    "LatentVectorDatabaseConfig",
+    "OrientationResult",
+    "TpuLatentVectorDatabase",
+    "consensus_from_euler",
+    "consensus_orientations",
+    "cosine_topk",
+    "cosine_topk_blocked",
+    "l2_normalize",
+]

@@ -1,0 +1,462 @@
+"""Latent-vector database with on-TPU exact search and orientation consensus.
+
+Replaces both reference backends — FAISS `IndexFlat` cosine search
+(latice/index/faiss_db.py) and the ChromaDB/hnswlib HNSW index
+(latice/index/chroma_db.py) — with one engine: exact cosine k-NN as a single
+device matmul + top-k, and the consensus loop vectorized over whole query
+batches (see latice_tpu.index.consensus). At 16-d latents, exact search is
+cheaper on TPU than any approximate structure, so there is deliberately no
+HNSW equivalent.
+
+Also restores the abstract base class the reference *imports but does not
+ship* (`latice/index/latent_vector_db_base.py` is absent from the tree —
+SURVEY "known defects"); the contract is inferred from the two concrete
+backends.
+
+Persistence follows the FAISS backend's single-npz design
+(faiss_db.py:440-476): one compressed file holding vectors + orientations.
+"""
+
+from __future__ import annotations
+
+import logging
+from abc import ABC, abstractmethod
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+from numpy.typing import NDArray
+
+import jax
+
+from latice_tpu.crystal import from_euler_zxz_deg
+from latice_tpu.index.consensus import consensus_orientations
+from latice_tpu.index.knn import cosine_topk
+from latice_tpu.index.result import OrientationResult
+
+logger = logging.getLogger(__name__)
+
+# One compiled program for the Euler->quaternion dictionary conversion;
+# eager op-by-op dispatch is pathologically slow on tunneled TPU backends.
+_euler_to_quat = jax.jit(from_euler_zxz_deg)
+
+
+def _l2_normalize_np(vectors: np.ndarray) -> np.ndarray:
+    """Host-side row normalization with the zero-norm guard
+    (faiss_db.py:109-113). Numpy on purpose: add-time work stays off-device."""
+    norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return vectors / norms
+
+__all__ = [
+    "LatentVectorDatabaseBase",
+    "LatentVectorDatabaseConfig",
+    "TpuLatentVectorDatabase",
+    "OrientationResult",
+]
+
+
+class LatentVectorDatabaseBase(ABC):
+    """Abstract latent-vector DB contract (SURVEY §2 #9, inferred from
+    chroma_db.py:87 / faiss_db.py:92)."""
+
+    @abstractmethod
+    def add_vectors(self, latent_vectors, orientations) -> None: ...
+
+    @abstractmethod
+    def create_from_files(self, latent_file_path, angles_file_path) -> None: ...
+
+    @abstractmethod
+    def query_similar(self, query_vector, n_results: int = 20): ...
+
+    @abstractmethod
+    def find_best_orientation(
+        self,
+        query_vector,
+        top_n: int = 20,
+        orientation_threshold: float = 1.0,
+        min_required_matches: int = 18,
+        max_iterations: int = 3,
+    ) -> OrientationResult: ...
+
+    @abstractmethod
+    def find_best_orientations_batch(
+        self, query_vectors, batch_size: int = 32, **kwargs
+    ) -> list[OrientationResult]: ...
+
+    @abstractmethod
+    def get_count(self) -> int: ...
+
+
+@dataclass
+class LatentVectorDatabaseConfig:
+    """Configuration for TpuLatentVectorDatabase.
+
+    Attributes:
+        npz_path: Single-file persistence target (faiss_db.py:44 pattern).
+        dimension: Latent dimensionality (16 everywhere in the reference).
+        angle_unit: "deg" thresholds misorientation in degrees (FAISS
+            semantics, faiss_db.py:308) — the canonical choice; "rad"
+            reproduces the chroma backend's radians quirk (chroma_db.py:307,
+            codified by tests/index/test_chroma_db.py:352).
+        device_batch_size: Max queries evaluated per device dispatch in the
+            batch APIs.
+    """
+
+    npz_path: str = "latent_index.npz"
+    dimension: int = 16
+    angle_unit: str = "deg"
+    device_batch_size: int = 4096
+
+
+class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
+    """Exact-search latent DB; dictionary lives on device, metadata on host.
+
+    Host state: float32 L2-normalized vectors ``(N, D)`` and float64
+    orientations ``(N, 3)`` (zxz Euler degrees). Device state (lazily built,
+    invalidated on mutation): the normalized dictionary and the precomputed
+    orientation quaternions — so queries skip Euler conversion entirely.
+    """
+
+    def __init__(self, config: LatentVectorDatabaseConfig | None = None) -> None:
+        self.config = config if config is not None else LatentVectorDatabaseConfig()
+        self.dimension = self.config.dimension
+        self.npz_path = Path(self.config.npz_path)
+        self._vectors = np.zeros((0, self.dimension), dtype=np.float32)
+        self._orientations = np.zeros((0, 3), dtype=np.float64)
+        self._dev_cache: tuple[jnp.ndarray, jnp.ndarray] | None = None
+
+        if self.npz_path.with_suffix(".npz").exists():
+            self.load()
+        else:
+            logger.info(
+                f"No existing index found at {self.npz_path}. Creating a new one."
+            )
+
+    # -- mutation ----------------------------------------------------------
+
+    def _validate_vectors(
+        self, latent_vectors: np.ndarray, orientations: np.ndarray
+    ) -> None:
+        """Input validation matching faiss_db.py:141-159."""
+        if len(latent_vectors) != len(orientations):
+            raise ValueError("Number of latent vectors and orientations must match")
+        if latent_vectors.shape[1] != self.dimension:
+            raise ValueError(
+                f"Expected latent vectors of dimension {self.dimension}, "
+                f"got {latent_vectors.shape[1]}"
+            )
+        if orientations.shape[1] != 3:
+            raise ValueError(
+                f"Expected orientations of shape (n, 3), got {orientations.shape}"
+            )
+
+    def add_vectors(
+        self,
+        latent_vectors: NDArray[np.float64] | NDArray[np.float32],
+        orientations: NDArray[np.float64],
+    ) -> None:
+        """Add L2-normalized vectors + orientations (faiss_db.py:161-193)."""
+        vecs = np.asarray(latent_vectors, dtype=np.float32)
+        orients = np.asarray(orientations, dtype=np.float64)
+        self._validate_vectors(vecs, orients)
+        vecs = _l2_normalize_np(vecs)
+        self._vectors = np.concatenate([self._vectors, vecs], axis=0)
+        self._orientations = np.concatenate([self._orientations, orients], axis=0)
+        self._dev_cache = None
+        logger.info(
+            f"Added {len(vecs)} vectors. Index total: {self.get_count()}"
+        )
+
+    def create_from_files(
+        self, latent_file_path: Path | str, angles_file_path: Path | str
+    ) -> None:
+        """Build from .npy latent/angle files and persist (faiss_db.py:195-214)."""
+        latent_vectors = np.load(Path(latent_file_path)).astype(np.float32)
+        orientations = np.load(Path(angles_file_path))
+        self.add_vectors(latent_vectors, orientations)
+        self.save()
+
+    # -- device cache ------------------------------------------------------
+
+    def _device_arrays(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        if self._dev_cache is None:
+            vectors = jnp.asarray(self._vectors)
+            quats = _euler_to_quat(jnp.asarray(self._orientations, dtype=jnp.float32))
+            self._dev_cache = (vectors, quats)
+        return self._dev_cache
+
+    # -- queries -----------------------------------------------------------
+
+    def query_similar(
+        self,
+        query_vector: NDArray[np.float64] | NDArray[np.float32],
+        n_results: int = 20,
+    ) -> tuple[NDArray[np.float64], NDArray[np.int64]]:
+        """Top-k cosine search for one query; (similarities, indices) layout
+        of faiss_db.py:216-256, including the empty/undersized-index guards."""
+        scores, indices = self.query_similar_batch(
+            np.atleast_2d(np.asarray(query_vector)), n_results
+        )
+        if scores.size == 0:
+            return np.array([]), np.array([])
+        return scores[0], indices[0]
+
+    def query_similar_batch(
+        self, query_vectors: np.ndarray, n_results: int = 20
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched top-k cosine search: ``(B, k)`` scores + indices."""
+        count = self.get_count()
+        if count == 0:
+            logger.warning("Querying an empty index.")
+            return np.zeros((0, 0)), np.zeros((0, 0), dtype=np.int64)
+        if count < n_results:
+            logger.warning(
+                f"Requested {n_results} results, but index only contains "
+                f"{count} vectors. Returning all."
+            )
+            n_results = count
+
+        queries = np.asarray(query_vectors, dtype=np.float32)
+        if queries.shape[1] != self.dimension:
+            raise ValueError(
+                f"Expected query vector of dimension {self.dimension}, "
+                f"got {queries.shape[1]}"
+            )
+        vectors, _ = self._device_arrays()
+        scores, indices = cosine_topk(jnp.asarray(queries), vectors, n_results)
+        return np.asarray(scores, dtype=np.float64), np.asarray(
+            indices, dtype=np.int64
+        )
+
+    def find_best_orientation(
+        self,
+        query_vector: NDArray[np.float64] | NDArray[np.float32],
+        top_n: int = 20,
+        orientation_threshold: float = 1.0,
+        min_required_matches: int = 18,
+        max_iterations: int = 3,
+    ) -> OrientationResult:
+        """Single-query consensus (faiss_db.py:258-372 semantics)."""
+        results = self.find_best_orientations_batch(
+            np.atleast_2d(np.asarray(query_vector)),
+            top_n=top_n,
+            orientation_threshold=orientation_threshold,
+            min_required_matches=min_required_matches,
+            max_iterations=max_iterations,
+        )
+        return results[0]
+
+    def find_best_orientations_batch(
+        self,
+        query_vectors: NDArray[np.float64] | NDArray[np.float32],
+        batch_size: int | None = None,
+        top_n: int = 20,
+        orientation_threshold: float = 1.0,
+        min_required_matches: int = 18,
+        max_iterations: int = 3,
+    ) -> list[OrientationResult]:
+        """Vectorized batch consensus — one fused device program per chunk.
+
+        Replaces the reference's sequential per-vector Python loop
+        (faiss_db.py:395-434); `batch_size` only caps per-dispatch memory.
+        """
+        queries = np.asarray(query_vectors, dtype=np.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        n_queries = len(queries)
+
+        if self.get_count() == 0:
+            logger.warning("No similar vectors found for query.")
+            return [self._empty_result(q) for q in queries]
+
+        chunk = batch_size or self.config.device_batch_size
+        chunk = max(chunk, 1)
+        results: list[OrientationResult] = []
+        for start in range(0, n_queries, chunk):
+            batch = queries[start : start + chunk]
+            results.extend(
+                self._consensus_chunk(
+                    batch,
+                    top_n,
+                    orientation_threshold,
+                    min_required_matches,
+                    max_iterations,
+                )
+            )
+        return results
+
+    def find_best_orientations_dense(
+        self,
+        query_vectors: NDArray[np.float64] | NDArray[np.float32],
+        top_n: int = 20,
+        orientation_threshold: float = 1.0,
+        min_required_matches: int = 18,
+        max_iterations: int = 3,
+        batch_size: int | None = None,
+    ) -> dict[str, np.ndarray]:
+        """Bulk consensus returning structured arrays instead of result objects.
+
+        The production path for map-scale indexing (SURVEY BASELINE config
+        "256x256 scan (~65k patterns)"): all device work is identical to
+        `find_best_orientations_batch` but the per-query Python object
+        construction — the measured host bottleneck — is skipped.
+
+        Returns:
+            dict with ``mean_orientation (B,3)``, ``best_orientation (B,3)``,
+            ``success (B,)``, ``n_similar (B,)``, ``indices (B,K)``,
+            ``scores (B,K)``. ``mean_orientation`` rows are NaN where
+            ``success`` is False.
+        """
+        queries = np.atleast_2d(np.asarray(query_vectors, dtype=np.float32))
+        if self.get_count() == 0:
+            nan3 = np.full((len(queries), 3), np.nan)
+            return {
+                "mean_orientation": nan3,
+                "best_orientation": nan3.copy(),
+                "success": np.zeros(len(queries), bool),
+                "n_similar": np.zeros(len(queries), np.int64),
+                "indices": np.zeros((len(queries), 0), np.int64),
+                "scores": np.zeros((len(queries), 0)),
+            }
+
+        vectors, quats = self._device_arrays()
+        k = min(top_n, self.get_count())
+        chunk = max(batch_size or self.config.device_batch_size, 1)
+        outs = []
+        for start in range(0, len(queries), chunk):
+            q = jnp.asarray(queries[start : start + chunk])
+            scores, indices = cosine_topk(q, vectors, k)
+            cand_quats = jnp.take(quats, indices, axis=0)
+            cons = consensus_orientations(
+                cand_quats,
+                orientation_threshold,
+                min_required_matches=min_required_matches,
+                max_iterations=min(max_iterations, k),
+                angle_unit=self.config.angle_unit,
+            )
+            outs.append(
+                (
+                    np.asarray(scores, np.float64),
+                    np.asarray(indices, np.int64),
+                    np.asarray(cons.mean_euler, np.float64),
+                    np.asarray(cons.success),
+                    np.asarray(cons.similar_mask),
+                )
+            )
+        scores = np.concatenate([o[0] for o in outs])
+        indices = np.concatenate([o[1] for o in outs])
+        mean = np.concatenate([o[2] for o in outs])
+        success = np.concatenate([o[3] for o in outs])
+        mask = np.concatenate([o[4] for o in outs])
+
+        top1 = self._orientations[indices[:, 0]]
+        best = np.where(success[:, None], mean, top1)
+        mean_out = np.where(success[:, None], mean, np.nan)
+        return {
+            "mean_orientation": mean_out,
+            "best_orientation": best,
+            "success": success,
+            "n_similar": mask.sum(axis=1).astype(np.int64),
+            "indices": indices,
+            "scores": scores,
+        }
+
+    def _consensus_chunk(
+        self,
+        queries: np.ndarray,
+        top_n: int,
+        orientation_threshold: float,
+        min_required_matches: int,
+        max_iterations: int,
+    ) -> list[OrientationResult]:
+        vectors, quats = self._device_arrays()
+        k = min(top_n, self.get_count())
+        scores, indices = cosine_topk(jnp.asarray(queries), vectors, k)
+        cand_quats = jnp.take(quats, indices, axis=0)  # (B, K, 4)
+        out = consensus_orientations(
+            cand_quats,
+            orientation_threshold,
+            min_required_matches=min_required_matches,
+            max_iterations=min(max_iterations, k),
+            angle_unit=self.config.angle_unit,
+        )
+
+        scores_np = np.asarray(scores, dtype=np.float64)
+        indices_np = np.asarray(indices)
+        mean_np = np.asarray(out.mean_euler, dtype=np.float64)
+        success_np = np.asarray(out.success)
+        mask_np = np.asarray(out.similar_mask)
+
+        results = []
+        for b in range(len(queries)):
+            cand_orients = self._orientations[indices_np[b]]
+            success = bool(success_np[b])
+            mean = mean_np[b] if success else None
+            # FAISS semantics: best = consensus mean on success, else the
+            # closest match (faiss_db.py:336-343).
+            best = mean if success else cand_orients[0]
+            results.append(
+                OrientationResult(
+                    query_vector=queries[b].astype(np.float64),
+                    best_orientation=np.asarray(best, dtype=np.float64),
+                    mean_orientation=mean,
+                    candidate_orientations=cand_orients,
+                    distances=scores_np[b],
+                    success=success,
+                    similar_indices=np.where(mask_np[b])[0],
+                )
+            )
+        return results
+
+    def _empty_result(self, query: np.ndarray) -> OrientationResult:
+        """Failed result for an empty index (faiss_db.py:280-291)."""
+        return OrientationResult(
+            query_vector=np.asarray(query).squeeze().astype(np.float64),
+            best_orientation=np.array([np.nan, np.nan, np.nan]),
+            candidate_orientations=np.array([]),
+            distances=np.array([]),
+            mean_orientation=None,
+            success=False,
+            similar_indices=None,
+        )
+
+    # -- bookkeeping -------------------------------------------------------
+
+    def get_count(self) -> int:
+        return len(self._vectors)
+
+    def save(self) -> None:
+        """Persist vectors + orientations to one .npz (faiss_db.py:440-458)."""
+        path = self.npz_path.with_suffix(".npz")
+        np.savez_compressed(
+            str(path), vectors=self._vectors, orientations=self._orientations
+        )
+        logger.info(f"Saved index and metadata to {path}")
+
+    def load(self) -> None:
+        """Load vectors + orientations from the .npz (faiss_db.py:460-476)."""
+        path = self.npz_path.with_suffix(".npz")
+        if not path.exists():
+            logger.error(f"Cannot load. NPZ file {path} not found.")
+            raise FileNotFoundError("NPZ file missing.")
+        data = np.load(str(path))
+        self._vectors = data["vectors"].astype(np.float32)
+        self._orientations = data["orientations"].astype(np.float64)
+        self.dimension = self._vectors.shape[1]
+        self._dev_cache = None
+        logger.info(f"Loaded index and metadata from {path}")
+
+    def delete_persistence(self) -> None:
+        """Delete the persisted file and reset state (faiss_db.py:478-496)."""
+        try:
+            path = self.npz_path.with_suffix(".npz")
+            if path.exists():
+                path.unlink()
+                logger.info(f"Deleted index file: {path}")
+                self._vectors = np.zeros((0, self.dimension), dtype=np.float32)
+                self._orientations = np.zeros((0, 3), dtype=np.float64)
+                self._dev_cache = None
+        except OSError as e:
+            logger.error(f"Error deleting index file {self.npz_path}: {e}")

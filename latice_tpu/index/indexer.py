@@ -1,0 +1,269 @@
+"""Diffraction-pattern indexer: encode patterns, build dictionaries, query.
+
+API-parity rebuild of `DiffractionPatternIndexer` + `IndexerConfig`
+(reference: latice/index/dp_indexer.py:26-297) on the JAX stack: the model is
+a Flax module + params pytree, encoding runs as one jitted fixed-shape program
+(partial batches are padded, not recompiled), and batch indexing feeds the
+vectorized consensus engine instead of a per-vector Python loop.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from functools import cached_property
+from pathlib import Path
+from typing import Any, Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from numpy.typing import NDArray
+
+from latice_tpu.data import DPDataModule, default_transform
+from latice_tpu.index.db import (
+    LatentVectorDatabaseBase,
+    LatentVectorDatabaseConfig,
+    TpuLatentVectorDatabase,
+)
+from latice_tpu.index.result import OrientationResult
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["IndexerConfig", "DiffractionPatternIndexer"]
+
+
+@dataclass
+class IndexerConfig:
+    """Configuration for the diffraction pattern indexer (dp_indexer.py:26-48).
+
+    Attributes:
+        pattern_path: Path to the dictionary pattern .npy stack.
+        angles_path: Path to the dictionary orientation angle file.
+        batch_size: Batch size for encoding patterns.
+        device: "tpu" (or "cpu") — falls back to cpu when no TPU is attached,
+            mirroring the reference's cuda→cpu fallback (dp_indexer.py:83-85).
+        latent_dim: Dimension of the latent space.
+        random_seed: Seed for the (explicit) PRNG stream.
+        image_size: Input pattern size.
+        top_n: Number of top matches to consider.
+        orientation_threshold: Max misorientation angle (degrees) to consider.
+    """
+
+    pattern_path: Path | str | None = None
+    angles_path: Path | str | None = None
+    batch_size: int = 64
+    device: Literal["tpu", "cpu"] = "tpu"
+    latent_dim: int = 16
+    random_seed: int = 42
+    image_size: tuple[int, int] = (128, 128)
+    top_n: int = 20
+    orientation_threshold: float = 3.0
+
+
+class DiffractionPatternIndexer:
+    """Indexes diffraction patterns using a VAE encoder and a vector database.
+
+    Handles the full pipeline: encoding patterns into latent space, storing
+    latent vectors with orientations, and retrieving best-matching
+    orientations for unknown patterns (dp_indexer.py:51-57).
+    """
+
+    def __init__(
+        self,
+        model: Any,
+        params: Any,
+        db: LatentVectorDatabaseBase | None = None,
+        config: IndexerConfig | None = None,
+    ) -> None:
+        """Args:
+        model: Flax VAE module exposing an ``encode`` method returning
+            (mu, logvar) — the trained-model analogue of dp_indexer.py:61.
+        params: Trained parameter pytree for ``model``.
+        db: Vector database (defaults to a TpuLatentVectorDatabase of
+            ``config.latent_dim``).
+        config: Indexer configuration.
+        """
+        self.config = config if config is not None else IndexerConfig()
+        self.db = (
+            db
+            if db is not None
+            else TpuLatentVectorDatabase(
+                LatentVectorDatabaseConfig(dimension=self.config.latent_dim)
+            )
+        )
+        self.model = model
+        self.params = params
+
+        requested = self.config.device
+        platforms = {d.platform for d in jax.devices()}
+        if requested == "tpu" and "tpu" not in platforms:
+            logger.warning("TPU not available, falling back to CPU")
+        logger.info(f"Using devices: {jax.devices()}")
+
+        self._encode_jit = jax.jit(
+            lambda params, x: self.model.apply({"params": params}, x, method="encode")[0]
+        )
+
+    # -- encoding ----------------------------------------------------------
+
+    def _encode_fixed(self, batch: np.ndarray) -> np.ndarray:
+        """Encode a (b<=batch_size, H, W, 1) chunk, padding to the static
+        batch size so every dispatch reuses one compiled program."""
+        bs = self.config.batch_size
+        n = len(batch)
+        if n < bs:
+            batch = np.concatenate(
+                [batch, np.zeros((bs - n,) + batch.shape[1:], batch.dtype)]
+            )
+        mu = self._encode_jit(self.params, jnp.asarray(batch))
+        return np.asarray(mu[:n])
+
+    def _to_nhwc(self, patterns: NDArray | Any) -> np.ndarray:
+        """Normalize input to a (B, H, W, 1) float32 stack via the default
+        transform (dp_indexer.py:124-131,150-172 shape fixups)."""
+        x = np.asarray(patterns)
+        if x.ndim == 2:  # single (H, W)
+            x = default_transform(x, self.config.image_size)[None]
+        elif x.ndim == 3:
+            if x.shape[-1] == 1:  # single (H, W, 1)
+                x = default_transform(x[..., 0], self.config.image_size)[None]
+            else:  # batch (B, H, W)
+                x = default_transform(x, self.config.image_size)
+        elif x.ndim == 4:
+            if x.shape[-1] != 1:
+                raise ValueError(f"Expected NHWC with 1 channel, got {x.shape}")
+            x = default_transform(x[..., 0], self.config.image_size)
+        else:
+            raise ValueError(f"Expected 2-4D pattern array, got {x.ndim}D")
+        return x.astype(np.float32)
+
+    def encode_pattern(self, pattern: NDArray | Any) -> np.ndarray:
+        """Encode a single pattern to its latent mean (dp_indexer.py:113-137)."""
+        x = self._to_nhwc(pattern)
+        return self._encode_fixed(x).squeeze()
+
+    def encode_patterns_batch(self, patterns: NDArray | Any) -> np.ndarray:
+        """Encode many patterns, minibatched at config.batch_size
+        (dp_indexer.py:139-186)."""
+        x = self._to_nhwc(patterns)
+        bs = self.config.batch_size
+        outs = [self._encode_fixed(x[i : i + bs]) for i in range(0, len(x), bs)]
+        return np.vstack(outs)
+
+    # -- dictionary build --------------------------------------------------
+
+    def build_dictionary(self, progress: bool = True) -> None:
+        """Encode the dictionary dataset and add it to the DB
+        (dp_indexer.py:92-111)."""
+        logger.info(
+            f"Generating latent vectors from patterns in {self.config.pattern_path}"
+        )
+        latent_vectors, orientations = self._extract_latent_vectors_with_angles(
+            progress=progress
+        )
+        logger.info(f"Adding {len(latent_vectors)} vectors to database")
+        self.db.add_vectors(latent_vectors, orientations)
+
+    @cached_property
+    def _datamodule(self) -> DPDataModule:
+        """Dictionary data module in test mode (dp_indexer.py:234-252)."""
+        if self.config.pattern_path is None or self.config.angles_path is None:
+            raise ValueError("pattern_path and angles_path must be configured")
+        dm = DPDataModule(
+            path=self.config.pattern_path,
+            rot_angles_path=self.config.angles_path,
+            image_size=self.config.image_size,
+            batch_size=self.config.batch_size,
+        )
+        dm.setup("test")
+        return dm
+
+    def _extract_latent_vectors_with_angles(
+        self, progress: bool = True
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batch-encode the dictionary loader (dp_indexer.py:254-297)."""
+        dm = self._datamodule
+        latent_vectors, orientations = [], []
+
+        iterator = dm.test_batches()
+        total = dm.num_test_batches()
+        bar = _maybe_progress(progress, total)
+        with bar:
+            task = bar.add_task("Processing patterns...", total=total)
+            for data, angles in iterator:
+                latent_vectors.append(self._encode_fixed(data))
+                orientations.append(np.asarray(angles))
+                bar.update(task, advance=1)
+
+        return np.concatenate(latent_vectors, 0), np.concatenate(orientations, 0)
+
+    # -- querying ----------------------------------------------------------
+
+    def index_pattern(
+        self,
+        pattern: NDArray | Any,
+        top_n: int | None = None,
+        orientation_threshold: float | None = None,
+    ) -> OrientationResult:
+        """Index one pattern; returns its best orientation
+        (dp_indexer.py:188-214)."""
+        top_n = top_n or self.config.top_n
+        orientation_threshold = (
+            orientation_threshold or self.config.orientation_threshold
+        )
+        latent_vector = self.encode_pattern(pattern)
+        return self.db.find_best_orientation(
+            latent_vector, top_n=top_n, orientation_threshold=orientation_threshold
+        )
+
+    def index_patterns_batch(
+        self, patterns: NDArray | Any, **kwargs
+    ) -> list[OrientationResult]:
+        """Index many patterns via the vectorized batch path
+        (dp_indexer.py:216-232)."""
+        kwargs.setdefault("top_n", self.config.top_n)
+        kwargs.setdefault("orientation_threshold", self.config.orientation_threshold)
+        latent_vectors = self.encode_patterns_batch(patterns)
+        return self.db.find_best_orientations_batch(
+            latent_vectors, batch_size=self.config.batch_size, **kwargs
+        )
+
+
+class _NullProgress:
+    """No-op progress bar."""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+    def add_task(self, *a, **kw):
+        return 0
+
+    def update(self, *a, **kw):
+        pass
+
+
+def _maybe_progress(enabled: bool, total: int):
+    if not enabled:
+        return _NullProgress()
+    try:
+        from rich.progress import (
+            BarColumn,
+            Progress,
+            SpinnerColumn,
+            TextColumn,
+            TimeElapsedColumn,
+        )
+
+        return Progress(
+            SpinnerColumn(),
+            TextColumn("[progress.description]{task.description}"),
+            BarColumn(),
+            TextColumn("[progress.percentage]{task.percentage:>3.0f}%"),
+            TimeElapsedColumn(),
+        )
+    except ImportError:  # rich is optional
+        return _NullProgress()

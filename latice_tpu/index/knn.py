@@ -1,0 +1,100 @@
+"""Exact cosine k-NN on TPU — the FAISS `IndexFlat`/hnswlib replacement.
+
+The reference delegates nearest-neighbour search to third-party C++ engines
+(faiss_db.py:135-139 `IndexFlat` + inner product over L2-normalized rows;
+chroma_db.py:122-131 HNSW cosine). On TPU the exact search is a single
+MXU-friendly matmul: normalize, ``scores = Q @ Dᵀ``, ``lax.top_k`` — at a
+16-d latent width even million-entry dictionaries are compute-trivial, so the
+TPU-native design is *exact* search everywhere (no approximate index needed).
+
+For dictionaries sharded across a mesh see latice_tpu.parallel.sharded_knn.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["l2_normalize", "cosine_topk", "cosine_topk_blocked"]
+
+
+def l2_normalize(vectors: jax.Array | np.ndarray, axis: int = -1) -> jax.Array:
+    """Row-wise L2 normalization with the reference's zero-norm guard
+    (faiss_db.py:109-113: zero rows stay zero instead of NaN)."""
+    v = jnp.asarray(vectors)
+    norms = jnp.linalg.norm(v, axis=axis, keepdims=True)
+    return v / jnp.where(norms == 0, 1.0, norms)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def cosine_topk(
+    queries: jax.Array, dictionary: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k cosine similarity search.
+
+    Args:
+        queries: ``(B, D)`` query vectors (any scale; normalized internally).
+        dictionary: ``(N, D)`` dictionary, assumed **already L2-normalized**
+            (done once at add time, mirroring faiss_db.py:178).
+        k: Number of neighbours (static).
+
+    Returns:
+        ``(scores, indices)`` of shapes ``(B, k)``, ordered best-first —
+        the layout of ``faiss.IndexFlat.search`` (faiss_db.py:251).
+    """
+    q = l2_normalize(queries.astype(jnp.float32))
+    scores = jnp.einsum(
+        "bd,nd->bn", q, dictionary, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jax.lax.top_k(scores, k)
+
+
+@partial(jax.jit, static_argnames=("k", "block_size"))
+def cosine_topk_blocked(
+    queries: jax.Array, dictionary: jax.Array, k: int, block_size: int = 131072
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k search over a dictionary too large for one (B, N) score matrix.
+
+    Streams dictionary blocks through a running top-k merge via ``lax.scan`` —
+    HBM-bounded instead of O(B*N) memory. Use when ``B * N`` floats would not
+    fit alongside the model (e.g. full-map indexing against >1e6 entries).
+    """
+    n = dictionary.shape[0]
+    num_blocks = -(-n // block_size)
+    pad = num_blocks * block_size - n
+    # Pad with zero rows (cosine score 0 <= any real match after normalize).
+    d_padded = jnp.pad(dictionary, ((0, pad), (0, 0)))
+    blocks = d_padded.reshape(num_blocks, block_size, -1)
+
+    q = l2_normalize(queries.astype(jnp.float32))
+    b = q.shape[0]
+    init = (
+        jnp.full((b, k), -jnp.inf, dtype=jnp.float32),
+        jnp.zeros((b, k), dtype=jnp.int32),
+    )
+
+    def body(carry, inp):
+        best_s, best_i = carry
+        block, block_idx = inp
+        scores = jnp.einsum(
+            "bd,nd->bn", q, block, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        local_s, local_i = jax.lax.top_k(scores, min(k, block_size))
+        local_i = local_i + block_idx * block_size
+        merged_s = jnp.concatenate([best_s, local_s], axis=1)
+        merged_i = jnp.concatenate([best_i, local_i], axis=1)
+        new_s, sel = jax.lax.top_k(merged_s, k)
+        new_i = jnp.take_along_axis(merged_i, sel, axis=1)
+        return (new_s, new_i), None
+
+    (scores, indices), _ = jax.lax.scan(
+        body, init, (blocks, jnp.arange(num_blocks))
+    )
+    # Mask any padded-row hits (only possible when k > n).
+    valid = indices < n
+    return jnp.where(valid, scores, -jnp.inf), jnp.where(valid, indices, 0)

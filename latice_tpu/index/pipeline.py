@@ -1,0 +1,154 @@
+"""Fused encode+index pipeline: one XLA program from raw patterns to
+orientations.
+
+The reference's query path crosses four runtime boundaries per batch
+(SURVEY §3.3: host->device, torch encode, device->host, C++ FAISS/hnswlib,
+then a Python consensus loop). Here the entire product hot path — VAE
+encoder, L2 normalize, dictionary matmul, top-k, symmetry-aware consensus —
+compiles into a single jitted program: patterns in, Euler angles out, with
+exactly one host->device and one device->host transfer per batch. This is
+the benchmark surface for the ">=500k patterns/min/chip" north star
+(BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latice_tpu.index.consensus import consensus_orientations
+from latice_tpu.index.knn import l2_normalize
+
+__all__ = ["IndexPipeline", "DenseIndexResult"]
+
+
+class DenseIndexResult(NamedTuple):
+    """Structured bulk-indexing output (host numpy arrays)."""
+
+    mean_orientation: np.ndarray  # (B, 3) zxz deg; NaN rows where not success
+    best_orientation: np.ndarray  # (B, 3) mean, or top-1 candidate on failure
+    success: np.ndarray  # (B,) bool
+    n_similar: np.ndarray  # (B,) int
+    indices: np.ndarray  # (B, K) dictionary rows of the candidates
+    scores: np.ndarray  # (B, K) cosine similarities
+
+
+class IndexPipeline:
+    """Compiled end-to-end indexer over a fixed dictionary.
+
+    Args:
+        model: Flax VAE with an ``encode`` method.
+        params: Trained parameters.
+        dictionary_vectors: ``(N, D)`` L2-normalized latents (host or device).
+        dictionary_orientations: ``(N, 3)`` zxz Euler degrees.
+        top_n / orientation_threshold / min_required_matches / max_iterations /
+        angle_unit: consensus knobs (reference defaults:
+            dp_indexer.py:47-48, faiss_db.py:262-264).
+        batch_size: static compile batch; inputs are padded up to it.
+    """
+
+    def __init__(
+        self,
+        model: Any,
+        params: Any,
+        dictionary_vectors: np.ndarray,
+        dictionary_orientations: np.ndarray,
+        top_n: int = 20,
+        orientation_threshold: float = 3.0,
+        min_required_matches: int = 18,
+        max_iterations: int = 3,
+        angle_unit: str = "deg",
+        batch_size: int = 256,
+    ) -> None:
+        from latice_tpu.crystal import from_euler_zxz_deg
+
+        self.batch_size = batch_size
+        self._n = len(dictionary_vectors)
+        k = min(top_n, self._n)
+
+        dict_dev = jnp.asarray(np.asarray(dictionary_vectors, np.float32))
+        orient_dev = jnp.asarray(
+            np.asarray(dictionary_orientations, np.float32)
+        )
+
+        @jax.jit
+        def _prep(orients):
+            return from_euler_zxz_deg(orients)
+
+        quats_dev = _prep(orient_dev)
+
+        @jax.jit
+        def _run(p, patterns):
+            mu, _ = model.apply({"params": p}, patterns, method="encode")
+            q = l2_normalize(mu)
+            scores = jnp.einsum(
+                "bd,nd->bn",
+                q,
+                dict_dev,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            scores, indices = jax.lax.top_k(scores, k)
+            cand_quats = jnp.take(quats_dev, indices, axis=0)
+            cons = consensus_orientations(
+                cand_quats,
+                orientation_threshold,
+                min_required_matches=min_required_matches,
+                max_iterations=min(max_iterations, k),
+                angle_unit=angle_unit,
+            )
+            # Failure fallback = top-1 candidate, derived from its already-
+            # gathered quaternion: a second row gather from the (N, 3) Euler
+            # table lowers to an ~80ms scalar gather on TPU. The quat->euler
+            # round trip canonicalizes angles to scipy ranges ([-180, 180],
+            # [0, 180]) — same rotation as the stored row.
+            from latice_tpu.crystal import to_euler_zxz_deg
+
+            top1_euler = to_euler_zxz_deg(cand_quats[:, 0])
+            best = jnp.where(
+                cons.success[:, None], cons.mean_euler, top1_euler
+            )
+            n_similar = cons.similar_mask.sum(axis=1)
+            return (
+                cons.mean_euler,
+                best,
+                cons.success,
+                n_similar,
+                indices,
+                scores,
+            )
+
+        self._run = _run
+        self._params = params
+
+    def __call__(self, patterns: np.ndarray) -> DenseIndexResult:
+        """Index a stack of NHWC patterns; handles padding + chunking."""
+        x = np.asarray(patterns, dtype=np.float32)
+        if x.ndim == 3:
+            x = x[..., None]
+        outs = []
+        for start in range(0, len(x), self.batch_size):
+            chunk = x[start : start + self.batch_size]
+            n = len(chunk)
+            if n < self.batch_size:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((self.batch_size - n,) + chunk.shape[1:], chunk.dtype)]
+                )
+            res = self._run(self._params, jnp.asarray(chunk))
+            outs.append(tuple(np.asarray(r[:n]) for r in res))
+
+        mean, best, success, n_sim, indices, scores = (
+            np.concatenate([o[i] for o in outs]) for i in range(6)
+        )
+        mean = np.where(success[:, None], mean, np.nan).astype(np.float64)
+        return DenseIndexResult(
+            mean_orientation=mean,
+            best_orientation=best.astype(np.float64),
+            success=success.astype(bool),
+            n_similar=n_sim.astype(np.int64),
+            indices=indices.astype(np.int64),
+            scores=scores.astype(np.float64),
+        )

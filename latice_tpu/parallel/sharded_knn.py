@@ -1,0 +1,92 @@
+"""Dictionary-sharded exact k-NN over a device mesh.
+
+For dictionaries beyond one chip's HBM (SURVEY §2 native-accounting table:
+"shard dictionary over mesh for >HBM sizes"): the dictionary rows are
+partitioned over the mesh's data axis, every device computes top-k against its
+shard (a local MXU matmul — zero communication), and the per-shard candidates
+are merged with a single small ``all_gather`` of k rows per device. The merge
+re-bases local indices to global dictionary positions.
+
+Communication cost: O(devices * B * k) scalars over ICI — independent of
+dictionary size N.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from latice_tpu.index.knn import l2_normalize
+
+__all__ = ["shard_dictionary", "sharded_cosine_topk"]
+
+
+def shard_dictionary(dictionary: jax.Array, mesh: Mesh) -> jax.Array:
+    """Place an (N, D) dictionary row-sharded over the mesh.
+
+    N must divide by the mesh size; pad with zero rows upstream if needed
+    (zero rows can never win a cosine top-k against real matches).
+    """
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    if dictionary.shape[0] % n != 0:
+        pad = n - dictionary.shape[0] % n
+        dictionary = jnp.pad(dictionary, ((0, pad), (0, 0)))
+    return jax.device_put(dictionary, NamedSharding(mesh, P(axis)))
+
+
+def sharded_cosine_topk(
+    queries: jax.Array, dictionary_sharded: jax.Array, k: int, mesh: Mesh
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k over a row-sharded dictionary; replicated (B, k) results.
+
+    Args:
+        queries: (B, D), replicated (placed on mesh by this call).
+        dictionary_sharded: (N, D) row-sharded, L2-normalized.
+        k: neighbours (static).
+        mesh: the device mesh.
+
+    Returns:
+        (scores, indices) with **global** dictionary indices, best-first —
+        identical to latice_tpu.index.knn.cosine_topk on the unsharded data.
+    """
+    axis = mesh.axis_names[0]
+    n_total = dictionary_sharded.shape[0]
+    n_dev = mesh.devices.size
+    shard_rows = n_total // n_dev
+    k_local = min(k, shard_rows)
+
+    queries = jax.device_put(
+        jnp.asarray(queries, jnp.float32), NamedSharding(mesh, P())
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def _local_then_merge(q, dict_shard):
+        q = l2_normalize(q)
+        scores = jnp.einsum(
+            "bd,nd->bn", q, dict_shard, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        local_s, local_i = jax.lax.top_k(scores, k_local)  # (B, k_local)
+        shard_id = jax.lax.axis_index(axis)
+        local_i = local_i + shard_id * shard_rows
+        # Gather every shard's candidates: (n_dev, B, k_local) -> concat.
+        all_s = jax.lax.all_gather(local_s, axis)
+        all_i = jax.lax.all_gather(local_i, axis)
+        b = q.shape[0]
+        merged_s = jnp.moveaxis(all_s, 0, 1).reshape(b, n_dev * k_local)
+        merged_i = jnp.moveaxis(all_i, 0, 1).reshape(b, n_dev * k_local)
+        best_s, sel = jax.lax.top_k(merged_s, k)
+        best_i = jnp.take_along_axis(merged_i, sel, axis=1)
+        return best_s, best_i
+
+    return _local_then_merge(queries, dictionary_sharded)

@@ -1,0 +1,117 @@
+"""Config engine tests: composition, interpolation, overrides, instantiation."""
+
+from pathlib import Path
+
+import pytest
+
+from latice_tpu.config import (
+    expand_sweeps,
+    instantiate,
+    load_config,
+    maybe_instantiate,
+)
+
+
+@pytest.fixture
+def conf_tree(tmp_path):
+    (tmp_path / "grp").mkdir()
+    (tmp_path / "train.yaml").write_text(
+        "defaults:\n"
+        "  - grp: default.yaml\n"
+        "  - _self_\n"
+        "root_dir: ${hydra:runtime.cwd}\n"
+        "data_dir: ${root_dir}/data\n"
+        "seed: 0\n"
+        "grp:\n"
+        "  extra: 99\n"
+    )
+    (tmp_path / "grp" / "default.yaml").write_text(
+        "name: base\nvalue: 1\npath: ${data_dir}/x.npy\n"
+    )
+    (tmp_path / "grp" / "alt.yaml").write_text("name: alt\nvalue: 2\n")
+    return tmp_path
+
+
+class TestLoadConfig:
+    def test_composition_and_self_override(self, conf_tree):
+        cfg = load_config(conf_tree, "train.yaml", runtime_cwd="/cwd")
+        assert cfg["grp"]["name"] == "base"
+        assert cfg["grp"]["extra"] == 99  # _self_ wins after group
+        assert cfg["root_dir"] == "/cwd"
+        assert cfg["grp"]["path"] == "/cwd/data/x.npy"  # chained interpolation
+
+    def test_group_selection_override(self, conf_tree):
+        cfg = load_config(conf_tree, "train.yaml", ["grp=alt"], runtime_cwd="/c")
+        assert cfg["grp"]["name"] == "alt"
+        assert cfg["grp"]["value"] == 2
+
+    def test_value_overrides_typed(self, conf_tree):
+        cfg = load_config(
+            conf_tree,
+            "train.yaml",
+            ["grp.value=42", "seed=null", "grp.name=x"],
+            runtime_cwd="/c",
+        )
+        assert cfg["grp"]["value"] == 42
+        assert cfg["seed"] is None
+        assert cfg["grp"]["name"] == "x"
+
+    def test_unresolvable_interpolation_raises(self, tmp_path):
+        (tmp_path / "c.yaml").write_text("a: ${missing.key}\n")
+        with pytest.raises(KeyError, match="missing.key"):
+            load_config(tmp_path, "c.yaml")
+
+    def test_real_conf_tree_loads(self):
+        cfg = load_config(Path(__file__).parents[2] / "conf", "train.yaml")
+        assert cfg["lightning_module"]["kl_lambda"] == 5e-6
+        assert cfg["data_module"]["batch_size"] == 64
+        assert cfg["trainer"]["precision"] == "16-mixed"
+        assert cfg["trainer"]["max_epochs"] == 2
+
+
+class TestInstantiate:
+    def test_basic_target(self):
+        obj = instantiate({"_target_": "collections.Counter", "red": 2})
+        assert obj["red"] == 2
+
+    def test_partial(self):
+        fn = instantiate({"_target_": "operator.add", "_partial_": True})
+        assert fn(2, 3) == 5
+
+    def test_nested(self):
+        obj = instantiate(
+            {
+                "_target_": "builtins.dict",
+                "inner": {"_target_": "collections.Counter", "a": 1},
+            }
+        )
+        assert obj["inner"]["a"] == 1
+
+    def test_maybe_instantiate_passthrough(self):
+        sentinel = object()
+        assert maybe_instantiate(sentinel) is sentinel
+
+    def test_maybe_instantiate_type_check(self):
+        with pytest.raises(AssertionError):
+            maybe_instantiate({"_target_": "collections.Counter"}, expected_type=list)
+
+    def test_module_from_config(self):
+        """The real lightning_module config instantiates a working VAEModule."""
+        cfg = load_config(Path(__file__).parents[2] / "conf", "train.yaml")
+        from latice_tpu.train.module import VAEModule
+
+        module = maybe_instantiate(cfg["lightning_module"], VAEModule)
+        assert module.loss_fn.kl_lambda == 5e-6
+        assert module.model.inplanes == 32
+        assert module.scheduler.patience == 10
+
+
+class TestSweeps:
+    def test_cartesian_product(self):
+        runs = expand_sweeps(["a=1,2", "b=x", "c=7,8"])
+        assert len(runs) == 4
+        assert ["a=1", "b=x", "c=7"] in runs
+        assert ["a=2", "b=x", "c=8"] in runs
+
+    def test_no_sweep(self):
+        assert expand_sweeps(["a=1"]) == [["a=1"]]

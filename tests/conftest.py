@@ -7,7 +7,9 @@ analogue of the reference's mocked-backend unit-test style.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force (not setdefault): the ambient environment pins JAX_PLATFORMS to the
+# real TPU backend; tests must run hermetically on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 # Persistent compilation cache: repeated test runs skip recompiles.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
@@ -17,3 +19,12 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402  (after env setup by design)
+
+# The ambient sitecustomize imports jax at interpreter start with
+# JAX_PLATFORMS=axon already read, so env edits here come too late — the
+# config update is authoritative. jax_num_cpu_devices is the JAX>=0.5 knob
+# (the XLA_FLAGS spelling is kept above for older versions).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

@@ -1,0 +1,56 @@
+"""Exact k-NN correctness vs numpy brute force (the FAISS-parity check)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from latice_tpu.index import cosine_topk, cosine_topk_blocked, l2_normalize
+
+RNG = np.random.default_rng(0)
+
+
+def brute_force_cosine_topk(queries, dictionary, k):
+    q = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    d = dictionary / np.linalg.norm(dictionary, axis=1, keepdims=True)
+    scores = q @ d.T
+    idx = np.argsort(-scores, axis=1)[:, :k]
+    return np.take_along_axis(scores, idx, axis=1), idx
+
+
+class TestCosineTopK:
+    def test_matches_brute_force(self):
+        d = RNG.normal(size=(500, 16)).astype(np.float32)
+        q = RNG.normal(size=(7, 16)).astype(np.float32)
+        dn = np.asarray(l2_normalize(jnp.asarray(d)))
+        scores, idx = cosine_topk(jnp.asarray(q), jnp.asarray(dn), 20)
+        want_scores, want_idx = brute_force_cosine_topk(q, d, 20)
+        np.testing.assert_allclose(np.asarray(scores), want_scores, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(idx), want_idx)
+
+    def test_self_query_is_top1(self):
+        d = RNG.normal(size=(100, 16)).astype(np.float32)
+        dn = np.asarray(l2_normalize(jnp.asarray(d)))
+        scores, idx = cosine_topk(jnp.asarray(d[42:43]), jnp.asarray(dn), 5)
+        assert int(idx[0, 0]) == 42
+        assert float(scores[0, 0]) > 0.999
+
+    def test_zero_norm_guard(self):
+        v = np.zeros((2, 16), np.float32)
+        out = np.asarray(l2_normalize(jnp.asarray(v)))
+        assert np.all(np.isfinite(out))
+
+    def test_blocked_matches_unblocked(self):
+        d = RNG.normal(size=(1000, 16)).astype(np.float32)
+        q = RNG.normal(size=(5, 16)).astype(np.float32)
+        dn = jnp.asarray(np.asarray(l2_normalize(jnp.asarray(d))))
+        s1, i1 = cosine_topk(jnp.asarray(q), dn, 10)
+        s2, i2 = cosine_topk_blocked(jnp.asarray(q), dn, 10, block_size=256)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_blocked_nondivisible_block(self):
+        d = RNG.normal(size=(333, 16)).astype(np.float32)
+        q = RNG.normal(size=(3, 16)).astype(np.float32)
+        dn = jnp.asarray(np.asarray(l2_normalize(jnp.asarray(d))))
+        s1, i1 = cosine_topk(jnp.asarray(q), dn, 7)
+        s2, i2 = cosine_topk_blocked(jnp.asarray(q), dn, 7, block_size=128)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
