@@ -24,6 +24,7 @@ TPU-first choices (not translations):
 
 from __future__ import annotations
 
+import os
 from typing import Any, NamedTuple
 
 import flax.linen as nn
@@ -76,6 +77,7 @@ class ConvBlock(nn.Module):
     negative_slope: float = 0.02
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -88,8 +90,19 @@ class ConvBlock(nn.Module):
             param_dtype=self.param_dtype,
             name="conv",
         )(x)
-        x = InstanceNorm(dtype=self.dtype, name="norm")(x)
-        return nn.leaky_relu(x, self.negative_slope)
+        return _norm_act(x, self.negative_slope, self.dtype, self.use_pallas)
+
+
+def _norm_act(
+    x: jax.Array, negative_slope: float, dtype, use_pallas: bool
+) -> jax.Array:
+    """InstanceNorm + LeakyReLU — Pallas-fused when requested."""
+    if use_pallas or os.environ.get("LATICE_TPU_PALLAS_NORM") == "1":
+        from latice_tpu.ops import instance_norm_leaky_relu
+
+        return instance_norm_leaky_relu(x, 1e-5, negative_slope)
+    x = InstanceNorm(dtype=dtype)(x)
+    return nn.leaky_relu(x, negative_slope)
 
 
 class ConvTransposeBlock(nn.Module):
@@ -104,6 +117,7 @@ class ConvTransposeBlock(nn.Module):
     negative_slope: float = 0.02
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -116,8 +130,7 @@ class ConvTransposeBlock(nn.Module):
             param_dtype=self.param_dtype,
             name="conv",
         )(x)
-        x = InstanceNorm(dtype=self.dtype, name="norm")(x)
-        return nn.leaky_relu(x, self.negative_slope)
+        return _norm_act(x, self.negative_slope, self.dtype, self.use_pallas)
 
 
 def _upsample_nearest_2x(x: jax.Array) -> jax.Array:
@@ -137,12 +150,13 @@ class Encoder(nn.Module):
     inplanes: int = 32
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         p = self.inplanes
         stage_channels = [(p, p), (2 * p, 2 * p), (4 * p, 4 * p), (4 * p, 4 * p), (4 * p, 4 * p)]
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype, use_pallas=self.use_pallas)
         for i, (c1, c2) in enumerate(stage_channels):
             x = ConvBlock(c1, name=f"stage{i}_block0", **kw)(x)
             x = ConvBlock(c2, name=f"stage{i}_block1", **kw)(x)
@@ -161,11 +175,12 @@ class Decoder(nn.Module):
     inplanes: int = 32
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         p = self.inplanes
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype, use_pallas=self.use_pallas)
         # (out-channel plan per stage; last stage ends with the logit conv)
         stages = [
             (4 * p, 4 * p),
@@ -216,14 +231,15 @@ class VariationalAutoEncoderRawData(nn.Module):
     latent_dim: int = 16
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     def setup(self) -> None:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        self.encoder = Encoder(self.inplanes, **kw)
+        self.encoder = Encoder(self.inplanes, use_pallas=self.use_pallas, **kw)
         self.mu_head = nn.Dense(self.latent_dim, name="mu", **kw)
         self.logvar_head = nn.Dense(self.latent_dim, name="logvar", **kw)
         self.linear2 = nn.Dense(self.inplanes * 4 * 4 * 4, name="linear2", **kw)
-        self.decoder = Decoder(self.inplanes, **kw)
+        self.decoder = Decoder(self.inplanes, use_pallas=self.use_pallas, **kw)
 
     def encode(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
         """Return (mu, logvar) in float32. x: (B, H, W, 1) NHWC."""

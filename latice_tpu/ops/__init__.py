@@ -1,0 +1,5 @@
+"""Pallas TPU kernels: opt-in fused fast paths with XLA fallbacks."""
+
+from latice_tpu.ops.fused_norm import instance_norm_leaky_relu
+
+__all__ = ["instance_norm_leaky_relu"]
