@@ -29,6 +29,17 @@ def parse_angle_file(path: str | Path) -> np.ndarray:
     """
     path = Path(path)
     try:
+        # First-party C++ parser when the native runtime is available
+        # (latice_tpu.native); byte-for-byte the same contract.
+        from latice_tpu.native import available, parse_angle_file_native
+
+        if available():
+            return parse_angle_file_native(path)
+    except (FileNotFoundError, ValueError):
+        raise
+    except Exception:  # toolchain problems: fall through to pure Python
+        pass
+    try:
         with open(path) as f:
             lines = f.readlines()[2:]
     except FileNotFoundError:

@@ -102,12 +102,18 @@ class LatentVectorDatabaseConfig:
             codified by tests/index/test_chroma_db.py:352).
         device_batch_size: Max queries evaluated per device dispatch in the
             batch APIs.
+        engine: "device" runs the k-NN matmul on the JAX backend (default);
+            "native" uses the first-party C++ host engine
+            (native/latice_native.cpp) — the FAISS-replacement for
+            accelerator-free deployments. Consensus always runs through the
+            compiled JAX path.
     """
 
     npz_path: str = "latent_index.npz"
     dimension: int = 16
     angle_unit: str = "deg"
     device_batch_size: int = 4096
+    engine: str = "device"
 
 
 class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
@@ -224,8 +230,16 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
                 f"Expected query vector of dimension {self.dimension}, "
                 f"got {queries.shape[1]}"
             )
+        return self._topk(queries, n_results)
+
+    def _topk(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Dispatch top-k to the configured engine."""
+        if self.config.engine == "native":
+            from latice_tpu.native import cosine_topk_native
+
+            return cosine_topk_native(queries, self._vectors, k)
         vectors, _ = self._device_arrays()
-        scores, indices = cosine_topk(jnp.asarray(queries), vectors, n_results)
+        scores, indices = cosine_topk(jnp.asarray(queries), vectors, k)
         return np.asarray(scores, dtype=np.float64), np.asarray(
             indices, dtype=np.int64
         )
@@ -321,14 +335,13 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
                 "scores": np.zeros((len(queries), 0)),
             }
 
-        vectors, quats = self._device_arrays()
+        _, quats = self._device_arrays()
         k = min(top_n, self.get_count())
         chunk = max(batch_size or self.config.device_batch_size, 1)
         outs = []
         for start in range(0, len(queries), chunk):
-            q = jnp.asarray(queries[start : start + chunk])
-            scores, indices = cosine_topk(q, vectors, k)
-            cand_quats = jnp.take(quats, indices, axis=0)
+            scores, indices = self._topk(queries[start : start + chunk], k)
+            cand_quats = jnp.take(quats, jnp.asarray(indices), axis=0)
             cons = consensus_orientations(
                 cand_quats,
                 orientation_threshold,
@@ -371,10 +384,10 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
         min_required_matches: int,
         max_iterations: int,
     ) -> list[OrientationResult]:
-        vectors, quats = self._device_arrays()
+        _, quats = self._device_arrays()
         k = min(top_n, self.get_count())
-        scores, indices = cosine_topk(jnp.asarray(queries), vectors, k)
-        cand_quats = jnp.take(quats, indices, axis=0)  # (B, K, 4)
+        scores, indices = self._topk(queries, k)
+        cand_quats = jnp.take(quats, jnp.asarray(indices), axis=0)  # (B, K, 4)
         out = consensus_orientations(
             cand_quats,
             orientation_threshold,
