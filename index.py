@@ -81,6 +81,24 @@ def cmd_build(args) -> None:
     )
 
 
+def cmd_export(args) -> None:
+    from latice_tpu.index import DiffractionPatternIndexer, IndexerConfig
+
+    model, params = _load_model(args.checkpoint, args.inplanes, args.latent_dim)
+    indexer = DiffractionPatternIndexer(
+        model,
+        params,
+        config=IndexerConfig(
+            pattern_path=args.patterns,
+            angles_path=args.angles,
+            batch_size=args.batch_size,
+            latent_dim=args.latent_dim,
+        ),
+    )
+    latents, _ = indexer.export_latents(args.latents_out, args.angles_out)
+    logger.info(f"Exported {len(latents)} latent vectors")
+
+
 def cmd_query(args) -> None:
     from latice_tpu.index import IndexPipeline, LatentVectorDatabaseConfig, TpuLatentVectorDatabase
     from latice_tpu.data import default_transform
@@ -137,6 +155,15 @@ def main() -> None:
     b.add_argument("--patterns", required=True, help="dictionary .npy stack")
     b.add_argument("--angles", required=True, help="angle file")
     b.set_defaults(fn=cmd_build)
+
+    e = sub.add_parser(
+        "export", parents=[common], help="export dictionary latents to .npy"
+    )
+    e.add_argument("--patterns", required=True, help="dictionary .npy stack")
+    e.add_argument("--angles", required=True, help="angle file")
+    e.add_argument("--latents-out", default="latents.npy")
+    e.add_argument("--angles-out", default="orientations.npy")
+    e.set_defaults(fn=cmd_export)
 
     q = sub.add_parser("query", parents=[common], help="index patterns")
     q.add_argument("--patterns", required=True, help=".npy stack to index")

@@ -198,6 +198,31 @@ class DiffractionPatternIndexer:
 
         return np.concatenate(latent_vectors, 0), np.concatenate(orientations, 0)
 
+    def export_latents(
+        self,
+        latent_output_path: Path | str | None = None,
+        angles_output_path: Path | str | None = None,
+        progress: bool = True,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Offline latent export: encode the dictionary and save/return arrays.
+
+        Restores the capability of the reference's (broken, unimportable)
+        legacy indexer generation — `generate_latent_vectors`
+        (latice/index/latent_embedding.py:111-166) — but encodes the
+        deterministic ``mu`` rather than a sampled ``z``, matching what the
+        retrieval dictionary actually needs.
+        """
+        latents, orientations = self._extract_latent_vectors_with_angles(
+            progress=progress
+        )
+        if latent_output_path is not None:
+            np.save(Path(latent_output_path), latents)
+            logger.info(f"Saved latent vectors to {latent_output_path}")
+        if angles_output_path is not None:
+            np.save(Path(angles_output_path), orientations)
+            logger.info(f"Saved orientations to {angles_output_path}")
+        return latents, orientations
+
     # -- querying ----------------------------------------------------------
 
     def index_pattern(

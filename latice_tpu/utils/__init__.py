@@ -1,6 +1,7 @@
 """Utilities: visualization, IPF color keys, loggers, profiling, seeding."""
 
 from latice_tpu.utils.colorkey import ColorKeyGenerator
+from latice_tpu.utils.device import get_device, get_platform
 from latice_tpu.utils.loggers import (
     CSVLogger,
     MultiLogger,
@@ -8,6 +9,7 @@ from latice_tpu.utils.loggers import (
     WandbLogger,
     make_default_logger,
 )
+from latice_tpu.utils.profiling import PhaseTimer, device_sync, trace
 from latice_tpu.utils.viz import (
     figure_to_array,
     get_color_key,
@@ -20,12 +22,17 @@ __all__ = [
     "CSVLogger",
     "ColorKeyGenerator",
     "MultiLogger",
+    "PhaseTimer",
     "TensorBoardLogger",
     "WandbLogger",
+    "device_sync",
     "figure_to_array",
+    "get_device",
+    "get_platform",
     "get_color_key",
     "log_fig",
     "make_default_logger",
     "plot_detection",
     "plot_latent",
+    "trace",
 ]

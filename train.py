@@ -57,16 +57,24 @@ def train(config: dict):
 
     # Accepted-for-parity keys that the JAX trainer does not take verbatim.
     trainer_cfg.pop("accelerator", None)
-    trainer_cfg.pop("devices", None)
+    devices = trainer_cfg.pop("devices", "auto")
     trainer_cfg.pop("callbacks", None)
     trainer_cfg.pop("_target_", None)
+
+    # devices=N (N>1) -> data-parallel mesh over the first N chips.
+    mesh = None
+    if devices not in ("auto", None, 1, "1"):
+        from latice_tpu.parallel import make_mesh
+
+        mesh = make_mesh(int(devices))
+        logger.info(f"Data-parallel training over mesh: {mesh}")
     exp_logger = make_default_logger(
         save_dir, tensorboard=bool(logger_cfg.get("tensorboard", True))
     )
     seed = int(config.get("seed") or 0)
 
     logger.info("Instantiating trainer <latice_tpu.train.trainer.Trainer>")
-    trainer = Trainer(logger=exp_logger, seed=seed, **trainer_cfg)
+    trainer = Trainer(logger=exp_logger, seed=seed, mesh=mesh, **trainer_cfg)
 
     logger.info(f"Instantiating datamodule <{config['data_module']['_target_']}>")
     datamodule = maybe_instantiate(config["data_module"], DPDataModule)
