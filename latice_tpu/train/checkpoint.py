@@ -71,17 +71,40 @@ class CheckpointManager:
     def _epoch_dir(self, epoch: int) -> Path:
         return self.directory / f"epoch_{epoch}"
 
-    def save(self, epoch: int, params: Any, metrics: dict[str, float]) -> None:
-        """Persist this epoch's params; prune to the top-k by the monitor."""
+    def save(
+        self,
+        epoch: int,
+        params: Any,
+        metrics: dict[str, float],
+        full_state: Any | None = None,
+    ) -> None:
+        """Persist this epoch's params; prune to the top-k by the monitor.
+
+        When ``full_state`` (a TrainState) is given, its serializable parts
+        (params, optimizer state, step) are also written to ``last_state`` so
+        training can resume mid-run with optimizer moments intact — the
+        Lightning-checkpoint analogue (SURVEY §5 checkpoint/resume).
+        """
         metric = float(metrics.get(self.monitor, float("inf")))
         save_params(self._epoch_dir(epoch), params)
         self._manifest[str(epoch)] = metric
+        self._last_epoch = epoch
 
         if self.save_last:
             last = self.directory / "last"
             if last.exists():
                 shutil.rmtree(last)
             shutil.copytree(self._epoch_dir(epoch), last)
+        if full_state is not None:
+            save_params(
+                self.directory / "last_state",
+                {
+                    "params": full_state.params,
+                    "opt_state": full_state.opt_state,
+                    "step": full_state.step,
+                },
+            )
+            (self.directory / "last_epoch.json").write_text(json.dumps(epoch))
 
         # Prune beyond top-k (never the one just written — it's also "last").
         if self.save_top_k >= 0:
@@ -118,3 +141,32 @@ class CheckpointManager:
         if not last.exists():
             raise FileNotFoundError(f"No 'last' checkpoint under {self.directory}")
         return load_params(last, abstract_params)
+
+    def last_epoch(self) -> int:
+        path = self.directory / "last_epoch.json"
+        if not path.exists():
+            raise FileNotFoundError(f"No resume metadata under {self.directory}")
+        return int(json.loads(path.read_text()))
+
+    def load_last_state(self, template_state: Any) -> Any:
+        """Restore a full TrainState (params + optimizer moments + step).
+
+        ``template_state`` provides the tree structure and the
+        non-serializable members (apply_fn, tx).
+        """
+        path = self.directory / "last_state"
+        if not path.exists():
+            raise FileNotFoundError(f"No 'last_state' checkpoint under {self.directory}")
+        restored = load_params(
+            path,
+            {
+                "params": template_state.params,
+                "opt_state": template_state.opt_state,
+                "step": template_state.step,
+            },
+        )
+        return template_state.replace(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )

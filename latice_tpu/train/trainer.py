@@ -80,6 +80,7 @@ class Trainer:
         )
         self.state = None
         self.history: list[dict[str, float]] = []
+        self.start_epoch = 0
 
     # ------------------------------------------------------------------
 
@@ -91,8 +92,13 @@ class Trainer:
             x = shard_batch(x, self.mesh)
         return x
 
-    def fit(self, module: VAEModule, datamodule: Any) -> Any:
-        """Train; returns the final TrainState."""
+    def fit(self, module: VAEModule, datamodule: Any, resume: bool = False) -> Any:
+        """Train; returns the final TrainState.
+
+        With ``resume=True`` and an existing ``last`` checkpoint, training
+        continues from the saved epoch with the full optimizer state — the
+        Lightning ``ckpt_path="last"`` analogue.
+        """
         module = module.with_precision(self.precision)
         rng = jax.random.key(self.seed)
         init_rng, train_rng, eval_rng = jax.random.split(rng, 3)
@@ -101,6 +107,13 @@ class Trainer:
         first_batch = next(iter(datamodule.train_batches()))[0]
         sample = jnp.asarray(first_batch[:1])
         state = module.init_state(init_rng, sample)
+        if resume and self.checkpoints is not None:
+            try:
+                state = self.checkpoints.load_last_state(state)
+                self.start_epoch = int(self.checkpoints.last_epoch()) + 1
+                logger.info(f"Resumed from epoch {self.start_epoch - 1}")
+            except FileNotFoundError:
+                logger.info("No checkpoint to resume from; starting fresh")
         if self.mesh is not None:
             from latice_tpu.parallel import replicate_state
 
@@ -115,8 +128,8 @@ class Trainer:
             f"on {jax.devices()} (precision={self.precision})"
         )
 
-        global_step = 0
-        for epoch in range(self.max_epochs):
+        global_step = int(state.step)
+        for epoch in range(self.start_epoch, self.max_epochs):
             epoch_start = time.time()
             train_agg = EpochAggregator("train_")
             for batch, _ in datamodule.train_batches():
@@ -159,7 +172,9 @@ class Trainer:
                 self._log_reconstruction(last_val, epoch)
 
             if self.checkpoints is not None:
-                self.checkpoints.save(epoch, state.params, epoch_metrics)
+                self.checkpoints.save(
+                    epoch, state.params, epoch_metrics, full_state=state
+                )
 
             if module.scheduler is not None and "Epoch_val_loss" in epoch_metrics:
                 current_lr = get_learning_rate(state)

@@ -102,3 +102,43 @@ class TestCheckpointManager:
         np.testing.assert_array_equal(best["w"], np.full(3, 1.0))
         last = mgr.load_last({"w": np.zeros(3)})
         np.testing.assert_array_equal(last["w"], np.full(3, 2.0))
+
+
+class TestResume:
+    def test_resume_continues_with_optimizer_state(self, synthetic_data, tmp_path):
+        """Two 1-epoch runs with resume must reach epoch 2 state (full
+        optimizer moments restored), matching Lightning's ckpt_path='last'."""
+        ppath, apath = synthetic_data
+
+        def make():
+            dm = DPDataModule(ppath, apath, batch_size=8, val_data_ratio=0.25)
+            module = VAEModule(
+                VariationalAutoEncoderRawData(inplanes=2, latent_dim=8),
+                kl_lambda=5e-6,
+            )
+            return dm, module
+
+        dm, module = make()
+        t1 = Trainer(max_epochs=1, precision="32", checkpoint_dir=tmp_path / "ck",
+                     logger=None, recon_figure=False)
+        state1 = t1.fit(module, dm)
+        assert int(state1.step) == 3
+
+        dm, module = make()
+        t2 = Trainer(max_epochs=2, precision="32", checkpoint_dir=tmp_path / "ck",
+                     logger=None, recon_figure=False)
+        state2 = t2.fit(module, dm, resume=True)
+        assert t2.start_epoch == 1
+        assert int(state2.step) == 6  # continued, not restarted
+
+    def test_resume_without_checkpoint_starts_fresh(self, synthetic_data, tmp_path):
+        ppath, apath = synthetic_data
+        dm = DPDataModule(ppath, apath, batch_size=8, val_data_ratio=0.25)
+        module = VAEModule(
+            VariationalAutoEncoderRawData(inplanes=2, latent_dim=8), kl_lambda=5e-6
+        )
+        t = Trainer(max_epochs=1, precision="32", checkpoint_dir=tmp_path / "empty",
+                    logger=None, recon_figure=False)
+        state = t.fit(module, dm, resume=True)
+        assert t.start_epoch == 0
+        assert int(state.step) == 3
