@@ -48,6 +48,9 @@ class IndexPipeline:
         angle_unit: consensus knobs (reference defaults:
             dp_indexer.py:47-48, faiss_db.py:262-264).
         batch_size: static compile batch; inputs are padded up to it.
+        mesh: optional jax.sharding.Mesh — the dictionary rows shard over its
+            first axis (per-shard top-k + a k-row all_gather merge over ICI),
+            for dictionaries beyond one chip's HBM; params/queries replicate.
     """
 
     def __init__(
@@ -62,14 +65,25 @@ class IndexPipeline:
         max_iterations: int = 3,
         angle_unit: str = "deg",
         batch_size: int = 256,
+        mesh: Any = None,
     ) -> None:
         from latice_tpu.crystal import from_euler_zxz_deg
 
         self.batch_size = batch_size
         self._n = len(dictionary_vectors)
+        self.mesh = mesh
         k = min(top_n, self._n)
 
-        dict_dev = jnp.asarray(np.asarray(dictionary_vectors, np.float32))
+        if mesh is not None:
+            from latice_tpu.parallel import replicate, shard_dictionary
+            from latice_tpu.parallel.sharded_knn import sharded_cosine_topk
+
+            dict_dev = shard_dictionary(
+                jnp.asarray(np.asarray(dictionary_vectors, np.float32)), mesh
+            )
+            params = replicate(params, mesh)
+        else:
+            dict_dev = jnp.asarray(np.asarray(dictionary_vectors, np.float32))
         orient_dev = jnp.asarray(
             np.asarray(dictionary_orientations, np.float32)
         )
@@ -83,15 +97,24 @@ class IndexPipeline:
         @jax.jit
         def _run(p, patterns):
             mu, _ = model.apply({"params": p}, patterns, method="encode")
-            q = l2_normalize(mu)
-            scores = jnp.einsum(
-                "bd,nd->bn",
-                q,
-                dict_dev,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            scores, indices = jax.lax.top_k(scores, k)
+            if mesh is not None:
+                from latice_tpu.parallel.sharded_knn import (
+                    sharded_cosine_topk_inner,
+                )
+
+                scores, indices = sharded_cosine_topk_inner(
+                    mu, dict_dev, k, mesh
+                )
+            else:
+                q = l2_normalize(mu)
+                scores = jnp.einsum(
+                    "bd,nd->bn",
+                    q,
+                    dict_dev,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                scores, indices = jax.lax.top_k(scores, k)
             cand_quats = jnp.take(quats_dev, indices, axis=0)
             cons = consensus_orientations(
                 cand_quats,

@@ -7,7 +7,11 @@ from latice_tpu.parallel.mesh import (
     replicate_state,
     shard_batch,
 )
-from latice_tpu.parallel.sharded_knn import shard_dictionary, sharded_cosine_topk
+from latice_tpu.parallel.sharded_knn import (
+    shard_dictionary,
+    sharded_cosine_topk,
+    sharded_cosine_topk_inner,
+)
 
 __all__ = [
     "data_parallel_sharding",
@@ -17,4 +21,5 @@ __all__ = [
     "shard_batch",
     "shard_dictionary",
     "sharded_cosine_topk",
+    "sharded_cosine_topk_inner",
 ]

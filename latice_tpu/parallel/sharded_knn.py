@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from latice_tpu.index.knn import l2_normalize
 
-__all__ = ["shard_dictionary", "sharded_cosine_topk"]
+__all__ = ["shard_dictionary", "sharded_cosine_topk", "sharded_cosine_topk_inner"]
 
 
 def shard_dictionary(dictionary: jax.Array, mesh: Mesh) -> jax.Array:
@@ -53,15 +53,25 @@ def sharded_cosine_topk(
         (scores, indices) with **global** dictionary indices, best-first —
         identical to latice_tpu.index.knn.cosine_topk on the unsharded data.
     """
+    queries = jax.device_put(
+        jnp.asarray(queries, jnp.float32), NamedSharding(mesh, P())
+    )
+    return sharded_cosine_topk_inner(queries, dictionary_sharded, k, mesh)
+
+
+def sharded_cosine_topk_inner(
+    queries: jax.Array, dictionary_sharded: jax.Array, k: int, mesh: Mesh
+) -> tuple[jax.Array, jax.Array]:
+    """Jit-nestable core of `sharded_cosine_topk` (no host-side placement).
+
+    ``queries`` must already be replicated over the mesh (or inside a jit
+    where sharding propagation replicates them).
+    """
     axis = mesh.axis_names[0]
     n_total = dictionary_sharded.shape[0]
     n_dev = mesh.devices.size
     shard_rows = n_total // n_dev
     k_local = min(k, shard_rows)
-
-    queries = jax.device_put(
-        jnp.asarray(queries, jnp.float32), NamedSharding(mesh, P())
-    )
 
     @partial(
         jax.shard_map,

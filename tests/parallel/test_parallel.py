@@ -135,3 +135,35 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestShardedPipeline:
+    def test_mesh_pipeline_matches_single_device(self, mesh):
+        """IndexPipeline(mesh=...) must reproduce the unsharded pipeline."""
+        import jax.numpy as jnp
+        from latice_tpu.index import IndexPipeline
+
+        rng = np.random.default_rng(3)
+        model = VariationalAutoEncoderRawData(inplanes=2, latent_dim=16)
+        params = model.init(
+            {"params": jax.random.key(0)},
+            jnp.zeros((1, 128, 128, 1)),
+            jax.random.key(1),
+        )["params"]
+        N = 256
+        dv = rng.normal(size=(N, 16)).astype(np.float32)
+        dv /= np.linalg.norm(dv, axis=1, keepdims=True)
+        do = rng.uniform([0, 20, 0], [340, 140, 340], size=(N, 3))
+        patterns = rng.uniform(size=(8, 128, 128)).astype(np.float32)
+
+        kw = dict(top_n=10, orientation_threshold=3.0, min_required_matches=2,
+                  batch_size=8)
+        single = IndexPipeline(model, params, dv, do, **kw)(patterns)
+        sharded = IndexPipeline(model, params, dv, do, mesh=mesh, **kw)(patterns)
+
+        np.testing.assert_array_equal(sharded.indices, single.indices)
+        np.testing.assert_allclose(sharded.scores, single.scores, atol=1e-5)
+        np.testing.assert_array_equal(sharded.success, single.success)
+        np.testing.assert_allclose(
+            sharded.best_orientation, single.best_orientation, atol=1e-3
+        )
