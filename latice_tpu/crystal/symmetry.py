@@ -14,11 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from latice_tpu.crystal.quaternion import (
-    misorientation_angle,
-    quat_inv,
-    quat_mul,
-)
+from latice_tpu.crystal.quaternion import misorientation_angle, quat_mul
 
 __all__ = [
     "CUBIC_SYMMETRY",

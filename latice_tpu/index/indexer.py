@@ -10,7 +10,7 @@ vectorized consensus engine instead of a per-vector Python loop.
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import cached_property
 from pathlib import Path
 from typing import Any, Literal

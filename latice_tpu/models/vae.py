@@ -145,17 +145,22 @@ def _upsample_nearest_2x(x: jax.Array) -> jax.Array:
 
 
 class Encoder(nn.Module):
-    """5-stage conv encoder: 128x128x1 -> 4x4x(4*inplanes). model.py:109-125."""
+    """N-stage conv encoder (default 5: 128x128x1 -> 4x4x(4*inplanes),
+    model.py:109-125). Channel plan P, 2P, then 4P for every further stage —
+    extra stages (n_stages > 5) extend the 4P tail for deeper/scaled variants
+    (BASELINE "deeper conv stack" config)."""
 
     inplanes: int = 32
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    n_stages: int = 5
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         p = self.inplanes
-        stage_channels = [(p, p), (2 * p, 2 * p), (4 * p, 4 * p), (4 * p, 4 * p), (4 * p, 4 * p)]
+        widths = [p, 2 * p] + [4 * p] * (self.n_stages - 2)
+        stage_channels = [(w, w) for w in widths]
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype, use_pallas=self.use_pallas)
         for i, (c1, c2) in enumerate(stage_channels):
             x = ConvBlock(c1, name=f"stage{i}_block0", **kw)(x)
@@ -176,15 +181,16 @@ class Decoder(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    n_stages: int = 5
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         p = self.inplanes
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype, use_pallas=self.use_pallas)
-        # (out-channel plan per stage; last stage ends with the logit conv)
-        stages = [
-            (4 * p, 4 * p),
-            (4 * p, 4 * p),
+        # (out-channel plan per stage; last stage ends with the logit conv).
+        # Mirrors the encoder widths in reverse; n_stages > 5 extends the
+        # leading 4P stages.
+        stages = [(4 * p, 4 * p)] * (self.n_stages - 3) + [
             (4 * p, 2 * p),
             (2 * p, p),
         ]
@@ -193,7 +199,7 @@ class Decoder(nn.Module):
             x = ConvTransposeBlock(c1, name=f"stage{i}_block0", **kw)(x)
             x = ConvTransposeBlock(c2, name=f"stage{i}_block1", **kw)(x)
         x = _upsample_nearest_2x(x)
-        x = ConvTransposeBlock(p, name="stage4_block0", **kw)(x)
+        x = ConvTransposeBlock(p, name=f"stage{self.n_stages - 1}_block0", **kw)(x)
         x = nn.Conv(
             1,
             kernel_size=(3, 3),
@@ -232,14 +238,21 @@ class VariationalAutoEncoderRawData(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    n_stages: int = 5
+    bottleneck_hw: int = 4  # spatial size after the encoder (image / 2^n_stages)
 
     def setup(self) -> None:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        self.encoder = Encoder(self.inplanes, use_pallas=self.use_pallas, **kw)
+        self.encoder = Encoder(
+            self.inplanes, use_pallas=self.use_pallas, n_stages=self.n_stages, **kw
+        )
         self.mu_head = nn.Dense(self.latent_dim, name="mu", **kw)
         self.logvar_head = nn.Dense(self.latent_dim, name="logvar", **kw)
-        self.linear2 = nn.Dense(self.inplanes * 4 * 4 * 4, name="linear2", **kw)
-        self.decoder = Decoder(self.inplanes, use_pallas=self.use_pallas, **kw)
+        bottleneck = self.inplanes * 4 * self.bottleneck_hw * self.bottleneck_hw
+        self.linear2 = nn.Dense(bottleneck, name="linear2", **kw)
+        self.decoder = Decoder(
+            self.inplanes, use_pallas=self.use_pallas, n_stages=self.n_stages, **kw
+        )
 
     def encode(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
         """Return (mu, logvar) in float32. x: (B, H, W, 1) NHWC."""
@@ -252,8 +265,8 @@ class VariationalAutoEncoderRawData(nn.Module):
     def decode(self, z: jax.Array) -> jax.Array:
         """Reconstruction logits from latent codes. z: (B, latent_dim)."""
         h = self.linear2(z.astype(self.dtype))
-        p = self.inplanes
-        h = h.reshape((h.shape[0], 4, 4, 4 * p))
+        hw = self.bottleneck_hw
+        h = h.reshape((h.shape[0], hw, hw, 4 * self.inplanes))
         return self.decoder(h)
 
     def reparameterize(

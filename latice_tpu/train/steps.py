@@ -11,7 +11,6 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import jax
-import jax.numpy as jnp
 
 from latice_tpu.train.loss import VAELoss
 from latice_tpu.train.state import TrainState
@@ -24,6 +23,7 @@ Metrics = dict[str, jax.Array]
 def make_train_step(
     loss_fn: VAELoss,
     donate: bool = True,
+    skip_nonfinite_updates: bool = False,
 ) -> Callable[[TrainState, jax.Array, jax.Array], tuple[TrainState, Metrics]]:
     """Build the jitted training step.
 
@@ -35,6 +35,13 @@ def make_train_step(
 
     Metric keys mirror the reference step logging
     (lightning_module.py:266-270): loss, kl_loss, recon_loss.
+
+    Args:
+        skip_nonfinite_updates: When True, a step whose loss or gradients are
+            non-finite leaves parameters and optimizer state untouched (the
+            step counter still advances and metrics report the bad loss) —
+            failure containment the reference had no analogue for
+            (SURVEY §5: "failure detection: none").
     """
 
     def train_step(
@@ -48,13 +55,30 @@ def make_train_step(
             return losses["loss"], losses
 
         (_, losses), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
-        state = state.apply_gradients(grads=grads)
+        new_state = state.apply_gradients(grads=grads)
         metrics = {
             "loss": losses["loss"],
             "kl_loss": losses["kl_loss"],
             "recon_loss": losses["recon_loss"],
         }
-        return state, metrics
+        if skip_nonfinite_updates:
+            import jax.numpy as jnp
+
+            grads_ok = jnp.all(
+                jnp.asarray(
+                    [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]
+                )
+            )
+            ok = jnp.isfinite(losses["loss"]) & grads_ok
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda n, o: jnp.where(ok, n, o), new, old
+            )
+            new_state = new_state.replace(
+                params=keep(new_state.params, state.params),
+                opt_state=keep(new_state.opt_state, state.opt_state),
+            )
+            metrics["skipped"] = (~ok).astype(jnp.float32)
+        return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
     return jax.jit(train_step, donate_argnums=donate_argnums)

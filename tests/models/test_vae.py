@@ -137,3 +137,36 @@ class TestVAEForward:
         dec = params["decoder"]
         assert dec["stage2_block1"]["conv"]["kernel"].shape == (3, 3, 128, 64)
         assert dec["logit_conv"]["kernel"].shape == (3, 3, 32, 1)
+
+
+class TestScaledVariants:
+    def test_deeper_stack_6_stages(self):
+        """n_stages=6 on 256x256 inputs: deeper conv stack (BASELINE config 5)."""
+        import jax, jax.numpy as jnp
+
+        model = VariationalAutoEncoderRawData(
+            inplanes=2, latent_dim=32, n_stages=6, bottleneck_hw=4
+        )
+        x = jnp.zeros((1, 256, 256, 1), jnp.float32)
+        params = model.init({"params": jax.random.key(0)}, x, jax.random.key(1))[
+            "params"
+        ]
+        z, x_hat, mu, std = model.apply({"params": params}, x, jax.random.key(2))
+        assert mu.shape == (1, 32)
+        assert x_hat.shape == (1, 256, 256, 1)
+        assert "stage5_block0" in params["encoder"]
+
+    def test_deeper_stack_128_input(self):
+        """n_stages=6 on 128x128 -> 2x2 bottleneck."""
+        import jax, jax.numpy as jnp
+
+        model = VariationalAutoEncoderRawData(
+            inplanes=2, latent_dim=8, n_stages=6, bottleneck_hw=2
+        )
+        x = jnp.zeros((1, 128, 128, 1), jnp.float32)
+        params = model.init({"params": jax.random.key(0)}, x, jax.random.key(1))[
+            "params"
+        ]
+        z, x_hat, mu, std = model.apply({"params": params}, x, jax.random.key(2))
+        assert x_hat.shape == (1, 128, 128, 1)
+        assert params["linear2"]["kernel"].shape == (8, 2 * 2 * 8)
