@@ -22,8 +22,17 @@ Design (see also the layout notes in ops/fused_norm.py):
   bf16-mixed XLA path it replaces).
 
 The kernel emits the pre-pool (H, W, 4C) activations; the 2x2 max-pool runs
-in XLA outside (one cheap pass). Forward-only: the index/serving hot path.
-Opt-in via ``fused_stage0_encode`` / ``LATICE_TPU_PALLAS_STAGE0=1``.
+in XLA outside (one cheap pass). Forward-only.
+
+Status (v5e, 2026-08, measured): numerically verified but ~13ms vs XLA's
+7.3ms at b512. The HBM-traffic savings are real, but two structural costs
+dominate: (1) block-diagonal lane packing wastes 4x MXU FLOPs (the (4C,4C)
+weight mixes only C channels per image — 26% MXU utilization measured), and
+(2) ~40us/grid-step overhead over 128 steps. With C=32 against 128-lane
+hardware there is no packing that avoids both, so XLA's conv (65-70% of HBM
+roofline) stays the production path. Kept as verified infrastructure and a
+worked negative result; revisit if C grows to 128 (scaled models), where the
+block-diagonal waste disappears.
 """
 
 from __future__ import annotations
