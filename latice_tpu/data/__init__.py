@@ -2,6 +2,7 @@
 
 from latice_tpu.data.datamodule import DPDataModule, batch_iterator
 from latice_tpu.data.dataset import DPdataset, parse_angle_file
+from latice_tpu.data.prefetch import prefetch_to_device
 from latice_tpu.data.transforms import (
     center_crop,
     create_default_transform,
@@ -14,6 +15,7 @@ __all__ = [
     "DPdataset",
     "batch_iterator",
     "center_crop",
+    "prefetch_to_device",
     "create_default_transform",
     "default_transform",
     "parse_angle_file",

@@ -92,6 +92,13 @@ class Trainer:
             x = shard_batch(x, self.mesh)
         return x
 
+    def _batch_sharding(self):
+        if self.mesh is None:
+            return None
+        from latice_tpu.parallel import data_parallel_sharding
+
+        return data_parallel_sharding(self.mesh)[0]
+
     def fit(self, module: VAEModule, datamodule: Any, resume: bool = False) -> Any:
         """Train; returns the final TrainState.
 
@@ -132,8 +139,14 @@ class Trainer:
         for epoch in range(self.start_epoch, self.max_epochs):
             epoch_start = time.time()
             train_agg = EpochAggregator("train_")
-            for batch, _ in datamodule.train_batches():
-                state, metrics = train_step(state, self._shard_batch(batch), train_rng)
+            from latice_tpu.data.prefetch import prefetch_to_device
+
+            batches = prefetch_to_device(
+                (b for b, _ in datamodule.train_batches()),
+                sharding=self._batch_sharding(),
+            )
+            for batch in batches:
+                state, metrics = train_step(state, batch, train_rng)
                 global_step += 1
                 if global_step % self.log_every_n_steps == 0:
                     step_metrics = train_agg.update(

@@ -170,3 +170,39 @@ class TestBatchIterator:
                                           rng=np.random.default_rng(0))]
         )
         np.testing.assert_array_equal(np.sort(out), x)
+
+
+class TestPrefetch:
+    def test_prefetch_preserves_order_and_values(self):
+        from latice_tpu.data import prefetch_to_device
+
+        batches = [np.full((4, 2), float(i)) for i in range(7)]
+        out = list(prefetch_to_device(iter(batches), size=3))
+        assert len(out) == 7
+        for i, b in enumerate(out):
+            np.testing.assert_array_equal(np.asarray(b), batches[i])
+
+    def test_prefetch_tuple_batches(self):
+        from latice_tpu.data import prefetch_to_device
+
+        batches = [(np.ones((2,)) * i, np.zeros((2,)) + i) for i in range(3)]
+        out = list(prefetch_to_device(iter(batches)))
+        assert len(out) == 3
+        np.testing.assert_array_equal(np.asarray(out[2][0]), [2.0, 2.0])
+
+    def test_prefetch_empty(self):
+        from latice_tpu.data import prefetch_to_device
+
+        assert list(prefetch_to_device(iter([]))) == []
+
+    def test_prefetch_with_sharding(self):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from latice_tpu.data import prefetch_to_device
+        from latice_tpu.parallel import make_mesh
+
+        mesh = make_mesh(8)
+        sharding = NamedSharding(mesh, P("data"))
+        batches = [np.arange(16.0).reshape(16, 1)]
+        (out,) = prefetch_to_device(iter(batches), sharding=sharding)
+        assert len(out.sharding.device_set) == 8
