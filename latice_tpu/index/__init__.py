@@ -12,7 +12,13 @@ from latice_tpu.index.db import (
 )
 from latice_tpu.index.indexer import DiffractionPatternIndexer, IndexerConfig
 from latice_tpu.index.pipeline import DenseIndexResult, IndexPipeline
-from latice_tpu.index.knn import cosine_topk, cosine_topk_blocked, l2_normalize
+from latice_tpu.index.knn import (
+    cosine_topk,
+    cosine_topk_blocked,
+    cosine_topk_int8,
+    l2_normalize,
+    quantize_dictionary_int8,
+)
 from latice_tpu.index.result import OrientationResult
 
 __all__ = [
@@ -29,5 +35,7 @@ __all__ = [
     "consensus_orientations",
     "cosine_topk",
     "cosine_topk_blocked",
+    "cosine_topk_int8",
+    "quantize_dictionary_int8",
     "l2_normalize",
 ]

@@ -32,7 +32,7 @@ import jax
 
 from latice_tpu.crystal import from_euler_zxz_deg
 from latice_tpu.index.consensus import consensus_orientations
-from latice_tpu.index.knn import cosine_topk
+from latice_tpu.index.knn import cosine_topk, cosine_topk_int8, quantize_dictionary_int8
 from latice_tpu.index.result import OrientationResult
 
 logger = logging.getLogger(__name__)
@@ -103,7 +103,9 @@ class LatentVectorDatabaseConfig:
         device_batch_size: Max queries evaluated per device dispatch in the
             batch APIs.
         engine: "device" runs the k-NN matmul on the JAX backend (default);
-            "native" uses the first-party C++ host engine
+            "int8" quantizes the dictionary to int8 on device (4x smaller
+            residency, 2x MXU rate, ~0.5% score error — for >10M-entry
+            dictionaries); "native" uses the first-party C++ host engine
             (native/latice_native.cpp) — the FAISS-replacement for
             accelerator-free deployments. Consensus always runs through the
             compiled JAX path.
@@ -132,6 +134,7 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
         self._vectors = np.zeros((0, self.dimension), dtype=np.float32)
         self._orientations = np.zeros((0, 3), dtype=np.float64)
         self._dev_cache: tuple[jnp.ndarray, jnp.ndarray] | None = None
+        self._int8_cache: jnp.ndarray | None = None
 
         if self.npz_path.with_suffix(".npz").exists():
             self.load()
@@ -171,6 +174,7 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
         self._vectors = np.concatenate([self._vectors, vecs], axis=0)
         self._orientations = np.concatenate([self._orientations, orients], axis=0)
         self._dev_cache = None
+        self._int8_cache = None
         logger.info(
             f"Added {len(vecs)} vectors. Index total: {self.get_count()}"
         )
@@ -238,8 +242,16 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
             from latice_tpu.native import cosine_topk_native
 
             return cosine_topk_native(queries, self._vectors, k)
-        vectors, _ = self._device_arrays()
-        scores, indices = cosine_topk(jnp.asarray(queries), vectors, k)
+        if self.config.engine == "int8":
+            if self._int8_cache is None:
+                dict_q, _ = quantize_dictionary_int8(self._vectors)
+                self._int8_cache = dict_q
+            scores, indices = cosine_topk_int8(
+                jnp.asarray(queries), self._int8_cache, k
+            )
+        else:
+            vectors, _ = self._device_arrays()
+            scores, indices = cosine_topk(jnp.asarray(queries), vectors, k)
         return np.asarray(scores, dtype=np.float64), np.asarray(
             indices, dtype=np.int64
         )

@@ -18,7 +18,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["l2_normalize", "cosine_topk", "cosine_topk_blocked"]
+__all__ = [
+    "l2_normalize",
+    "cosine_topk",
+    "cosine_topk_blocked",
+    "cosine_topk_int8",
+    "quantize_dictionary_int8",
+]
 
 
 def l2_normalize(vectors: jax.Array | np.ndarray, axis: int = -1) -> jax.Array:
@@ -50,6 +56,43 @@ def cosine_topk(
         "bd,nd->bn", q, dictionary, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+    return jax.lax.top_k(scores, k)
+
+
+def quantize_dictionary_int8(
+    dictionary: np.ndarray | jax.Array,
+) -> tuple[jax.Array, float]:
+    """Symmetric int8 quantization of an L2-normalized dictionary.
+
+    Normalized rows lie in [-1, 1], so a single global scale of 127 applies.
+    Returns the int8 matrix and the dequantization scale (1/127).
+    """
+    d = jnp.asarray(dictionary, jnp.float32)
+    q = jnp.clip(jnp.round(d * 127.0), -127, 127).astype(jnp.int8)
+    return q, 1.0 / 127.0
+
+
+@partial(jax.jit, static_argnames=("k",))
+def cosine_topk_int8(
+    queries: jax.Array, dictionary_int8: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Approximate top-k cosine search against an int8 dictionary.
+
+    Both operands quantize to int8 so the score matmul runs on the MXU's
+    int8 path (2x bf16 rate, 4x smaller dictionary residency) — the lever for
+    >10M-entry dictionaries. Scores carry ~0.5% quantization error; ordering
+    of near-ties can differ from the exact engine (use exact search when
+    bit-parity matters).
+    """
+    q = l2_normalize(queries.astype(jnp.float32))
+    qi = jnp.clip(jnp.round(q * 127.0), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        qi,
+        dictionary_int8,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = acc.astype(jnp.float32) / (127.0 * 127.0)
     return jax.lax.top_k(scores, k)
 
 

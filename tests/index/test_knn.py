@@ -54,3 +54,41 @@ class TestCosineTopK:
         s1, i1 = cosine_topk(jnp.asarray(q), dn, 7)
         s2, i2 = cosine_topk_blocked(jnp.asarray(q), dn, 7, block_size=128)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+class TestInt8Engine:
+    def test_recall_vs_exact(self):
+        from latice_tpu.index import cosine_topk_int8, quantize_dictionary_int8
+
+        d = RNG.normal(size=(2000, 16)).astype(np.float32)
+        dn = np.asarray(l2_normalize(jnp.asarray(d)))
+        q = dn[:32] + RNG.normal(size=(32, 16)).astype(np.float32) * 0.05
+
+        s_exact, i_exact = cosine_topk(jnp.asarray(q), jnp.asarray(dn), 10)
+        dq, _ = quantize_dictionary_int8(dn)
+        s_q, i_q = cosine_topk_int8(jnp.asarray(q), dq, 10)
+
+        # top-1 must be identical for near-duplicate queries
+        np.testing.assert_array_equal(np.asarray(i_q[:, 0]), np.asarray(i_exact[:, 0]))
+        # recall@10 against exact top-10
+        recall = np.mean([
+            len(set(np.asarray(i_q[b])) & set(np.asarray(i_exact[b]))) / 10
+            for b in range(32)
+        ])
+        assert recall > 0.85, recall
+        # scores within quantization tolerance
+        np.testing.assert_allclose(np.asarray(s_q), np.asarray(s_exact), atol=0.02)
+
+    def test_db_int8_engine(self, tmp_path=None):
+        import tempfile
+        from latice_tpu.index import LatentVectorDatabaseConfig, TpuLatentVectorDatabase
+
+        with tempfile.TemporaryDirectory() as td:
+            db = TpuLatentVectorDatabase(
+                LatentVectorDatabaseConfig(npz_path=f"{td}/q.npz", engine="int8")
+            )
+            vecs = RNG.normal(size=(100, 16))
+            db.add_vectors(vecs, RNG.uniform(0, 360, (100, 3)))
+            scores, idx = db.query_similar(vecs[7], n_results=5)
+            assert idx[0] == 7
+            assert scores[0] > 0.99
