@@ -14,6 +14,7 @@ from latice_tpu.index.indexer import DiffractionPatternIndexer, IndexerConfig
 from latice_tpu.index.pipeline import DenseIndexResult, IndexPipeline
 from latice_tpu.index.knn import (
     cosine_topk,
+    cosine_topk_approx,
     cosine_topk_blocked,
     cosine_topk_int8,
     l2_normalize,
@@ -34,6 +35,7 @@ __all__ = [
     "consensus_from_euler",
     "consensus_orientations",
     "cosine_topk",
+    "cosine_topk_approx",
     "cosine_topk_blocked",
     "cosine_topk_int8",
     "quantize_dictionary_int8",

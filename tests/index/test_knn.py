@@ -92,3 +92,33 @@ class TestInt8Engine:
             scores, idx = db.query_similar(vecs[7], n_results=5)
             assert idx[0] == 7
             assert scores[0] > 0.99
+
+
+class TestApproxEngine:
+    def test_recall_and_db_engine(self):
+        import tempfile
+        from latice_tpu.index import (
+            LatentVectorDatabaseConfig,
+            TpuLatentVectorDatabase,
+            cosine_topk_approx,
+        )
+
+        d = RNG.normal(size=(4096, 16)).astype(np.float32)
+        dn = np.asarray(l2_normalize(jnp.asarray(d)))
+        q = dn[:16]
+        s_ref, i_ref = cosine_topk(jnp.asarray(q), jnp.asarray(dn), 10)
+        s_a, i_a = cosine_topk_approx(jnp.asarray(q), jnp.asarray(dn), 10)
+        recall = np.mean([
+            len(set(np.asarray(i_a[b])) & set(np.asarray(i_ref[b]))) / 10
+            for b in range(16)
+        ])
+        assert recall > 0.9, recall
+
+        with tempfile.TemporaryDirectory() as td:
+            db = TpuLatentVectorDatabase(
+                LatentVectorDatabaseConfig(npz_path=f"{td}/a.npz", engine="approx")
+            )
+            vecs = RNG.normal(size=(200, 16))
+            db.add_vectors(vecs, RNG.uniform(0, 360, (200, 3)))
+            scores, idx = db.query_similar(vecs[3], n_results=5)
+            assert idx[0] == 3
