@@ -115,3 +115,47 @@ class TestSweeps:
 
     def test_no_sweep(self):
         assert expand_sweeps(["a=1"]) == [["a=1"]]
+
+
+class TestTrainCLIMultirun:
+    def test_multirun_two_jobs(self, tmp_path, monkeypatch):
+        """train.py -m expands sweeps and runs each job end to end."""
+        import sys
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        n = 12
+        data = tmp_path / "data"
+        data.mkdir()
+        np.save(data / "p.npy", rng.uniform(size=(n, 128, 128)))
+        (data / "a.txt").write_text(
+            "eu\n%d\n" % n
+            + "".join(f"{a[0]} {a[1]} {a[2]}\n" for a in rng.uniform(0, 360, (n, 3)))
+        )
+        monkeypatch.chdir(tmp_path)
+        import importlib
+        sys.path.insert(0, "/root/repo")
+        train_mod = importlib.import_module("train")
+
+        monkeypatch.setattr(
+            sys,
+            "argv",
+            [
+                "train.py",
+                "-m",
+                "--config-path", "/root/repo/conf",
+                f"data_module.path={data}/p.npy",
+                f"data_module.rot_angles_path={data}/a.txt",
+                "data_module.batch_size=6",
+                "data_module.val_data_ratio=0.34",
+                "lightning_module.model.inplanes=2",
+                "lightning_module.model.latent_dim=8",
+                "trainer.max_epochs=1",
+                "trainer.precision=32",
+                "trainer.recon_figure=false",
+                "seed=0,1",
+            ],
+        )
+        train_mod.main()
+        # both sweep jobs produced checkpoints (same dir; last one wins)
+        assert (tmp_path / "checkpoints" / "last").exists()

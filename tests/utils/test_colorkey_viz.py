@@ -89,3 +89,19 @@ class TestVizSmoke:
         fig = plot_detection(imgs, recon, num_samples=4)
         arr = figure_to_array(fig)
         assert arr.ndim == 3 and arr.shape[-1] == 4  # RGBA
+
+
+class TestPlotLatent:
+    def test_matplotlib_fallback(self, tmp_path):
+        """plot_latent renders via matplotlib when altair is absent."""
+        from latice_tpu.utils import plot_latent
+
+        class FakeDataset:
+            rot_angles = RNG.uniform(0, 360, size=(20, 3))
+
+        latent = RNG.normal(size=(20, 2))
+        chart = plot_latent(FakeDataset(), latent, color="ipf_z")
+        assert chart is not None
+        # matplotlib Figure or altair Chart both acceptable
+        kind = type(chart).__module__
+        assert kind.startswith("matplotlib") or kind.startswith("altair")
