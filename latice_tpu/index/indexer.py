@@ -75,6 +75,7 @@ class DiffractionPatternIndexer:
         params: Any,
         db: LatentVectorDatabaseBase | None = None,
         config: IndexerConfig | None = None,
+        timer: Any | None = None,
     ) -> None:
         """Args:
         model: Flax VAE module exposing an ``encode`` method returning
@@ -83,7 +84,11 @@ class DiffractionPatternIndexer:
         db: Vector database (defaults to a TpuLatentVectorDatabase of
             ``config.latent_dim``).
         config: Indexer configuration.
+        timer: Optional latice_tpu.utils.PhaseTimer — when given, encode and
+            search phases are timed (the per-phase introspection SURVEY §5
+            notes the reference lacked).
         """
+        self.timer = timer
         self.config = config if config is not None else IndexerConfig()
         self.db = (
             db
@@ -104,6 +109,11 @@ class DiffractionPatternIndexer:
         self._encode_jit = jax.jit(
             lambda params, x: self.model.apply({"params": params}, x, method="encode")[0]
         )
+
+    def _phase(self, name: str):
+        import contextlib
+
+        return self.timer.phase(name) if self.timer is not None else contextlib.nullcontext()
 
     # -- encoding ----------------------------------------------------------
 
@@ -237,10 +247,12 @@ class DiffractionPatternIndexer:
         orientation_threshold = (
             orientation_threshold or self.config.orientation_threshold
         )
-        latent_vector = self.encode_pattern(pattern)
-        return self.db.find_best_orientation(
-            latent_vector, top_n=top_n, orientation_threshold=orientation_threshold
-        )
+        with self._phase("encode"):
+            latent_vector = self.encode_pattern(pattern)
+        with self._phase("search"):
+            return self.db.find_best_orientation(
+                latent_vector, top_n=top_n, orientation_threshold=orientation_threshold
+            )
 
     def index_patterns_batch(
         self, patterns: NDArray | Any, **kwargs
@@ -249,10 +261,12 @@ class DiffractionPatternIndexer:
         (dp_indexer.py:216-232)."""
         kwargs.setdefault("top_n", self.config.top_n)
         kwargs.setdefault("orientation_threshold", self.config.orientation_threshold)
-        latent_vectors = self.encode_patterns_batch(patterns)
-        return self.db.find_best_orientations_batch(
-            latent_vectors, batch_size=self.config.batch_size, **kwargs
-        )
+        with self._phase("encode"):
+            latent_vectors = self.encode_patterns_batch(patterns)
+        with self._phase("search"):
+            return self.db.find_best_orientations_batch(
+                latent_vectors, batch_size=self.config.batch_size, **kwargs
+            )
 
 
 class _NullProgress:

@@ -178,3 +178,33 @@ class TestIndexing:
         indexer.build_dictionary(progress=False)
         result = indexer.index_pattern(patterns[0])
         assert result.candidate_orientations.shape == (9, 3)
+
+
+class TestPhaseTiming:
+    def test_timer_records_phases(self, tiny_model, tmp_path, dictionary_files):
+        from latice_tpu.utils import PhaseTimer
+
+        ppath, apath, patterns, _ = dictionary_files
+        model, params = tiny_model
+        from latice_tpu.index import (
+            DiffractionPatternIndexer,
+            IndexerConfig,
+            LatentVectorDatabaseConfig,
+            TpuLatentVectorDatabase,
+        )
+
+        timer = PhaseTimer(sync=False)
+        indexer = DiffractionPatternIndexer(
+            model, params,
+            db=TpuLatentVectorDatabase(
+                LatentVectorDatabaseConfig(npz_path=str(tmp_path / "t.npz"))
+            ),
+            config=IndexerConfig(pattern_path=ppath, angles_path=apath,
+                                 batch_size=8, device="cpu"),
+            timer=timer,
+        )
+        indexer.build_dictionary(progress=False)
+        indexer.index_pattern(patterns[0], top_n=5)
+        report = timer.report()
+        assert report["encode/count"] >= 1
+        assert report["search/count"] >= 1
