@@ -76,7 +76,6 @@ class IndexPipeline:
 
         if mesh is not None:
             from latice_tpu.parallel import replicate, shard_dictionary
-            from latice_tpu.parallel.sharded_knn import sharded_cosine_topk
 
             dict_dev = shard_dictionary(
                 jnp.asarray(np.asarray(dictionary_vectors, np.float32)), mesh
