@@ -147,11 +147,16 @@ class IndexPipeline:
         self._params = params
 
     def __call__(self, patterns: np.ndarray) -> DenseIndexResult:
-        """Index a stack of NHWC patterns; handles padding + chunking."""
+        """Index a stack of NHWC patterns; handles padding + chunking.
+
+        Dispatch is two-phase: all chunks are enqueued first (device transfers
+        and compute overlap via async dispatch), then results materialize —
+        a device-to-host sync per chunk would serialize the stream.
+        """
         x = np.asarray(patterns, dtype=np.float32)
         if x.ndim == 3:
             x = x[..., None]
-        outs = []
+        pending = []
         for start in range(0, len(x), self.batch_size):
             chunk = x[start : start + self.batch_size]
             n = len(chunk)
@@ -159,8 +164,8 @@ class IndexPipeline:
                 chunk = np.concatenate(
                     [chunk, np.zeros((self.batch_size - n,) + chunk.shape[1:], chunk.dtype)]
                 )
-            res = self._run(self._params, jnp.asarray(chunk))
-            outs.append(tuple(np.asarray(r[:n]) for r in res))
+            pending.append((n, self._run(self._params, jnp.asarray(chunk))))
+        outs = [tuple(np.asarray(r[:n]) for r in res) for n, res in pending]
 
         mean, best, success, n_sim, indices, scores = (
             np.concatenate([o[i] for o in outs]) for i in range(6)
