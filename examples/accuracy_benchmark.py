@@ -31,66 +31,71 @@ def render_patterns(angles_deg, noise=0.0, seed=0):
         out = out + rng.normal(size=out.shape).astype(np.float32) * noise
     return np.clip(out, 0, 1)
 
-# Fine grid: 16x16x16 over a 30-degree box -> 2-degree spacing (reference-like
-# dictionary density, cf. anglefile_sample's 1-degree grid).
-g = np.linspace(0, 30, 16)
-z1, x_, z2 = np.meshgrid(g, g + 40, g, indexing="ij")
-dict_angles = np.stack([z1.ravel(), x_.ravel(), z2.ravel()], -1)  # (4096, 3)
-print("rendering dictionary...", len(dict_angles))
-dict_patterns = render_patterns(dict_angles)
+def main():
+    # Fine grid: 16x16x16 over a 30-degree box -> 2-degree spacing (reference-like
+    # dictionary density, cf. anglefile_sample's 1-degree grid).
+    g = np.linspace(0, 30, 16)
+    z1, x_, z2 = np.meshgrid(g, g + 40, g, indexing="ij")
+    dict_angles = np.stack([z1.ravel(), x_.ravel(), z2.ravel()], -1)  # (4096, 3)
+    print("rendering dictionary...", len(dict_angles))
+    dict_patterns = render_patterns(dict_angles)
 
-from latice_tpu.models import VariationalAutoEncoderRawData
-from latice_tpu.train import VAELoss, create_train_state, make_train_step
-from latice_tpu.index import IndexPipeline
+    from latice_tpu.models import VariationalAutoEncoderRawData
+    from latice_tpu.train import VAELoss, create_train_state, make_train_step
+    from latice_tpu.index import IndexPipeline
 
-model = VariationalAutoEncoderRawData(inplanes=32, latent_dim=16, dtype=jnp.bfloat16)
-params0 = model.init({"params": jax.random.key(0)}, jnp.zeros((1,128,128,1)), jax.random.key(1))["params"]
-N = len(dict_angles)
+    model = VariationalAutoEncoderRawData(inplanes=32, latent_dim=16, dtype=jnp.bfloat16)
+    params0 = model.init({"params": jax.random.key(0)}, jnp.zeros((1,128,128,1)), jax.random.key(1))["params"]
+    N = len(dict_angles)
 
-def build_and_eval(params, tag):
-    enc = jax.jit(lambda p, x: model.apply({"params": p}, x, method="encode")[0])
+    def build_and_eval(params, tag):
+        enc = jax.jit(lambda p, x: model.apply({"params": p}, x, method="encode")[0])
+        xd = jnp.asarray(dict_patterns[..., None].astype(np.float32))
+        lat = np.concatenate([np.asarray(enc(params, xd[i:i+512])) for i in range(0, N, 512)])
+        vecs = lat / np.linalg.norm(lat, axis=1, keepdims=True)
+        pipe = IndexPipeline(model, params, vecs, dict_angles, top_n=10,
+                             orientation_threshold=5.0, min_required_matches=3, batch_size=512)
+        q_angles = dict_angles[::8][:512]
+        q = render_patterns(q_angles, noise=0.15, seed=9)[..., None]
+        res = pipe(q.astype(np.float32))
+        got = R.from_euler("zxz", np.where(res.success[:,None], res.best_orientation, 0), degrees=True)
+        want = R.from_euler("zxz", q_angles, degrees=True)
+        err = np.degrees((got.inv() * want).magnitude())
+        err = np.where(res.success, err, np.nan)
+        print(f"{tag}: success={res.success.mean():.1%} median_err={np.nanmedian(err):.3f} deg "
+              f"p90={np.nanpercentile(err, 90):.2f}")
+
+    print("== random weights ==")
+    build_and_eval(params0, "random")
+
+    print("== training (device-resident) ==")
+    state = create_train_state(model, params0, learning_rate=3e-4)
+    loss_fn = VAELoss(kl_lambda=5e-6)
+    B = 256
+
+    def step_with_take(state, xd, idx, rng):
+        batch = jnp.take(xd, idx, axis=0)
+        step_rng = jax.random.fold_in(rng, state.step)
+        def loss_of(p):
+            z, x_hat, mu, std = state.apply_fn({"params": p}, batch, step_rng)
+            l = loss_fn(z, x_hat, mu, std, batch)
+            return l["loss"], l
+        (_, losses), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
+        return state.apply_gradients(grads=grads), losses["loss"]
+    step = jax.jit(step_with_take, donate_argnums=(0,))
+
     xd = jnp.asarray(dict_patterns[..., None].astype(np.float32))
-    lat = np.concatenate([np.asarray(enc(params, xd[i:i+512])) for i in range(0, N, 512)])
-    vecs = lat / np.linalg.norm(lat, axis=1, keepdims=True)
-    pipe = IndexPipeline(model, params, vecs, dict_angles, top_n=10,
-                         orientation_threshold=5.0, min_required_matches=3, batch_size=512)
-    q_angles = dict_angles[::8][:512]
-    q = render_patterns(q_angles, noise=0.15, seed=9)[..., None]
-    res = pipe(q.astype(np.float32))
-    got = R.from_euler("zxz", np.where(res.success[:,None], res.best_orientation, 0), degrees=True)
-    want = R.from_euler("zxz", q_angles, degrees=True)
-    err = np.degrees((got.inv() * want).magnitude())
-    err = np.where(res.success, err, np.nan)
-    print(f"{tag}: success={res.success.mean():.1%} median_err={np.nanmedian(err):.3f} deg "
-          f"p90={np.nanpercentile(err, 90):.2f}")
+    key = jax.random.key(3)
+    rng = np.random.default_rng(1)
+    t0 = time.time()
+    STEPS = 600
+    for s in range(STEPS):
+        idx = jnp.asarray(rng.integers(0, N, size=B))
+        state, loss = step(state, xd, idx, key)
+    print(f"{STEPS} steps in {time.time()-t0:.1f}s, final loss {float(loss):.5f}")
+    print("== trained weights ==")
+    build_and_eval(state.params, "trained")
 
-print("== random weights ==")
-build_and_eval(params0, "random")
 
-print("== training (device-resident) ==")
-state = create_train_state(model, params0, learning_rate=3e-4)
-loss_fn = VAELoss(kl_lambda=5e-6)
-B = 256
-
-def step_with_take(state, xd, idx, rng):
-    batch = jnp.take(xd, idx, axis=0)
-    step_rng = jax.random.fold_in(rng, state.step)
-    def loss_of(p):
-        z, x_hat, mu, std = state.apply_fn({"params": p}, batch, step_rng)
-        l = loss_fn(z, x_hat, mu, std, batch)
-        return l["loss"], l
-    (_, losses), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
-    return state.apply_gradients(grads=grads), losses["loss"]
-step = jax.jit(step_with_take, donate_argnums=(0,))
-
-xd = jnp.asarray(dict_patterns[..., None].astype(np.float32))
-key = jax.random.key(3)
-rng = np.random.default_rng(1)
-t0 = time.time()
-STEPS = 600
-for s in range(STEPS):
-    idx = jnp.asarray(rng.integers(0, N, size=B))
-    state, loss = step(state, xd, idx, key)
-print(f"{STEPS} steps in {time.time()-t0:.1f}s, final loss {float(loss):.5f}")
-print("== trained weights ==")
-build_and_eval(state.params, "trained")
+if __name__ == "__main__":
+    main()
