@@ -54,6 +54,43 @@ def _l2_normalize_np(vectors: np.ndarray) -> np.ndarray:
     norms[norms == 0] = 1.0
     return vectors / norms
 
+def _maybe_progress(enabled: bool):
+    """Rich progress bar when requested and importable; silent no-op otherwise."""
+    if enabled:
+        try:
+            from rich.progress import (
+                BarColumn,
+                Progress,
+                TaskProgressColumn,
+                TextColumn,
+                TimeRemainingColumn,
+            )
+
+            return Progress(
+                TextColumn("[bold blue]{task.description}"),
+                BarColumn(),
+                TaskProgressColumn(),
+                TimeRemainingColumn(),
+            )
+        except ImportError:
+            pass
+
+    class _Null:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def add_task(self, *a, **kw):
+            return 0
+
+        def update(self, *a, **kw):
+            pass
+
+    return _Null()
+
+
 __all__ = [
     "LatentVectorDatabaseBase",
     "LatentVectorDatabaseConfig",
@@ -295,11 +332,14 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
         orientation_threshold: float = 1.0,
         min_required_matches: int = 18,
         max_iterations: int = 3,
+        progress: bool = False,
     ) -> list[OrientationResult]:
         """Vectorized batch consensus — one fused device program per chunk.
 
         Replaces the reference's sequential per-vector Python loop
         (faiss_db.py:395-434); `batch_size` only caps per-dispatch memory.
+        ``progress=True`` shows a rich progress bar over chunks, mirroring
+        the reference's bar (chroma_db.py:393-399) at chunk granularity.
         """
         queries = np.asarray(query_vectors, dtype=np.float32)
         if queries.ndim == 1:
@@ -312,18 +352,23 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
 
         chunk = batch_size or self.config.device_batch_size
         chunk = max(chunk, 1)
+        starts = range(0, n_queries, chunk)
+        bar = _maybe_progress(progress)
         results: list[OrientationResult] = []
-        for start in range(0, n_queries, chunk):
-            batch = queries[start : start + chunk]
-            results.extend(
-                self._consensus_chunk(
-                    batch,
-                    top_n,
-                    orientation_threshold,
-                    min_required_matches,
-                    max_iterations,
+        with bar:
+            task = bar.add_task("Finding orientations...", total=len(starts))
+            for start in starts:
+                batch = queries[start : start + chunk]
+                results.extend(
+                    self._consensus_chunk(
+                        batch,
+                        top_n,
+                        orientation_threshold,
+                        min_required_matches,
+                        max_iterations,
+                    )
                 )
-            )
+                bar.update(task, advance=1)
         return results
 
     def find_best_orientations_dense(

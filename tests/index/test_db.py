@@ -244,3 +244,23 @@ class TestOrientationResult:
         np.testing.assert_array_equal(
             result.get_top_n_orientations(2), result.candidate_orientations[:2]
         )
+
+
+class TestEdgeCases:
+    def test_single_entry_dictionary(self, db):
+        """K=1 candidate: consensus degenerates gracefully."""
+        db.add_vectors(RNG.random((1, 16)), RNG.random((1, 3)) * 360)
+        result = db.find_best_orientation(
+            RNG.random(16), top_n=5, orientation_threshold=5.0,
+            min_required_matches=1, max_iterations=3,
+        )
+        assert result.candidate_orientations.shape == (1, 3)
+        assert result.success  # the lone candidate matches itself
+
+    def test_batch_progress_smoke(self, db, test_vectors):
+        db.add_vectors(*test_vectors)
+        results = db.find_best_orientations_batch(
+            test_vectors[0], batch_size=2, top_n=3, min_required_matches=1,
+            progress=True,
+        )
+        assert len(results) == 5
