@@ -139,29 +139,28 @@ class ChromaLatentVectorDatabase(TpuLatentVectorDatabase):
             ]
         return results
 
-    def find_best_orientation(
+    # find_best_orientation needs no override: the base single-query method
+    # routes through find_best_orientations_batch below, which applies the
+    # chroma semantics — radians thresholds come from angle_unit="rad", the
+    # closest-match best_orientation pin (chroma_db.py:299) and cosine
+    # distances from the batch post-processing.
+    def find_best_orientations_batch(
         self,
-        query_vector: NDArray[np.float64],
-        top_n: int = 20,
-        orientation_threshold: float = 1.0,
-        min_required_matches: int = 18,
-        max_iterations: int = 3,
-    ) -> OrientationResult:
-        """Consensus with chroma semantics: radians threshold and
-        ``best_orientation`` pinned to the closest match (chroma_db.py:299)."""
-        result = TpuLatentVectorDatabase.find_best_orientation(
-            self,
-            query_vector,
-            top_n=top_n,
-            orientation_threshold=orientation_threshold,
-            min_required_matches=min_required_matches,
-            max_iterations=max_iterations,
+        query_vectors: NDArray[np.float64],
+        batch_size: int | None = None,
+        **kwargs: Any,
+    ) -> list[OrientationResult]:
+        """Batch consensus with the same chroma post-processing as the
+        single-query path (closest-match best_orientation, cosine distances)."""
+        results = TpuLatentVectorDatabase.find_best_orientations_batch(
+            self, query_vectors, batch_size=batch_size, **kwargs
         )
-        if len(result.candidate_orientations):
-            result.best_orientation = result.candidate_orientations[0]
-        if result.distances is not None and len(result.distances):
-            result.distances = 1.0 - result.distances
-        return result
+        for result in results:
+            if len(result.candidate_orientations):
+                result.best_orientation = result.candidate_orientations[0]
+            if result.distances is not None and len(result.distances):
+                result.distances = 1.0 - result.distances
+        return results
 
     def delete_collection(self) -> None:
         """Drop the collection and its persistence (chroma_db.py:420-423)."""

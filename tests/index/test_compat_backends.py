@@ -140,3 +140,31 @@ class TestFaissCompat:
         s1, i1 = db.query_similar(q, 3)
         s2, i2 = db2.query_similar(q, 3)
         np.testing.assert_array_equal(i1, i2)
+
+
+class TestChromaBatchSemantics:
+    def test_batch_matches_single_query_quirks(self):
+        """The batch path must apply the same chroma post-processing
+        (closest-match best, cosine distances) as find_best_orientation."""
+        db, q = golden_db()
+        queries = np.stack([q, q * 1.01])
+        batch = db.find_best_orientations_batch(
+            queries, top_n=6, orientation_threshold=0.3,
+            min_required_matches=3, max_iterations=2,
+        )
+        singles = [
+            db.find_best_orientation(
+                v, top_n=6, orientation_threshold=0.3,
+                min_required_matches=3, max_iterations=2,
+            )
+            for v in queries
+        ]
+        for b, s in zip(batch, singles):
+            np.testing.assert_array_equal(b.best_orientation, s.best_orientation)
+            np.testing.assert_allclose(b.distances, s.distances, atol=1e-6)
+            assert b.success == s.success
+            # chroma semantics: best stays the closest match even on success
+            np.testing.assert_array_equal(
+                b.best_orientation, b.candidate_orientations[0]
+            )
+            assert np.all(np.asarray(b.distances) >= 0)  # distances, not sims
