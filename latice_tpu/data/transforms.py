@@ -36,8 +36,10 @@ def to_grayscale(patterns: np.ndarray) -> np.ndarray:
 def center_crop(patterns: np.ndarray, image_size: tuple[int, int]) -> np.ndarray:
     """Center-crop the trailing (H, W) axes to ``image_size``.
 
-    Uses torchvision CenterCrop's coordinates (round-half-down offsets) and,
-    like it, zero-pads when the target exceeds the input.
+    Uses torchvision CenterCrop's exact coordinates — ``int(round(margin/2))``
+    with Python's round-half-to-even, so odd margins congruent to 3 mod 4
+    (e.g. 131->128) shift the window up/left by one like torchvision does —
+    and, like it, zero-pads when the target exceeds the input.
     """
     th, tw = int(image_size[0]), int(image_size[1])
     h, w = patterns.shape[-2], patterns.shape[-1]
@@ -47,8 +49,8 @@ def center_crop(patterns: np.ndarray, image_size: tuple[int, int]) -> np.ndarray
         pad += [(ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2)]
         patterns = np.pad(patterns, pad)
         h, w = patterns.shape[-2], patterns.shape[-1]
-    top = int(round((h - th) / 2.0 - 0.5)) if (h - th) % 2 else (h - th) // 2
-    left = int(round((w - tw) / 2.0 - 0.5)) if (w - tw) % 2 else (w - tw) // 2
+    top = int(round((h - th) / 2.0))
+    left = int(round((w - tw) / 2.0))
     top, left = max(top, 0), max(left, 0)
     return patterns[..., top : top + th, left : left + tw]
 

@@ -529,6 +529,7 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
         self._orientations = data["orientations"].astype(np.float64)
         self.dimension = self._vectors.shape[1]
         self._dev_cache = None
+        self._int8_cache = None
         logger.info(f"Loaded index and metadata from {path}")
 
     def delete_persistence(self) -> None:
@@ -541,5 +542,6 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
                 self._vectors = np.zeros((0, self.dimension), dtype=np.float32)
                 self._orientations = np.zeros((0, 3), dtype=np.float64)
                 self._dev_cache = None
+                self._int8_cache = None
         except OSError as e:
             logger.error(f"Error deleting index file {self.npz_path}: {e}")

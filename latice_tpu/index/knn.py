@@ -130,7 +130,8 @@ def cosine_topk_blocked(
     n = dictionary.shape[0]
     num_blocks = -(-n // block_size)
     pad = num_blocks * block_size - n
-    # Pad with zero rows (cosine score 0 <= any real match after normalize).
+    # Padded rows are masked to -inf scores in-block below: a zero row scores
+    # 0, which would outrank genuine negative-similarity matches.
     d_padded = jnp.pad(dictionary, ((0, pad), (0, 0)))
     blocks = d_padded.reshape(num_blocks, block_size, -1)
 
@@ -148,6 +149,8 @@ def cosine_topk_blocked(
             "bd,nd->bn", q, block, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+        global_col = block_idx * block_size + jnp.arange(block_size)
+        scores = jnp.where(global_col[None, :] < n, scores, -jnp.inf)
         local_s, local_i = jax.lax.top_k(scores, min(k, block_size))
         local_i = local_i + block_idx * block_size
         merged_s = jnp.concatenate([best_s, local_s], axis=1)

@@ -102,7 +102,7 @@ class IndexPipeline:
                 )
 
                 scores, indices = sharded_cosine_topk_inner(
-                    mu, dict_dev, k, mesh
+                    mu, dict_dev, k, mesh, n_valid=self._n
                 )
             else:
                 q = l2_normalize(mu)

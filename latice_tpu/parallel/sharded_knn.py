@@ -27,8 +27,9 @@ __all__ = ["shard_dictionary", "sharded_cosine_topk", "sharded_cosine_topk_inner
 def shard_dictionary(dictionary: jax.Array, mesh: Mesh) -> jax.Array:
     """Place an (N, D) dictionary row-sharded over the mesh.
 
-    N must divide by the mesh size; pad with zero rows upstream if needed
-    (zero rows can never win a cosine top-k against real matches).
+    Non-divisible N is padded with zero rows; the search functions mask the
+    padded positions to -inf via ``n_valid`` (cosine scores can be negative,
+    so a zero row's score of 0 could otherwise outrank real matches).
     """
     axis = mesh.axis_names[0]
     n = mesh.devices.size
@@ -39,7 +40,11 @@ def shard_dictionary(dictionary: jax.Array, mesh: Mesh) -> jax.Array:
 
 
 def sharded_cosine_topk(
-    queries: jax.Array, dictionary_sharded: jax.Array, k: int, mesh: Mesh
+    queries: jax.Array,
+    dictionary_sharded: jax.Array,
+    k: int,
+    mesh: Mesh,
+    n_valid: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k over a row-sharded dictionary; replicated (B, k) results.
 
@@ -48,6 +53,9 @@ def sharded_cosine_topk(
         dictionary_sharded: (N, D) row-sharded, L2-normalized.
         k: neighbours (static).
         mesh: the device mesh.
+        n_valid: number of genuine dictionary rows; rows at index >= n_valid
+            are padding from `shard_dictionary` and are masked to -inf.
+            Defaults to all rows.
 
     Returns:
         (scores, indices) with **global** dictionary indices, best-first —
@@ -56,11 +64,15 @@ def sharded_cosine_topk(
     queries = jax.device_put(
         jnp.asarray(queries, jnp.float32), NamedSharding(mesh, P())
     )
-    return sharded_cosine_topk_inner(queries, dictionary_sharded, k, mesh)
+    return sharded_cosine_topk_inner(queries, dictionary_sharded, k, mesh, n_valid)
 
 
 def sharded_cosine_topk_inner(
-    queries: jax.Array, dictionary_sharded: jax.Array, k: int, mesh: Mesh
+    queries: jax.Array,
+    dictionary_sharded: jax.Array,
+    k: int,
+    mesh: Mesh,
+    n_valid: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Jit-nestable core of `sharded_cosine_topk` (no host-side placement).
 
@@ -72,6 +84,8 @@ def sharded_cosine_topk_inner(
     n_dev = mesh.devices.size
     shard_rows = n_total // n_dev
     k_local = min(k, shard_rows)
+    if n_valid is None:
+        n_valid = n_total
 
     @partial(
         jax.shard_map,
@@ -86,8 +100,12 @@ def sharded_cosine_topk_inner(
             "bd,nd->bn", q, dict_shard, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        local_s, local_i = jax.lax.top_k(scores, k_local)  # (B, k_local)
         shard_id = jax.lax.axis_index(axis)
+        global_col = shard_id * shard_rows + jnp.arange(shard_rows)
+        # Mask padded rows (index >= n_valid) before selection: their zero
+        # rows would score 0 and outrank genuine negative-similarity matches.
+        scores = jnp.where(global_col[None, :] < n_valid, scores, -jnp.inf)
+        local_s, local_i = jax.lax.top_k(scores, k_local)  # (B, k_local)
         local_i = local_i + shard_id * shard_rows
         # Gather every shard's candidates: (n_dev, B, k_local) -> concat.
         all_s = jax.lax.all_gather(local_s, axis)

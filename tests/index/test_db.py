@@ -215,6 +215,56 @@ class TestPersistence:
         assert db.get_count() == 0
 
 
+class TestEngineMatrix:
+    """add/save/load/query across every top-k engine — pins the stale-cache
+    class of bug (device + int8 caches must invalidate on load/delete)."""
+
+    ENGINES = ["device", "approx", "int8", "native"]
+
+    def _make_db(self, tmp_path, engine, name):
+        if engine == "native":
+            from latice_tpu import native
+
+            if not native.available():
+                pytest.skip("native engine unavailable")
+        return TpuLatentVectorDatabase(
+            LatentVectorDatabaseConfig(
+                npz_path=str(tmp_path / f"{name}.npz"), engine=engine
+            )
+        )
+
+    @pytest.mark.parametrize("engine", ENGINES)
+    def test_add_save_load_query_cycle(self, tmp_path, engine):
+        rng = np.random.default_rng(11)
+        vecs_a = rng.normal(size=(64, 16))
+        vecs_b = rng.normal(size=(64, 16))
+        orients = rng.uniform(0, 360, (64, 3))
+
+        db_a = self._make_db(tmp_path, engine, "a")
+        db_a.add_vectors(vecs_a, orients)
+        db_a.save()
+        db_b = self._make_db(tmp_path, engine, "b")
+        db_b.add_vectors(vecs_b, orients)
+        db_b.save()
+
+        # Query against A, then point the same instance at B's file: results
+        # must reflect B (a stale device/int8 cache would keep serving A).
+        _, idx = db_a.query_similar(vecs_a[5], n_results=1)
+        assert idx[0] == 5
+        db_a.npz_path = db_b.npz_path
+        db_a.load()
+        scores_b, idx_b = db_a.query_similar(vecs_b[9], n_results=1)
+        assert idx_b[0] == 9
+        assert scores_b[0] > 0.98
+
+        # delete_persistence resets every cache: re-adding A must serve A.
+        db_a.delete_persistence()
+        assert db_a.get_count() == 0
+        db_a.add_vectors(vecs_a, orients)
+        _, idx_a = db_a.query_similar(vecs_a[21], n_results=1)
+        assert idx_a[0] == 21
+
+
 class TestOrientationResult:
     def test_get_top_n_orientations(self):
         result = OrientationResult(

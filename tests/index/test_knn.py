@@ -55,6 +55,22 @@ class TestCosineTopK:
         s2, i2 = cosine_topk_blocked(jnp.asarray(q), dn, 7, block_size=128)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
+    def test_blocked_negative_similarity_dictionary(self):
+        """Padded rows must never outrank genuine negative-score matches.
+
+        Every dictionary row is anti-correlated with the query (all real
+        cosine scores < 0) and N is non-divisible by the block size, so a
+        zero-row pad (score 0) would incorrectly win the top-k."""
+        base = RNG.normal(size=16).astype(np.float32)
+        q = base + RNG.normal(size=(4, 16)).astype(np.float32) * 0.05
+        d = -base + RNG.normal(size=(333, 16)).astype(np.float32) * 0.05
+        dn = jnp.asarray(np.asarray(l2_normalize(jnp.asarray(d))))
+        s1, i1 = cosine_topk(jnp.asarray(q), dn, 7)
+        s2, i2 = cosine_topk_blocked(jnp.asarray(q), dn, 7, block_size=128)
+        assert np.all(np.asarray(s1) < 0)  # the scenario is real
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
 
 class TestInt8Engine:
     def test_recall_vs_exact(self):

@@ -65,8 +65,26 @@ class TestShardedKNN:
         dn = np.asarray(l2_normalize(jnp.asarray(d)))
         s_ref, i_ref = cosine_topk(jnp.asarray(q), jnp.asarray(dn), 7)
         d_sharded = shard_dictionary(jnp.asarray(dn), mesh)
-        s_got, i_got = sharded_cosine_topk(jnp.asarray(q), d_sharded, 7, mesh)
+        s_got, i_got = sharded_cosine_topk(
+            jnp.asarray(q), d_sharded, 7, mesh, n_valid=1000
+        )
         np.testing.assert_array_equal(np.asarray(i_got), np.asarray(i_ref))
+
+    def test_negative_similarity_padded_dictionary(self, mesh):
+        """Pad rows must lose to genuine negative-score matches (all real
+        cosine scores < 0 here, so a zero pad row scoring 0 would win)."""
+        base = RNG.normal(size=16).astype(np.float32)
+        q = base + RNG.normal(size=(3, 16)).astype(np.float32) * 0.05
+        d = -base + RNG.normal(size=(1001, 16)).astype(np.float32) * 0.05
+        dn = np.asarray(l2_normalize(jnp.asarray(d)))
+        s_ref, i_ref = cosine_topk(jnp.asarray(q), jnp.asarray(dn), 7)
+        assert np.all(np.asarray(s_ref) < 0)
+        d_sharded = shard_dictionary(jnp.asarray(dn), mesh)
+        s_got, i_got = sharded_cosine_topk(
+            jnp.asarray(q), d_sharded, 7, mesh, n_valid=1001
+        )
+        np.testing.assert_array_equal(np.asarray(i_got), np.asarray(i_ref))
+        np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref), atol=1e-6)
 
 
 class TestDataParallelTraining:
