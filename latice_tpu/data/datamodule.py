@@ -20,7 +20,29 @@ from latice_tpu.data.dataset import DPdataset
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["DPDataModule", "batch_iterator"]
+__all__ = ["DPDataModule", "batch_iterator", "pad_batch"]
+
+
+def pad_batch(
+    batch: np.ndarray, batch_size: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Pad a (possibly partial) batch to the static compile shape.
+
+    Returns ``(padded, mask, n_real)`` where ``mask`` is a float32 ``(B,)``
+    row-validity weight (1 for real rows, 0 for pad rows). Keeps the repo's
+    pad-never-recompile convention on the training loop: every batch a jitted
+    step sees has the same leading dimension, so the tail of an epoch costs
+    zero extra XLA compiles (compiles are minutes on some backends).
+    """
+    n = len(batch)
+    if n > batch_size:
+        raise ValueError(f"Batch of {n} rows exceeds the static size {batch_size}")
+    mask = np.zeros(batch_size, dtype=np.float32)
+    mask[:n] = 1.0
+    if n == batch_size:
+        return batch, mask, n
+    pad = np.zeros((batch_size - n,) + batch.shape[1:], batch.dtype)
+    return np.concatenate([batch, pad]), mask, n
 
 
 def batch_iterator(
@@ -104,14 +126,27 @@ class DPDataModule:
             raise RuntimeError("setup('fit') must be called first")
         return ds.patterns[idx], ds.rot_angles[idx]
 
-    def train_batches(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    def train_batches(
+        self, epoch: int | None = None
+    ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         """Shuffled training batches; if val ratio is 0 the full set is used
-        (data_module.py:219-223 semantics)."""
+        (data_module.py:219-223 semantics).
+
+        With ``epoch`` given, the shuffle is seeded by ``(seed, epoch)`` —
+        byte-reproducible per epoch regardless of how many epochs ran before,
+        so a resumed run replays the exact batch order of an uninterrupted
+        one. Without it, a stateful stream preserves the old behavior.
+        """
         idx = self._train_idx
         if self.val_data_ratio <= 0.0 and self._val_idx is not None:
             idx = np.concatenate([self._train_idx, self._val_idx])
+        rng = (
+            np.random.default_rng((self.seed, epoch))
+            if epoch is not None
+            else self._epoch_rng
+        )
         return batch_iterator(
-            self._subset(idx), self.batch_size, shuffle=True, rng=self._epoch_rng
+            self._subset(idx), self.batch_size, shuffle=True, rng=rng
         )
 
     def val_batches(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:

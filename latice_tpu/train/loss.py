@@ -93,17 +93,30 @@ class VAELoss:
         mu: jax.Array,
         std: jax.Array,
         x: jax.Array,
+        mask: jax.Array | None = None,
     ) -> dict[str, jax.Array]:
-        """All VAE losses, keyed exactly like lightning_module.py:151-156."""
+        """All VAE losses, keyed exactly like lightning_module.py:151-156.
+
+        ``mask`` is an optional ``(B,)`` 0/1 weight per sample: rows padded to
+        the static compile shape carry weight 0, so the reported means (and
+        the gradients through ``loss``) are exactly those of the unpadded
+        batch. With ``mask=None`` the reference's plain batch means apply.
+        """
         recon_loss = binary_cross_entropy_with_logits(x_hat, x)
         kl = monte_carlo_kl(z, mu, std) * self.kl_lambda
         elbo = kl + recon_loss
+        if mask is None:
+            mean = jnp.mean
+        else:
+            w = mask.astype(jnp.float32)
+            denom = jnp.maximum(w.sum(), 1.0)
+            mean = lambda v: (v * w).sum() / denom
         return {
-            "loss": elbo.mean(),
-            "kl_loss": kl.mean(),
-            "recon_loss": recon_loss.mean(),
+            "loss": mean(elbo),
+            "kl_loss": mean(kl),
+            "recon_loss": mean(recon_loss),
             "elbo": elbo,
         }
 
-    def __call__(self, z, x_hat, mu, std, x) -> dict[str, jax.Array]:
-        return self.compute_loss(z, x_hat, mu, std, x)
+    def __call__(self, z, x_hat, mu, std, x, mask=None) -> dict[str, jax.Array]:
+        return self.compute_loss(z, x_hat, mu, std, x, mask)

@@ -45,7 +45,12 @@ def create_train_state(
     """Build a TrainState for `model` with the default optimizer."""
     if tx is None:
         tx = make_optimizer(learning_rate, amsgrad)
-    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    # Canonicalize the step counter to the array type a jitted step returns:
+    # flax initializes it as a python int, whose trace signature differs from
+    # the int32 device scalar coming out of apply_gradients — costing one
+    # silent recompile of the whole train step (minutes on some backends).
+    return state.replace(step=jnp.asarray(0, jnp.int32))
 
 
 def _find_hyperparams(opt_state: Any) -> dict | None:

@@ -27,11 +27,14 @@ def make_train_step(
 ) -> Callable[[TrainState, jax.Array, jax.Array], tuple[TrainState, Metrics]]:
     """Build the jitted training step.
 
-    The returned function maps ``(state, batch, rng) -> (state, metrics)``
-    where ``batch`` is NHWC patterns. The per-step PRNG key is derived by
-    folding the step counter into ``rng``, giving reproducible sampling
-    without host-side key threading (the reference reseeds globally instead,
-    lightning_module.py:200-207 — here randomness is explicit).
+    The returned function maps ``(state, batch, rng, mask=None) ->
+    (state, metrics)`` where ``batch`` is NHWC patterns and ``mask`` is an
+    optional ``(B,)`` 0/1 row-validity weight: partial batches are padded to
+    the static compile shape upstream (one compiled program per run) and the
+    pad rows contribute zero loss and zero gradient. The per-step PRNG key is
+    derived by folding the step counter into ``rng``, giving reproducible
+    sampling without host-side key threading (the reference reseeds globally
+    instead, lightning_module.py:200-207 — here randomness is explicit).
 
     Metric keys mirror the reference step logging
     (lightning_module.py:266-270): loss, kl_loss, recon_loss.
@@ -45,13 +48,16 @@ def make_train_step(
     """
 
     def train_step(
-        state: TrainState, batch: jax.Array, rng: jax.Array
+        state: TrainState,
+        batch: jax.Array,
+        rng: jax.Array,
+        mask: jax.Array | None = None,
     ) -> tuple[TrainState, Metrics]:
         step_rng = jax.random.fold_in(rng, state.step)
 
         def loss_of(params):
             z, x_hat, mu, std = state.apply_fn({"params": params}, batch, step_rng)
-            losses = loss_fn(z, x_hat, mu, std, batch)
+            losses = loss_fn(z, x_hat, mu, std, batch, mask)
             return losses["loss"], losses
 
         (_, losses), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
@@ -90,14 +96,20 @@ def make_eval_step(
 ) -> Callable[..., Any]:
     """Build the jitted validation step.
 
-    Maps ``(state, batch, rng) -> metrics`` (plus ``(x, x_hat)`` when
-    ``return_recon`` — the reconstruction-figure hook input, mirroring
-    lightning_module.py:241-246).
+    Maps ``(state, batch, rng, mask=None) -> metrics`` (plus ``(x, x_hat)``
+    when ``return_recon`` — the reconstruction-figure hook input, mirroring
+    lightning_module.py:241-246). ``mask`` weights out rows padded to the
+    static compile shape, as in `make_train_step`.
     """
 
-    def eval_step(state: TrainState, batch: jax.Array, rng: jax.Array):
+    def eval_step(
+        state: TrainState,
+        batch: jax.Array,
+        rng: jax.Array,
+        mask: jax.Array | None = None,
+    ):
         z, x_hat, mu, std = state.apply_fn({"params": state.params}, batch, rng)
-        losses = loss_fn(z, x_hat, mu, std, batch)
+        losses = loss_fn(z, x_hat, mu, std, batch, mask)
         metrics = {
             "loss": losses["loss"],
             "kl_loss": losses["kl_loss"],

@@ -11,6 +11,7 @@ latice_tpu.parallel (the `mesh` argument).
 
 from __future__ import annotations
 
+import collections
 import logging
 import time
 from pathlib import Path
@@ -20,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from latice_tpu.data.datamodule import pad_batch
 from latice_tpu.train.checkpoint import CheckpointManager
 from latice_tpu.train.metrics import EpochAggregator
 from latice_tpu.train.module import VAEModule
@@ -49,6 +51,15 @@ class Trainer:
             propagation).
         log_every_n_steps: Step-metric logging cadence.
         seed: PRNG seed for init + sampling streams.
+        enable_progress_bar: Live per-epoch train/val bar (rich when
+            available — the RichProgressBar analogue,
+            reference conf/trainer/default.yaml:9).
+        recon_figure: Log the original-vs-reconstruction grid each epoch.
+
+    Every batch (including epoch tails) is padded to the datamodule's
+    ``batch_size`` with masked rows, so each step function compiles exactly
+    once and sharded batches always divide over the mesh. Epoch metrics
+    weight each step by its real row count.
     """
 
     def __init__(
@@ -99,6 +110,22 @@ class Trainer:
 
         return data_parallel_sharding(self.mesh)[0]
 
+    @staticmethod
+    def _train_batches(datamodule: Any, epoch: int):
+        """Epoch-seeded batches when the datamodule supports it (reproducible
+        resume); otherwise its stateful default stream."""
+        try:
+            return datamodule.train_batches(epoch=epoch)
+        except TypeError:
+            return datamodule.train_batches()
+
+    @staticmethod
+    def _num_batches(datamodule: Any) -> int | None:
+        try:
+            return int(datamodule.num_train_batches())
+        except (AttributeError, TypeError):
+            return None
+
     def fit(self, module: VAEModule, datamodule: Any, resume: bool = False) -> Any:
         """Train; returns the final TrainState.
 
@@ -112,6 +139,18 @@ class Trainer:
 
         datamodule.setup("fit")
         first_batch = next(iter(datamodule.train_batches()))[0]
+        # Every batch is padded to one static compile shape (CLAUDE.md
+        # convention): exactly one XLA program per step function, and padded
+        # batches always divide over the mesh.
+        batch_size = getattr(datamodule, "batch_size", None) or len(first_batch)
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            if batch_size % n_dev != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the mesh size "
+                    f"{n_dev}: batches are padded to the static compile shape "
+                    "and then sharded over the mesh's data axis"
+                )
         sample = jnp.asarray(first_batch[:1])
         state = module.init_state(init_rng, sample)
         if resume and self.checkpoints is not None:
@@ -128,6 +167,11 @@ class Trainer:
 
         train_step = make_train_step(module.loss_fn)
         eval_step = make_eval_step(module.loss_fn, return_recon=self.recon_figure)
+        # Exposed for compile-count assertions (pad-never-recompile tests).
+        self._train_step, self._eval_step = train_step, eval_step
+        # Tiny compiled key-derivation program: eager fold_in would trigger a
+        # per-op remote compile on some backends (see axon landmines memory).
+        fold_key = jax.jit(jax.random.fold_in)
 
         n_params = sum(p.size for p in jax.tree_util.tree_leaves(state.params))
         logger.info(
@@ -140,35 +184,62 @@ class Trainer:
             epoch_start = time.time()
             train_agg = EpochAggregator("train_")
             from latice_tpu.data.prefetch import prefetch_to_device
+            from latice_tpu.utils.progress import make_progress_bar
+
+            bar = make_progress_bar(
+                self.enable_progress_bar, epoch, self._num_batches(datamodule)
+            )
+            # Real-row counts ride a host-side queue alongside the prefetch
+            # stream (appended at transfer time, consumed in order) so epoch
+            # means weight tail batches by their true size without an extra
+            # device readback.
+            counts: collections.deque[int] = collections.deque()
+
+            def host_batches():
+                for b, _ in self._train_batches(datamodule, epoch):
+                    x, m, n = pad_batch(np.asarray(b, np.float32), batch_size)
+                    counts.append(n)
+                    yield (x, m)
 
             batches = prefetch_to_device(
-                (b for b, _ in datamodule.train_batches()),
-                sharding=self._batch_sharding(),
+                host_batches(), sharding=self._batch_sharding()
             )
-            for batch in batches:
-                state, metrics = train_step(state, batch, train_rng)
+            for x, m in batches:
+                state, metrics = train_step(state, x, train_rng, m)
                 global_step += 1
-                if global_step % self.log_every_n_steps == 0:
-                    step_metrics = train_agg.update(
-                        {k: float(v) for k, v in metrics.items()}
-                    )
-                    # "elbo" is the reference's progress-bar name for the
-                    # training loss (lightning_module.py:266).
-                    step_metrics["elbo"] = step_metrics["train_loss"]
-                    if self.logger:
-                        self.logger.log_metrics(step_metrics, global_step)
-                else:
-                    train_agg.update({k: float(v) for k, v in metrics.items()})
+                step_metrics = train_agg.update(
+                    {k: float(v) for k, v in metrics.items()},
+                    weight=counts.popleft(),
+                )
+                # "elbo" is the reference's progress-bar name for the
+                # training loss (lightning_module.py:266).
+                step_metrics["elbo"] = step_metrics["train_loss"]
+                if global_step % self.log_every_n_steps == 0 and self.logger:
+                    self.logger.log_metrics(step_metrics, global_step)
+                bar.step(step_metrics)
 
             val_agg = EpochAggregator("val_")
             last_val = None
-            for batch, _ in datamodule.val_batches():
-                x = self._shard_batch(batch)
-                out = eval_step(state, x, eval_rng)
+            bar.set_phase("val")
+            for i, (batch, _) in enumerate(datamodule.val_batches()):
+                x, m, n = pad_batch(np.asarray(batch, np.float32), batch_size)
+                x_dev = self._shard_batch(x)
+                m_dev = self._shard_batch(m)
+                # Per-(epoch, batch) validation key: a constant key would make
+                # val-loss noise perfectly correlated across epochs.
+                key = fold_key(eval_rng, np.uint32(epoch * 100_003 + i))
+                out = eval_step(state, x_dev, key, m_dev)
                 metrics, x_hat = out if self.recon_figure else (out, None)
-                val_agg.update({k: float(v) for k, v in metrics.items()})
-                if x_hat is not None and len(batch) >= 4:
-                    last_val = (np.asarray(batch), np.asarray(x_hat, dtype=np.float32))
+                step_metrics = val_agg.update(
+                    {k: float(v) for k, v in metrics.items()}, weight=n
+                )
+                bar.step(step_metrics)
+                if x_hat is not None and n >= 4:
+                    last_val = (
+                        np.asarray(x[:n]),
+                        np.asarray(x_hat[:n], dtype=np.float32),
+                    )
+            bar.close()
 
             epoch_metrics = {**train_agg.epoch_metrics(), **val_agg.epoch_metrics()}
             epoch_metrics["learning_rate"] = get_learning_rate(state)

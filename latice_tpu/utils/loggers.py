@@ -122,12 +122,29 @@ class MultiLogger:
             lg.finalize()
 
 
-def make_default_logger(save_dir: str | Path, tensorboard: bool = True):
-    """CSV always; TensorBoard when tensorboardX is importable."""
+def make_default_logger(
+    save_dir: str | Path,
+    tensorboard: bool = True,
+    wandb: bool = False,
+    project: str = "VAE_Training",
+    **wandb_kwargs,
+):
+    """CSV always; TensorBoard and W&B by flag (and package availability).
+
+    ``wandb=True, project=...`` mirrors the reference's default logger
+    ``WandbLogger(project=VAE_Training)`` (reference
+    conf/trainer/default.yaml:17-20); unlike the reference it degrades to the
+    local backends instead of failing when the wandb package is absent.
+    """
     loggers: list = [CSVLogger(save_dir)]
     if tensorboard:
         try:
             loggers.append(TensorBoardLogger(Path(save_dir) / "tb"))
         except ImportError:
             logger.info("tensorboardX unavailable; skipping TensorBoard logging")
+    if wandb:
+        try:
+            loggers.append(WandbLogger(save_dir, project=project, **wandb_kwargs))
+        except ImportError:
+            logger.warning("wandb package unavailable; skipping W&B logging")
     return MultiLogger(loggers)

@@ -45,6 +45,85 @@ class TestMultiLogger:
         assert (tmp_path / "metrics.csv").exists()
 
 
+class TestWandbLogger:
+    def _mock_wandb(self, monkeypatch, calls):
+        """Install a minimal fake wandb module."""
+        import sys
+        import types
+
+        fake = types.ModuleType("wandb")
+
+        class Run:
+            def finish(self):
+                calls.append(("finish",))
+
+        def init(**kw):
+            calls.append(("init", kw))
+            return Run()
+
+        fake.init = init
+        fake.log = lambda data, step=None: calls.append(("log", data, step))
+        fake.Image = lambda arr: ("image", arr.shape)
+        monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    def test_config_selectable_wandb(self, tmp_path, monkeypatch):
+        """wandb=true + project in the trainer config reaches WandbLogger with
+        the reference's project name (reference conf/trainer/default.yaml:17-20)."""
+        calls = []
+        self._mock_wandb(monkeypatch, calls)
+        lg = make_default_logger(
+            tmp_path, tensorboard=False, wandb=True, project="VAE_Training"
+        )
+        assert calls[0][0] == "init"
+        assert calls[0][1]["project"] == "VAE_Training"
+        lg.log_metrics({"elbo": 1.5}, 7)
+        assert ("log", {"elbo": 1.5}, 7) in calls
+        lg.finalize()
+        assert ("finish",) in calls
+
+    def test_missing_wandb_degrades(self, tmp_path, monkeypatch):
+        import builtins
+        import sys
+
+        monkeypatch.delitem(sys.modules, "wandb", raising=False)
+        real_import = builtins.__import__
+
+        def no_wandb(name, *a, **kw):
+            if name == "wandb":
+                raise ImportError("no wandb")
+            return real_import(name, *a, **kw)
+
+        monkeypatch.setattr(builtins, "__import__", no_wandb)
+        lg = make_default_logger(tmp_path, tensorboard=False, wandb=True)
+        lg.log_metrics({"m": 1.0}, 0)  # CSV still works
+        assert (tmp_path / "metrics.csv").exists()
+
+
+class TestProgressBar:
+    def test_plain_fallback_renders(self):
+        import io
+
+        from latice_tpu.utils.progress import EpochProgressBar
+
+        stream = io.StringIO()
+        bar = EpochProgressBar(epoch=1, total=3, stream=stream)
+        bar._rich = None  # force the plain \r path
+        bar.step({"elbo": 0.75})
+        bar.set_phase("val", total=2)
+        bar.step({"val_loss": 0.5})
+        bar.close()
+        out = stream.getvalue()
+        assert "epoch 1" in out and "elbo=0.75" in out and "val" in out
+
+    def test_disabled_is_noop(self):
+        from latice_tpu.utils.progress import make_progress_bar
+
+        bar = make_progress_bar(False, 0)
+        bar.step({"loss": 1.0})
+        bar.set_phase("val")
+        bar.close()
+
+
 class TestCheckpointManifestReload:
     def test_manifest_survives_new_manager(self, tmp_path):
         from latice_tpu.train.checkpoint import CheckpointManager

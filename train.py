@@ -69,7 +69,10 @@ def train(config: dict):
         mesh = make_mesh(int(devices))
         logger.info(f"Data-parallel training over mesh: {mesh}")
     exp_logger = make_default_logger(
-        save_dir, tensorboard=bool(logger_cfg.get("tensorboard", True))
+        save_dir,
+        tensorboard=bool(logger_cfg.get("tensorboard", True)),
+        wandb=bool(logger_cfg.get("wandb", False)),
+        project=str(logger_cfg.get("project", "VAE_Training")),
     )
     seed = int(config.get("seed") or 0)
 
