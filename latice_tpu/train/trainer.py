@@ -92,6 +92,7 @@ class Trainer:
         self.state = None
         self.history: list[dict[str, float]] = []
         self.start_epoch = 0
+        self.latent: np.ndarray | None = None
 
     # ------------------------------------------------------------------
 
@@ -273,6 +274,44 @@ class Trainer:
             self.logger.finalize()
         self.state = state
         return state
+
+    def test(
+        self, module: VAEModule, datamodule: Any, state: Any | None = None
+    ) -> np.ndarray:
+        """Collect mu embeddings over the test split — the Lightning test
+        plane (reference lightning_module.py:348-357: ``test_step`` returns
+        the encoder means, ``test_epoch_end`` concatenates them into
+        ``self.latent``).
+
+        Uses the trained state from ``fit`` unless ``state`` is given.
+        Batches are padded to the static compile shape (one XLA program);
+        dispatch is two-phase so device transfers overlap compute.
+
+        Returns:
+            ``(N, latent_dim)`` float32 array, also stored on
+            ``self.latent``.
+        """
+        state = state if state is not None else self.state
+        if state is None:
+            raise RuntimeError("No trained state: call fit() first or pass state=")
+        module = module.with_precision(self.precision)
+        model = module.model
+        batch_size = getattr(datamodule, "batch_size", None) or 256
+
+        @jax.jit
+        def encode(params, x):
+            mu, _ = model.apply({"params": params}, x, method="encode")
+            return mu
+
+        pending = []
+        for batch, _ in datamodule.test_batches():
+            x, _, n = pad_batch(np.asarray(batch, np.float32), batch_size)
+            pending.append((n, encode(state.params, self._shard_batch(x))))
+        outs = [np.asarray(mu[:n], np.float32) for n, mu in pending]
+        self.latent = (
+            np.concatenate(outs) if outs else np.zeros((0, 0), np.float32)
+        )
+        return self.latent
 
     def _log_reconstruction(self, last_val, epoch: int) -> None:
         """Render the 2xN original-vs-reconstruction grid

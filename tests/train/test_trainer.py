@@ -77,6 +77,47 @@ class TestTrainerFit:
         assert np.isfinite(trainer.history[0]["Epoch_train_loss"])
 
 
+class TestTrainerTestPlane:
+    def test_collects_mu_embeddings(self, synthetic_data, tmp_path):
+        """Trainer.test mirrors the reference test plane: encoder means over
+        the full dataset, concatenated into trainer.latent
+        (lightning_module.py:348-357)."""
+        import jax
+        import jax.numpy as jnp
+
+        ppath, apath = synthetic_data
+        dm = DPDataModule(ppath, apath, batch_size=10, val_data_ratio=0.25)
+        module = VAEModule(
+            VariationalAutoEncoderRawData(inplanes=2, latent_dim=8), kl_lambda=5e-6
+        )
+        trainer = Trainer(max_epochs=1, precision="32", logger=None,
+                          recon_figure=False, enable_progress_bar=False)
+        state = trainer.fit(module, dm)
+
+        latents = trainer.test(module, dm)
+        assert latents.shape == (24, 8)  # full dataset (setup("test") alias)
+        assert latents is trainer.latent
+
+        # Parity with a direct whole-stack encode (padded batches must not
+        # leak pad rows into the output).
+        dm.setup("test")
+        x = jnp.asarray(dm.dataset_test.patterns, jnp.float32)
+        mu, _ = module.model.apply(
+            {"params": state.params}, x, method="encode"
+        )
+        np.testing.assert_allclose(latents, np.asarray(mu), atol=1e-5)
+
+    def test_requires_state(self, synthetic_data):
+        ppath, apath = synthetic_data
+        dm = DPDataModule(ppath, apath, batch_size=10)
+        module = VAEModule(
+            VariationalAutoEncoderRawData(inplanes=2, latent_dim=8)
+        )
+        t = Trainer(max_epochs=1, precision="32")
+        with pytest.raises(RuntimeError, match="fit"):
+            t.test(module, dm)
+
+
 class TestCheckpointManager:
     def test_topk_pruning(self, tmp_path):
         mgr = CheckpointManager(tmp_path / "ck", save_top_k=2, monitor="m")
