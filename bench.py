@@ -52,7 +52,10 @@ def bench_index_throughput(batch_size: int = 1024, dict_size: int = 100_000) -> 
         dict_orients,
         top_n=10,
         orientation_threshold=3.0,
-        min_required_matches=3,
+        # Product default (reference latice/index/faiss_db.py:263). The knob
+        # is shape-static — it only gates which rows enter the quaternion
+        # mean — so the headline is measured at the shipped configuration.
+        min_required_matches=18,
         batch_size=batch_size,
     )
     x_dev = jnp.asarray(rng.uniform(size=(batch_size, 128, 128, 1)).astype(np.float32))
