@@ -30,9 +30,12 @@ dominate: (1) block-diagonal lane packing wastes 4x MXU FLOPs (the (4C,4C)
 weight mixes only C channels per image — 26% MXU utilization measured), and
 (2) ~40us/grid-step overhead over 128 steps. With C=32 against 128-lane
 hardware there is no packing that avoids both, so XLA's conv (65-70% of HBM
-roofline) stays the production path. Kept as verified infrastructure and a
-worked negative result; revisit if C grows to 128 (scaled models), where the
-block-diagonal waste disappears.
+roofline) stays the production path. Round 2 generalized the kernel to
+pack=2 (C=64, the scaled config) and pack=1 (C=128, zero block-diagonal
+waste) and re-measured at b256: C=64 16.7ms vs XLA 7.4ms; C=128 27.8ms vs
+XLA 15.2ms — the 9 shifted tap matmuls pipeline worse than XLA's native
+conv even with full lane utilization, so the negative result holds at every
+width. Kept as verified infrastructure and a worked negative result.
 """
 
 from __future__ import annotations
@@ -86,37 +89,38 @@ def _instance_norm_lrelu(
 
 
 def _kernel(
-    x_ref,  # (1, H, W, 4)    packed input images, f32
-    w1_ref,  # (9, 8, 4C)      conv1 taps, block-diagonal (rows padded 4->8)
-    b1_ref,  # (8, 4C)         conv1 bias, lane-packed (row 0 live)
-    w2_ref,  # (9, 4C, 4C)     conv2 taps, block-diagonal
-    b2_ref,  # (8, 4C)
-    out_ref,  # (1, H, W, 4C)   pre-pool stage-0 output, bf16
+    x_ref,  # (1, H, W, P)    packed input images, f32
+    w1_ref,  # (9, 8, P*C)     conv1 taps, block-diagonal (rows padded P->8)
+    b1_ref,  # (8, P*C)        conv1 bias, lane-packed (row 0 live)
+    w2_ref,  # (9, P*C, P*C)   conv2 taps, block-diagonal
+    b2_ref,  # (8, P*C)
+    out_ref,  # (1, H, W, P*C)  pre-pool stage-0 output, bf16
     *,
     eps: float,
     slope: float,
+    pack: int,
 ):
     # bf16 operands keep the MXU on its native path (f32 operand matmuls
     # decompose and run several times slower on v5e); accumulation stays f32
     # via preferred_element_type.
-    x = x_ref[0].astype(jnp.bfloat16)  # (H, W, 4)
+    x = x_ref[0].astype(jnp.bfloat16)  # (H, W, P)
     h, w, _ = x.shape
     lanes = out_ref.shape[-1]
 
-    # conv1: 9 shifted (HW, 4) @ (4, 4C) matmuls, f32 accumulation.
+    # conv1: 9 shifted (HW, P) @ (P, P*C) matmuls, f32 accumulation.
     acc = jnp.zeros((h, w, lanes), jnp.float32)
     for k, (dy, dx) in enumerate(_OFFSETS):
         xs = _shift2d(x, dy, dx)
         acc = acc + jax.lax.dot_general(
             xs,
-            w1_ref[k, :4, :].astype(jnp.bfloat16),
+            w1_ref[k, :pack, :].astype(jnp.bfloat16),
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     acc = acc + b1_ref[0, :].astype(jnp.float32)
     y1 = _instance_norm_lrelu(acc, eps, slope).astype(jnp.bfloat16)
 
-    # conv2: 9 shifted (HW, 4C) @ (4C, 4C) matmuls.
+    # conv2: 9 shifted (HW, P*C) @ (P*C, P*C) matmuls.
     acc2 = jnp.zeros((h, w, lanes), jnp.float32)
     for k, (dy, dx) in enumerate(_OFFSETS):
         ys = _shift2d(y1, dy, dx)
@@ -162,7 +166,7 @@ def pack_weights(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("eps", "slope", "interpret")
+    jax.jit, static_argnames=("eps", "slope", "interpret", "pack")
 )
 def stage0_fused(
     x: jax.Array,
@@ -173,12 +177,16 @@ def stage0_fused(
     eps: float = 1e-5,
     slope: float = 0.02,
     interpret: bool = False,
+    pack: int = 4,
 ) -> jax.Array:
     """Fused stage-0 over a batch of single-channel images.
 
     Args:
-        x: (B, H, W, 1) float32/bfloat16 patterns; B must divide by 4.
-        w1bd/b1p/w2bd/b2p: packed weights from `pack_weights`.
+        x: (B, H, W, 1) float32/bfloat16 patterns; B must divide by ``pack``.
+        w1bd/b1p/w2bd/b2p: packed weights from `pack_weights` (same ``pack``).
+        pack: images interleaved per lane group; pick 128 // C so the lane
+            width P*C fills the hardware's 128 lanes (4 for C=32, 2 for C=64,
+            1 for C=128 — where the block-diagonal MXU waste vanishes).
 
     Returns:
         (B, H/2, W/2, C) bfloat16 — stage-0 output after the 2x2 max-pool
@@ -186,14 +194,16 @@ def stage0_fused(
     """
     b, h, w, _ = x.shape
     lanes = w2bd.shape[-1]
-    c = lanes // 4
-    if b % 4:
-        raise ValueError(f"batch {b} must divide by the lane pack of 4")
-    groups = b // 4
-    # (B, H, W, 1) -> (groups, H, W, 4): image index into lanes.
-    xg = jnp.transpose(x.reshape(groups, 4, h, w), (0, 2, 3, 1))
+    c = lanes // pack
+    if b % pack:
+        raise ValueError(f"batch {b} must divide by the lane pack of {pack}")
+    groups = b // pack
+    # (B, H, W, 1) -> (groups, H, W, pack): image index into lanes.
+    xg = jnp.transpose(x.reshape(groups, pack, h, w), (0, 2, 3, 1))
 
-    full_in = pl.BlockSpec((1, h, w, 4), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    full_in = pl.BlockSpec(
+        (1, h, w, pack), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
     full_out = pl.BlockSpec(
         (1, h, w, lanes), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
@@ -202,7 +212,7 @@ def stage0_fused(
     )
 
     y2 = pl.pallas_call(
-        functools.partial(_kernel, eps=eps, slope=slope),
+        functools.partial(_kernel, eps=eps, slope=slope, pack=pack),
         grid=(groups,),
         in_specs=[
             full_in,
@@ -221,11 +231,13 @@ def stage0_fused(
 
     # 2x2 max-pool in XLA, then unpack lanes back to the batch axis.
     y2 = y2.reshape(groups, h // 2, 2, w // 2, 2, lanes).max(axis=(2, 4))
-    y2 = y2.reshape(groups, h // 2, w // 2, 4, c)
+    y2 = y2.reshape(groups, h // 2, w // 2, pack, c)
     return jnp.transpose(y2, (0, 3, 1, 2, 4)).reshape(b, h // 2, w // 2, c)
 
 
-def fused_stage0_apply(params: dict, x: jax.Array, interpret: bool = False) -> jax.Array:
+def fused_stage0_apply(
+    params: dict, x: jax.Array, interpret: bool = False, pack: int = 4
+) -> jax.Array:
     """Run fused stage 0 from a VAE encoder params subtree.
 
     ``params`` is ``model_params["encoder"]`` holding ``stage0_block0/conv``
@@ -235,5 +247,5 @@ def fused_stage0_apply(params: dict, x: jax.Array, interpret: bool = False) -> j
     b1 = np.asarray(params["stage0_block0"]["conv"]["bias"])
     w2 = np.asarray(params["stage0_block1"]["conv"]["kernel"])
     b2 = np.asarray(params["stage0_block1"]["conv"]["bias"])
-    packed = [jnp.asarray(a) for a in pack_weights(w1, b1, w2, b2)]
-    return stage0_fused(x, *packed, interpret=interpret)
+    packed = [jnp.asarray(a) for a in pack_weights(w1, b1, w2, b2, pack=pack)]
+    return stage0_fused(x, *packed, interpret=interpret, pack=pack)

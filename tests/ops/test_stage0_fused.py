@@ -30,13 +30,13 @@ def reference_blocks():
     return model, params
 
 
-def run_fused(params, x):
+def run_fused(params, x, pack=4):
     w1 = np.asarray(params["stage0_block0"]["conv"]["kernel"])
     b1 = np.asarray(params["stage0_block0"]["conv"]["bias"])
     w2 = np.asarray(params["stage0_block1"]["conv"]["kernel"])
     b2 = np.asarray(params["stage0_block1"]["conv"]["bias"])
-    packed = [jnp.asarray(a) for a in pack_weights(w1, b1, w2, b2)]
-    return stage0_fused(jnp.asarray(x), *packed, interpret=True)
+    packed = [jnp.asarray(a) for a in pack_weights(w1, b1, w2, b2, pack=pack)]
+    return stage0_fused(jnp.asarray(x), *packed, interpret=True, pack=pack)
 
 
 class TestStage0Fused:
@@ -68,6 +68,15 @@ class TestStage0Fused:
         np.testing.assert_array_equal(base[2], out2[2])
         np.testing.assert_array_equal(base[3], out2[3])
         assert not np.array_equal(base[1], out2[1])
+
+    @pytest.mark.parametrize("pack", [1, 2])
+    def test_smaller_lane_packs(self, reference_blocks, pack):
+        """pack=2 is the C=64 scaled layout; pack=1 the C=128 layout."""
+        model, params = reference_blocks
+        x = RNG.uniform(size=(4, 32, 32, 1)).astype(np.float32)
+        want = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+        got = np.asarray(run_fused(params, x, pack=pack), dtype=np.float32)
+        np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
 
     def test_rejects_bad_batch(self, reference_blocks):
         _, params = reference_blocks
