@@ -19,7 +19,10 @@ from latice_tpu.crystal.quaternion import misorientation_angle, quat_mul
 __all__ = [
     "CUBIC_SYMMETRY",
     "QUAT_SYM_WXYZ",
+    "ROTATION_GROUPS",
     "cubic_symmetry_quats",
+    "symmetry_quats",
+    "stack_symmetry_tables",
     "nearest_symmetry_equivalent",
     "symmetry_reduced_misorientation",
     "PI_OVER_180",
@@ -78,6 +81,99 @@ def cubic_symmetry_quats(dtype=jnp.float32) -> jax.Array:
     return jnp.asarray(QUAT_SYM_WXYZ, dtype=dtype)
 
 
+def _aa(axis, angle: float) -> np.ndarray:
+    """Scalar-first quaternion about ``axis`` by ``angle`` rad (host numpy)."""
+    axis = np.asarray(axis, np.float64)
+    axis = axis / np.linalg.norm(axis)
+    return np.concatenate([[np.cos(angle / 2.0)], np.sin(angle / 2.0) * axis])
+
+
+def _cyclic(n: int) -> np.ndarray:
+    """Cn: n rotations about z."""
+    return np.stack([_aa([0, 0, 1], 2 * pi * k / n) for k in range(n)])
+
+
+def _dihedral(n: int) -> np.ndarray:
+    """Dn: Cn about z plus n two-fold axes in the basal plane."""
+    twofolds = [
+        _aa([np.cos(pi * k / n), np.sin(pi * k / n), 0], pi) for k in range(n)
+    ]
+    return np.concatenate([_cyclic(n), np.stack(twofolds)])
+
+
+def _tetrahedral() -> np.ndarray:
+    """T (point group 23): 12 proper rotations of the tetrahedron."""
+    diag = [
+        _aa([sx, sy, sz], s * 2 * pi / 3)
+        for sx in (1, -1)
+        for sy in (1, -1)
+        for sz in (1, -1)
+        for s in (1,)
+    ]
+    # The 8 ±120° rotations are the 8 sign combinations of the (1,1,1) family
+    # with a fixed +120° angle; together with identity and the three face
+    # two-folds they close into the order-12 group (pinned by the closure test).
+    return np.concatenate(
+        [
+            _cyclic(1),  # identity
+            np.stack([_aa(a, pi) for a in ([1, 0, 0], [0, 1, 0], [0, 0, 1])]),
+            np.stack(diag),
+        ]
+    )
+
+
+# Proper-rotation point groups for the 7 crystal systems (Hermann-Mauguin
+# names, Laue-class proper subgroups) — the symmetry vocabulary for
+# multi-phase dictionaries. The reference is single-phase cubic only
+# (latice/utils/constants.py:13-39); these extend the same scalar-first
+# quaternion representation to every EBSD-relevant system.
+ROTATION_GROUPS: dict[str, np.ndarray] = {
+    "1": _cyclic(1),  # triclinic
+    "2": _cyclic(2),  # monoclinic
+    "222": _dihedral(2),  # orthorhombic
+    "3": _cyclic(3),  # trigonal (rhombohedral)
+    "32": _dihedral(3),
+    "4": _cyclic(4),  # tetragonal
+    "422": _dihedral(4),
+    "6": _cyclic(6),  # hexagonal
+    "622": _dihedral(6),
+    "23": _tetrahedral(),  # cubic T
+    "432": QUAT_SYM_WXYZ,  # cubic O (the reference's 24-op table)
+}
+
+
+def symmetry_quats(group: str = "432", dtype=jnp.float32) -> jax.Array:
+    """Rotation operators of a proper point group, scalar-first ``(S, 4)``."""
+    try:
+        table = ROTATION_GROUPS[group]
+    except KeyError:
+        raise ValueError(
+            f"unknown point group {group!r}; choose from {sorted(ROTATION_GROUPS)}"
+        ) from None
+    return jnp.asarray(table, dtype=dtype)
+
+
+def stack_symmetry_tables(groups, dtype=jnp.float32) -> jax.Array:
+    """Stack per-phase symmetry tables into one ``(P, S_max, 4)`` array.
+
+    Shorter groups are padded by repeating their first row — a duplicate
+    operator is harmless under the min/argmin reductions every consumer
+    (`nearest_symmetry_equivalent`, `symmetry_reduced_misorientation`) applies,
+    and keeps the stacked table static-shaped for XLA.
+    """
+    tables = [np.asarray(ROTATION_GROUPS[g] if isinstance(g, str) else g) for g in groups]
+    s_max = max(len(t) for t in tables)
+    out = np.stack(
+        [
+            np.concatenate([t, np.tile(t[:1], (s_max - len(t), 1))])
+            if len(t) < s_max
+            else t
+            for t in tables
+        ]
+    )
+    return jnp.asarray(out, dtype=dtype)
+
+
 def nearest_symmetry_equivalent(
     ref: jax.Array, cand: jax.Array, sym: jax.Array | None = None
 ) -> jax.Array:
@@ -93,6 +189,9 @@ def nearest_symmetry_equivalent(
         ref: Reference quaternions, shape ``(..., 4)``.
         cand: Candidate quaternions, shape ``(..., 4)`` (broadcasts with ref).
         sym: Optional symmetry table ``(S, 4)``; defaults to the cubic table.
+            Also accepts per-batch tables of any shape broadcasting against
+            ``cand[..., None, :]`` (e.g. ``(B, 1, S, 4)`` for per-query phase
+            groups in multi-phase consensus).
 
     Returns:
         Quaternions of shape ``broadcast(ref, cand).shape`` equivalent to

@@ -64,6 +64,9 @@ class ConsensusOutput(NamedTuple):
     similar_mask: jax.Array
     chosen_iter: jax.Array
     misorientation_deg: jax.Array
+    # (B,) int32 phase of the chosen reference (multi-phase dictionaries
+    # only; all-zeros for the single-phase path).
+    phase: jax.Array | None = None
 
 
 @partial(
@@ -76,6 +79,8 @@ def consensus_orientations(
     min_required_matches: int = 18,
     max_iterations: int = 3,
     angle_unit: str = "deg",
+    cand_phases: jax.Array | None = None,
+    sym_tables: jax.Array | None = None,
 ) -> ConsensusOutput:
     """Run the consensus algorithm on candidate orientations.
 
@@ -88,6 +93,13 @@ def consensus_orientations(
         max_iterations: How many leading candidates to try as reference
             (faiss_db.py:264 default 3). Clamped to K like faiss_db.py:302.
         angle_unit: "deg" (FAISS semantics) or "rad" (chroma semantics).
+        cand_phases: Optional ``(B, K)`` int32 phase id per candidate
+            (multi-phase dictionaries, BASELINE config 5). Candidates of a
+            different phase than the trial reference never count as similar,
+            and the symmetry snap uses the chosen reference's phase group.
+        sym_tables: Optional ``(P, S, 4)`` stacked per-phase symmetry tables
+            (`crystal.stack_symmetry_tables`). Defaults to cubic for every
+            phase when ``cand_phases`` is given without tables.
 
     Returns:
         ConsensusOutput batch.
@@ -103,6 +115,9 @@ def consensus_orientations(
     mis_cmp = jnp.rad2deg(mis_rad) if angle_unit == "deg" else mis_rad
 
     within = mis_cmp < orientation_threshold  # (B, I, K)
+    if cand_phases is not None:
+        ref_phases = cand_phases[:, :iters]  # (B, I)
+        within = within & (ref_phases[:, :, None] == cand_phases[:, None, :])
     counts = within.sum(axis=-1)  # (B, I)
     ok = counts >= min_required_matches  # (B, I)
 
@@ -120,7 +135,24 @@ def consensus_orientations(
     ref_chosen = jnp.einsum("bi,biq->bq", sel, refs)  # (B, 4)
 
     # Symmetry-snap every candidate to the chosen reference, then masked mean.
-    sym = cubic_symmetry_quats(dtype=cand_quats.dtype)
+    phase = None
+    if cand_phases is not None:
+        # Phase of the chosen reference, selected with the same one-hot.
+        phase = jnp.einsum(
+            "bi,bi->b", sel, ref_phases.astype(sel.dtype)
+        ).astype(jnp.int32)
+        if sym_tables is None:
+            sym = cubic_symmetry_quats(dtype=cand_quats.dtype)
+        else:
+            # Per-query table of the chosen phase, (B, 1, S, 4) so it
+            # broadcasts against (B, K, 1, 4) candidates inside the snap.
+            p = sym_tables.shape[0]
+            ph_sel = jax.nn.one_hot(phase, p, dtype=cand_quats.dtype)
+            sym = jnp.einsum(
+                "bp,psq->bsq", ph_sel, sym_tables.astype(cand_quats.dtype)
+            )[:, None]
+    else:
+        sym = cubic_symmetry_quats(dtype=cand_quats.dtype)
     sym_eq = nearest_symmetry_equivalent(
         ref_chosen[:, None, :], cand_quats, sym
     )  # (B, K, 4)
@@ -133,6 +165,7 @@ def consensus_orientations(
         similar_mask=similar_mask,
         chosen_iter=jnp.where(success, first_ok, jnp.zeros_like(first_ok)),
         misorientation_deg=jnp.rad2deg(mis_chosen_rad),
+        phase=phase,
     )
 
 

@@ -23,6 +23,7 @@ import logging
 from abc import ABC, abstractmethod
 from dataclasses import dataclass
 from pathlib import Path
+from typing import Any
 
 import jax.numpy as jnp
 import numpy as np
@@ -153,6 +154,9 @@ class LatentVectorDatabaseConfig:
             (native/latice_native.cpp) — the FAISS-replacement for
             accelerator-free deployments. Consensus always runs through the
             compiled JAX path.
+        phase_symmetries: Optional list of point-group names (one per phase
+            id, `crystal.ROTATION_GROUPS` keys) for multi-phase dictionaries
+            (BASELINE config 5); defaults to cubic "432" for every phase.
     """
 
     npz_path: str = "latent_index.npz"
@@ -160,6 +164,7 @@ class LatentVectorDatabaseConfig:
     angle_unit: str = "deg"
     device_batch_size: int = 4096
     engine: str = "device"
+    phase_symmetries: Any = None
 
 
 class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
@@ -177,8 +182,11 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
         self.npz_path = Path(self.config.npz_path)
         self._vectors = np.zeros((0, self.dimension), dtype=np.float32)
         self._orientations = np.zeros((0, 3), dtype=np.float64)
+        self._phases = np.zeros((0,), dtype=np.int32)
+        self._has_phases = False
         self._dev_cache: tuple[jnp.ndarray, jnp.ndarray] | None = None
         self._int8_cache: jnp.ndarray | None = None
+        self._sym_tables_cache: jnp.ndarray | None = None
 
         if self.npz_path.with_suffix(".npz").exists():
             self.load()
@@ -209,16 +217,31 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
         self,
         latent_vectors: NDArray[np.float64] | NDArray[np.float32],
         orientations: NDArray[np.float64],
+        phases: NDArray[np.integer] | None = None,
     ) -> None:
-        """Add L2-normalized vectors + orientations (faiss_db.py:161-193)."""
+        """Add L2-normalized vectors + orientations (faiss_db.py:161-193).
+
+        ``phases`` optionally labels each entry with a crystal-phase id
+        (multi-phase dictionaries); entries added without labels default to
+        phase 0.
+        """
         vecs = np.asarray(latent_vectors, dtype=np.float32)
         orients = np.asarray(orientations, dtype=np.float64)
         self._validate_vectors(vecs, orients)
+        if phases is not None:
+            ph = np.asarray(phases, dtype=np.int32).reshape(-1)
+            if len(ph) != len(vecs):
+                raise ValueError("Number of phases and latent vectors must match")
+            self._has_phases = True
+        else:
+            ph = np.zeros(len(vecs), dtype=np.int32)
         vecs = _l2_normalize_np(vecs)
         self._vectors = np.concatenate([self._vectors, vecs], axis=0)
         self._orientations = np.concatenate([self._orientations, orients], axis=0)
+        self._phases = np.concatenate([self._phases, ph], axis=0)
         self._dev_cache = None
         self._int8_cache = None
+        self._sym_tables_cache = None
         logger.info(
             f"Added {len(vecs)} vectors. Index total: {self.get_count()}"
         )
@@ -233,6 +256,33 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
         self.save()
 
     # -- device cache ------------------------------------------------------
+
+    def _phase_args(
+        self, indices_np: np.ndarray
+    ) -> tuple[jnp.ndarray | None, jnp.ndarray | None]:
+        """(cand_phases, sym_tables) consensus inputs for multi-phase DBs.
+
+        The per-candidate phase gather runs host-side (indices are already on
+        host) — a (B, K) gather from an (N,) device table is the slow-gather
+        landmine.
+        """
+        if not self._has_phases:
+            return None, None
+        if self._sym_tables_cache is None:
+            from latice_tpu.crystal import stack_symmetry_tables
+
+            n_phases = int(self._phases.max()) + 1 if len(self._phases) else 1
+            groups = self.config.phase_symmetries
+            if groups is None:
+                groups = ["432"] * n_phases
+            if len(groups) < n_phases:
+                raise ValueError(
+                    f"{n_phases} phase ids but only {len(groups)} "
+                    "phase_symmetries entries in the config"
+                )
+            self._sym_tables_cache = stack_symmetry_tables(groups)
+        cand_phases = jnp.asarray(self._phases[indices_np], jnp.int32)
+        return cand_phases, self._sym_tables_cache
 
     def _device_arrays(self) -> tuple[jnp.ndarray, jnp.ndarray]:
         if self._dev_cache is None:
@@ -411,6 +461,8 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
         outs = []
         for start in range(0, len(queries), chunk):
             scores, indices = self._topk(queries[start : start + chunk], k)
+            indices_np = np.asarray(indices)
+            cand_phases, sym_tables = self._phase_args(indices_np)
             cand_quats = jnp.take(quats, jnp.asarray(indices), axis=0)
             cons = consensus_orientations(
                 cand_quats,
@@ -418,14 +470,17 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
                 min_required_matches=min_required_matches,
                 max_iterations=min(max_iterations, k),
                 angle_unit=self.config.angle_unit,
+                cand_phases=cand_phases,
+                sym_tables=sym_tables,
             )
             outs.append(
                 (
                     np.asarray(scores, np.float64),
-                    np.asarray(indices, np.int64),
+                    indices_np.astype(np.int64),
                     np.asarray(cons.mean_euler, np.float64),
                     np.asarray(cons.success),
                     np.asarray(cons.similar_mask),
+                    None if cons.phase is None else np.asarray(cons.phase),
                 )
             )
         scores = np.concatenate([o[0] for o in outs])
@@ -437,7 +492,7 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
         top1 = self._orientations[indices[:, 0]]
         best = np.where(success[:, None], mean, top1)
         mean_out = np.where(success[:, None], mean, np.nan)
-        return {
+        result = {
             "mean_orientation": mean_out,
             "best_orientation": best,
             "success": success,
@@ -445,6 +500,13 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
             "indices": indices,
             "scores": scores,
         }
+        if self._has_phases:
+            phase = np.concatenate([o[5] for o in outs]).astype(np.int64)
+            # Failure fallback mirrors `best`: the top-1 candidate's phase.
+            result["phase"] = np.where(
+                success, phase, self._phases[indices[:, 0]]
+            ).astype(np.int64)
+        return result
 
     def _consensus_chunk(
         self,
@@ -457,6 +519,8 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
         _, quats = self._device_arrays()
         k = min(top_n, self.get_count())
         scores, indices = self._topk(queries, k)
+        indices_np = np.asarray(indices)
+        cand_phases, sym_tables = self._phase_args(indices_np)
         cand_quats = jnp.take(quats, jnp.asarray(indices), axis=0)  # (B, K, 4)
         out = consensus_orientations(
             cand_quats,
@@ -464,13 +528,15 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
             min_required_matches=min_required_matches,
             max_iterations=min(max_iterations, k),
             angle_unit=self.config.angle_unit,
+            cand_phases=cand_phases,
+            sym_tables=sym_tables,
         )
 
         scores_np = np.asarray(scores, dtype=np.float64)
-        indices_np = np.asarray(indices)
         mean_np = np.asarray(out.mean_euler, dtype=np.float64)
         success_np = np.asarray(out.success)
         mask_np = np.asarray(out.similar_mask)
+        phase_np = None if out.phase is None else np.asarray(out.phase)
 
         results = []
         for b in range(len(queries)):
@@ -480,6 +546,12 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
             # FAISS semantics: best = consensus mean on success, else the
             # closest match (faiss_db.py:336-343).
             best = mean if success else cand_orients[0]
+            phase = None
+            if phase_np is not None:
+                # Failure fallback mirrors `best`: the top-1's phase.
+                phase = int(
+                    phase_np[b] if success else self._phases[indices_np[b, 0]]
+                )
             results.append(
                 OrientationResult(
                     query_vector=queries[b].astype(np.float64),
@@ -489,6 +561,7 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
                     distances=scores_np[b],
                     success=success,
                     similar_indices=np.where(mask_np[b])[0],
+                    phase=phase,
                 )
             )
         return results
@@ -511,10 +584,18 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
         return len(self._vectors)
 
     def save(self) -> None:
-        """Persist vectors + orientations to one .npz (faiss_db.py:440-458)."""
+        """Persist vectors + orientations to one .npz (faiss_db.py:440-458).
+
+        Multi-phase DBs additionally persist the per-entry phase ids (a
+        superset of the reference format; reference files load unchanged).
+        """
         path = self.npz_path.with_suffix(".npz")
+        extra = {"phases": self._phases} if self._has_phases else {}
         np.savez_compressed(
-            str(path), vectors=self._vectors, orientations=self._orientations
+            str(path),
+            vectors=self._vectors,
+            orientations=self._orientations,
+            **extra,
         )
         logger.info(f"Saved index and metadata to {path}")
 
@@ -527,9 +608,16 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
         data = np.load(str(path))
         self._vectors = data["vectors"].astype(np.float32)
         self._orientations = data["orientations"].astype(np.float64)
+        self._has_phases = "phases" in data
+        self._phases = (
+            data["phases"].astype(np.int32)
+            if self._has_phases
+            else np.zeros(len(self._vectors), dtype=np.int32)
+        )
         self.dimension = self._vectors.shape[1]
         self._dev_cache = None
         self._int8_cache = None
+        self._sym_tables_cache = None
         logger.info(f"Loaded index and metadata from {path}")
 
     def delete_persistence(self) -> None:
@@ -541,7 +629,10 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
                 logger.info(f"Deleted index file: {path}")
                 self._vectors = np.zeros((0, self.dimension), dtype=np.float32)
                 self._orientations = np.zeros((0, 3), dtype=np.float64)
+                self._phases = np.zeros((0,), dtype=np.int32)
+                self._has_phases = False
                 self._dev_cache = None
                 self._int8_cache = None
+                self._sym_tables_cache = None
         except OSError as e:
             logger.error(f"Error deleting index file {self.npz_path}: {e}")

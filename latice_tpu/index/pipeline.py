@@ -34,6 +34,7 @@ class DenseIndexResult(NamedTuple):
     n_similar: np.ndarray  # (B,) int
     indices: np.ndarray  # (B, K) dictionary rows of the candidates
     scores: np.ndarray  # (B, K) cosine similarities
+    phase: np.ndarray | None = None  # (B,) int phase id (multi-phase dicts)
 
 
 class IndexPipeline:
@@ -51,6 +52,13 @@ class IndexPipeline:
         mesh: optional jax.sharding.Mesh — the dictionary rows shard over its
             first axis (per-shard top-k + a k-row all_gather merge over ICI),
             for dictionaries beyond one chip's HBM; params/queries replicate.
+        dictionary_phases: optional ``(N,)`` int phase id per dictionary entry
+            (multi-phase dictionaries, BASELINE config 5). Consensus then
+            only counts same-phase candidates as matches and the result
+            carries the indexed phase per query.
+        phase_symmetries: optional list of point-group names (one per phase
+            id, `crystal.ROTATION_GROUPS` keys) selecting each phase's
+            symmetry operators; defaults to cubic "432" for every phase.
     """
 
     def __init__(
@@ -66,13 +74,33 @@ class IndexPipeline:
         angle_unit: str = "deg",
         batch_size: int = 256,
         mesh: Any = None,
+        dictionary_phases: np.ndarray | None = None,
+        phase_symmetries: Any = None,
     ) -> None:
-        from latice_tpu.crystal import from_euler_zxz_deg
+        from latice_tpu.crystal import from_euler_zxz_deg, stack_symmetry_tables
 
         self.batch_size = batch_size
         self._n = len(dictionary_vectors)
         self.mesh = mesh
         k = min(top_n, self._n)
+
+        sym_tables = None
+        if dictionary_phases is not None:
+            phases_np = np.asarray(dictionary_phases, np.int32)
+            if phases_np.shape != (self._n,):
+                raise ValueError(
+                    f"dictionary_phases must be ({self._n},), got {phases_np.shape}"
+                )
+            n_phases = int(phases_np.max()) + 1 if self._n else 1
+            if phase_symmetries is None:
+                phase_symmetries = ["432"] * n_phases  # reference default: cubic
+            if len(phase_symmetries) < n_phases:
+                raise ValueError(
+                    f"{n_phases} phase ids but only "
+                    f"{len(phase_symmetries)} phase_symmetries entries"
+                )
+            sym_tables = stack_symmetry_tables(phase_symmetries)
+        self.n_phases = None if dictionary_phases is None else n_phases
 
         if mesh is not None:
             from latice_tpu.parallel import replicate, shard_dictionary
@@ -92,6 +120,17 @@ class IndexPipeline:
             return from_euler_zxz_deg(orients)
 
         quats_dev = _prep(orient_dev)
+        if dictionary_phases is not None:
+            # Pack phase ids as a 5th column of the quaternion table so the
+            # candidate gather stays a single wide row gather (a second (B, K)
+            # gather from an (N,) table is the slow-gather landmine).
+            quats_dev = jnp.concatenate(
+                [
+                    quats_dev,
+                    jnp.asarray(phases_np, jnp.float32)[:, None],
+                ],
+                axis=1,
+            )
 
         @jax.jit
         def _run(p, patterns):
@@ -114,13 +153,21 @@ class IndexPipeline:
                     precision=jax.lax.Precision.HIGHEST,
                 )
                 scores, indices = jax.lax.top_k(scores, k)
-            cand_quats = jnp.take(quats_dev, indices, axis=0)
+            cand_rows = jnp.take(quats_dev, indices, axis=0)
+            cand_quats = cand_rows[..., :4]
+            cand_phases = (
+                cand_rows[..., 4].astype(jnp.int32)
+                if dictionary_phases is not None
+                else None
+            )
             cons = consensus_orientations(
                 cand_quats,
                 orientation_threshold,
                 min_required_matches=min_required_matches,
                 max_iterations=min(max_iterations, k),
                 angle_unit=angle_unit,
+                cand_phases=cand_phases,
+                sym_tables=sym_tables,
             )
             # Failure fallback = top-1 candidate, derived from its already-
             # gathered quaternion: a second row gather from the (N, 3) Euler
@@ -134,7 +181,7 @@ class IndexPipeline:
                 cons.success[:, None], cons.mean_euler, top1_euler
             )
             n_similar = cons.similar_mask.sum(axis=1)
-            return (
+            out = (
                 cons.mean_euler,
                 best,
                 cons.success,
@@ -142,6 +189,12 @@ class IndexPipeline:
                 indices,
                 scores,
             )
+            if cand_phases is not None:
+                # Failure fallback mirrors `best`: report the top-1's phase.
+                out = out + (
+                    jnp.where(cons.success, cons.phase, cand_phases[:, 0]),
+                )
+            return out
 
         self._run = _run
         self._params = params
@@ -167,8 +220,9 @@ class IndexPipeline:
             pending.append((n, self._run(self._params, jnp.asarray(chunk))))
         outs = [tuple(np.asarray(r[:n]) for r in res) for n, res in pending]
 
-        mean, best, success, n_sim, indices, scores = (
-            np.concatenate([o[i] for o in outs]) for i in range(6)
+        n_fields = len(outs[0])
+        mean, best, success, n_sim, indices, scores, *extra = (
+            np.concatenate([o[i] for o in outs]) for i in range(n_fields)
         )
         mean = np.where(success[:, None], mean, np.nan).astype(np.float64)
         return DenseIndexResult(
@@ -178,4 +232,5 @@ class IndexPipeline:
             n_similar=n_sim.astype(np.int64),
             indices=indices.astype(np.int64),
             scores=scores.astype(np.float64),
+            phase=extra[0].astype(np.int64) if extra else None,
         )

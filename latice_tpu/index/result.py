@@ -28,6 +28,9 @@ class OrientationResult:
         success: Whether a valid orientation match was found.
         similar_indices: Indices (within the candidate list) of orientations
             inside the misorientation threshold.
+        phase: Crystal phase id of the matched orientation (multi-phase
+            dictionaries only; None for single-phase — the reference's only
+            mode).
     """
 
     query_vector: NDArray[np.float64]
@@ -37,6 +40,7 @@ class OrientationResult:
     mean_orientation: NDArray[np.float64] | None = None
     success: bool = True
     similar_indices: NDArray[np.int64] | None = None
+    phase: int | None = None
 
     def get_top_n_orientations(self, n: int = 5) -> NDArray[np.float64]:
         """Top-N orientations sorted by distance (faiss_db.py:71-89 semantics).
