@@ -15,7 +15,9 @@ import time
 import numpy as np, jax, jax.numpy as jnp
 from scipy.spatial.transform import Rotation as R
 
-def render_patterns(angles_deg, noise=0.0, seed=0):
+def render_patterns(angles_deg, noise=0.0, seed=0, freqs=(9.0, 14.0, 6.0)):
+    """Synthetic band patterns from orientations; ``freqs`` sets the band
+    frequencies per crystal axis (distinct tuples emulate distinct phases)."""
     rng = np.random.default_rng(seed)
     mats = R.from_euler("zxz", angles_deg, degrees=True).as_matrix()
     h = w = 128
@@ -23,7 +25,7 @@ def render_patterns(angles_deg, noise=0.0, seed=0):
     base = np.stack([xx, yy, np.ones_like(xx) * 0.7], -1)
     base /= np.linalg.norm(base, axis=-1, keepdims=True)
     out = np.zeros((len(mats), h, w), np.float32)
-    for k, f in enumerate([9.0, 14.0, 6.0]):
+    for k, f in enumerate(freqs):
         dot = np.einsum("hwc,nc->nhw", base, mats[:, k, :])
         out += np.cos(f * np.pi * dot).astype(np.float32)
     out = (out - out.min()) / (out.max() - out.min())

@@ -175,25 +175,55 @@ class DiffractionPatternIndexer:
         logger.info(f"Adding {len(latent_vectors)} vectors to database")
         self.db.add_vectors(latent_vectors, orientations)
 
-    @cached_property
-    def _datamodule(self) -> DPDataModule:
-        """Dictionary data module in test mode (dp_indexer.py:234-252)."""
-        if self.config.pattern_path is None or self.config.angles_path is None:
+    def build_multiphase_dictionary(
+        self, phase_sources, progress: bool = True
+    ) -> None:
+        """Build a multi-phase dictionary from one source pair per phase.
+
+        Beyond-reference capability (BASELINE config 5; the reference is
+        single-phase cubic only). Each ``(pattern_path, angles_path)`` pair in
+        ``phase_sources`` is encoded like `build_dictionary` and added with
+        its list position as the phase id; pair the DB with a matching
+        ``phase_symmetries`` config to give each phase its point group.
+        """
+        for phase_id, (pattern_path, angles_path) in enumerate(phase_sources):
+            dm = self._make_datamodule(pattern_path, angles_path)
+            latents, orientations = self._extract_latent_vectors_with_angles(
+                progress=progress, dm=dm
+            )
+            logger.info(
+                f"Adding {len(latents)} phase-{phase_id} vectors to database"
+            )
+            self.db.add_vectors(
+                latents,
+                orientations,
+                phases=np.full(len(latents), phase_id, dtype=np.int32),
+            )
+
+    def _make_datamodule(self, pattern_path, angles_path) -> DPDataModule:
+        if pattern_path is None or angles_path is None:
             raise ValueError("pattern_path and angles_path must be configured")
         dm = DPDataModule(
-            path=self.config.pattern_path,
-            rot_angles_path=self.config.angles_path,
+            path=pattern_path,
+            rot_angles_path=angles_path,
             image_size=self.config.image_size,
             batch_size=self.config.batch_size,
         )
         dm.setup("test")
         return dm
 
+    @cached_property
+    def _datamodule(self) -> DPDataModule:
+        """Dictionary data module in test mode (dp_indexer.py:234-252)."""
+        return self._make_datamodule(
+            self.config.pattern_path, self.config.angles_path
+        )
+
     def _extract_latent_vectors_with_angles(
-        self, progress: bool = True
+        self, progress: bool = True, dm: DPDataModule | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batch-encode the dictionary loader (dp_indexer.py:254-297)."""
-        dm = self._datamodule
+        dm = dm if dm is not None else self._datamodule
         latent_vectors, orientations = [], []
 
         iterator = dm.test_batches()

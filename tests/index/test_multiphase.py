@@ -243,3 +243,49 @@ class TestMultiphaseDatabase:
         db.add_vectors(vecs, angles, phases=phases)
         with pytest.raises(ValueError, match="phase_symmetries"):
             db.find_best_orientation(vecs[0], top_n=5)
+
+
+class TestIndexerMultiphaseBuild:
+    def test_build_multiphase_dictionary(self, two_phase_setup, tmp_path):
+        """One (patterns, angles) source pair per phase; list position is the
+        phase id; self-queries resolve to the right phase."""
+        from latice_tpu.index import DiffractionPatternIndexer, IndexerConfig
+        from latice_tpu.index import LatentVectorDatabaseConfig, TpuLatentVectorDatabase
+
+        model, params, patterns, angles, phases, vecs = two_phase_setup
+        sources = []
+        for pid in (0, 1):
+            sel = phases == pid
+            ppath = tmp_path / f"p{pid}.npy"
+            apath = tmp_path / f"a{pid}.txt"
+            np.save(ppath, patterns[sel])
+            n = int(sel.sum())
+            apath.write_text(
+                "eu\n%d\n" % n
+                + "".join(f"{a[0]} {a[1]} {a[2]}\n" for a in angles[sel])
+            )
+            sources.append((ppath, apath))
+
+        db = TpuLatentVectorDatabase(
+            LatentVectorDatabaseConfig(
+                npz_path=str(tmp_path / "mp2.npz"),
+                phase_symmetries=["432", "622"],
+            )
+        )
+        indexer = DiffractionPatternIndexer(
+            model, params, db=db, config=IndexerConfig(batch_size=16)
+        )
+        indexer.build_multiphase_dictionary(sources, progress=False)
+        assert db.get_count() == len(patterns)
+        np.testing.assert_array_equal(
+            db._phases,
+            np.concatenate(
+                [np.zeros(int((phases == 0).sum()), np.int32),
+                 np.ones(int((phases == 1).sum()), np.int32)]
+            ),
+        )
+
+        res = indexer.index_pattern(
+            patterns[np.argmax(phases == 1)], top_n=5, orientation_threshold=3.0
+        )
+        assert res.phase == 1
