@@ -142,6 +142,24 @@ class TestMultiphasePipeline:
         # Self-queries resolve to their own cluster's phase.
         np.testing.assert_array_equal(out.phase, phases)
 
+    def test_mesh_sharded_pipeline_reports_phases(self, two_phase_setup):
+        """Phases survive the mesh path: the dictionary shards over devices,
+        the (replicated) phase-packed quaternion table is gathered with the
+        merged global indices."""
+        from latice_tpu.parallel import make_mesh
+
+        model, params, patterns, angles, phases, vecs = two_phase_setup
+        mesh = make_mesh(8)
+        pipe = IndexPipeline(
+            model, params, vecs, angles,
+            top_n=5, orientation_threshold=3.0, min_required_matches=3,
+            batch_size=16, mesh=mesh,
+            dictionary_phases=phases, phase_symmetries=["432", "622"],
+        )
+        out = pipe(patterns)
+        assert out.success.all()
+        np.testing.assert_array_equal(out.phase, phases)
+
     def test_single_phase_result_has_no_phase(self, two_phase_setup):
         model, params, patterns, angles, phases, vecs = two_phase_setup
         pipe = IndexPipeline(
