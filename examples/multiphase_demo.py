@@ -119,13 +119,29 @@ def main() -> None:
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
+        from latice_tpu.utils import get_color_key
+
+        # IPF-z map colored with each pixel's own phase point group (the
+        # cubic-only reference could not render the hexagonal phase).
+        ipf = np.zeros((len(scan_angles), 3))
+        for pid, grp in enumerate(PHASE_GROUPS):
+            sel = res.phase == pid
+            if sel.any():
+                ipf[sel] = get_color_key(
+                    res.best_orientation[sel], "ipf_z", group=grp
+                ) / 255.0
+
         side = args.side
-        fig, axs = plt.subplots(1, 2, figsize=(8, 4), dpi=120)
-        for ax, img, title in [
-            (axs[0], scan_phases.reshape(side, side), "ground-truth phase"),
-            (axs[1], res.phase.reshape(side, side), "indexed phase"),
+        fig, axs = plt.subplots(1, 3, figsize=(12, 4), dpi=120)
+        for ax, img, title, kw in [
+            (axs[0], scan_phases.reshape(side, side), "ground-truth phase",
+             dict(cmap="coolwarm", vmin=0, vmax=1)),
+            (axs[1], res.phase.reshape(side, side), "indexed phase",
+             dict(cmap="coolwarm", vmin=0, vmax=1)),
+            (axs[2], ipf.reshape(side, side, 3), "indexed IPF-z (per-phase key)",
+             {}),
         ]:
-            ax.imshow(img, cmap="coolwarm", vmin=0, vmax=1)
+            ax.imshow(img, **kw)
             ax.set_title(title)
             ax.axis("off")
         fig.tight_layout()

@@ -225,18 +225,27 @@ def symmetry_reduced_misorientation(
     return jnp.min(delta, axis=-1)
 
 
-def apply_symmetry_to_axes(axes: np.ndarray) -> np.ndarray:
-    """Expand direction vectors by the 24 cubic operators (numpy, host-side).
+def apply_symmetry_to_axes(axes: np.ndarray, group: str = "432") -> np.ndarray:
+    """Expand direction vectors by a point group's operators (numpy, host-side).
 
-    Used by the IPF color key (reference: latice/utils/colorkey.py:76-84).
+    Used by the IPF color key (reference: latice/utils/colorkey.py:76-84, which
+    is cubic-only; ``group`` extends the same expansion to every system).
 
     Args:
         axes: Array of shape ``(3,)`` or ``(N, 3)``.
+        group: `ROTATION_GROUPS` key; default cubic.
 
     Returns:
-        Array of shape ``(24, 3)`` or ``(N, 24, 3)``.
+        Array of shape ``(S, 3)`` or ``(N, S, 3)`` for a group of order S.
     """
     from scipy.spatial.transform import Rotation as R  # host-side only
 
-    mats = R.from_quat(np.asarray(CUBIC_SYMMETRY)).as_matrix()  # (24, 3, 3)
+    if group == "432":
+        # The reference's table verbatim (already scalar-last): preserves its
+        # exact iteration order, which the color key's first-match rule pins.
+        quats_xyzw = np.asarray(CUBIC_SYMMETRY)
+    else:
+        wxyz = np.asarray(ROTATION_GROUPS[group])
+        quats_xyzw = np.concatenate([wxyz[:, 1:4], wxyz[:, 0:1]], axis=1)
+    mats = R.from_quat(quats_xyzw).as_matrix()  # (S, 3, 3)
     return np.einsum("sij,...j->...si", mats, np.asarray(axes, dtype=np.float64))

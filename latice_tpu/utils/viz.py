@@ -81,7 +81,10 @@ def log_fig(log_name: str, fig, logger: Any, current_epoch: int) -> None:
 
 
 def get_color_key(
-    rot_angle: NDArray, mode: str = "ipf_z", hex_string: bool = False
+    rot_angle: NDArray,
+    mode: str = "ipf_z",
+    hex_string: bool = False,
+    group: str = "432",
 ) -> NDArray | list[str]:
     """IPF color keys for zxz-Euler rotation angles (utils.py:206-240).
 
@@ -90,6 +93,8 @@ def get_color_key(
         mode: 'ipf_x' | 'ipf_y' | 'ipf_z' — which rotation-matrix row is the
             projection pole.
         hex_string: Return '#rrggbb' strings instead of an int array.
+        group: Crystal point group for the IPF sector (default cubic, the
+            reference's only mode; other groups serve multi-phase maps).
     """
     from scipy.spatial.transform import Rotation as R
 
@@ -100,7 +105,7 @@ def get_color_key(
     row = {"ipf_x": 0, "ipf_y": 1, "ipf_z": 2}[mode]
     pole = pole[:, row, :]
 
-    colors = ColorKeyGenerator().generate_ipf_colors(pole)
+    colors = ColorKeyGenerator(group).generate_ipf_colors(pole)
     if not hex_string:
         return colors
     return ["#{:02x}{:02x}{:02x}".format(*rgb) for rgb in colors]

@@ -105,3 +105,78 @@ class TestPlotLatent:
         # matplotlib Figure or altair Chart both acceptable
         kind = type(chart).__module__
         assert kind.startswith("matplotlib") or kind.startswith("altair")
+
+
+class TestGeneralizedIPF:
+    """Non-cubic IPF sectors (multi-phase maps; beyond the cubic-only
+    reference)."""
+
+    def test_z_pole_red_for_every_group(self):
+        from latice_tpu.utils.colorkey import IPF_SECTORS, ColorKeyGenerator
+
+        for group in IPF_SECTORS:
+            rgb = ColorKeyGenerator(group).generate_ipf_color([0.0, 0.0, 1.0])
+            assert rgb == [255, 0, 0], group
+
+    def test_hexagonal_invariance_cubic_sensitivity(self):
+        """A pole and its 60-deg-about-z image share a color under '622' but
+        not under '432' (60 deg about z is not a cubic operator)."""
+        from scipy.spatial.transform import Rotation as R
+
+        from latice_tpu.utils.colorkey import ColorKeyGenerator
+
+        pole = np.array([0.3, 0.1, 0.95])
+        pole /= np.linalg.norm(pole)
+        rot60 = R.from_euler("z", 60, degrees=True).as_matrix() @ pole
+
+        hexkey = ColorKeyGenerator("622")
+        np.testing.assert_array_equal(
+            hexkey.generate_ipf_color(pole), hexkey.generate_ipf_color(rot60)
+        )
+        cubkey = ColorKeyGenerator("432")
+        assert cubkey.generate_ipf_color(pole) != cubkey.generate_ipf_color(rot60)
+
+    def test_group_invariance_all_ops(self):
+        """Colors are invariant under every operator of the chosen group."""
+        from scipy.spatial.transform import Rotation as R
+
+        from latice_tpu.crystal import ROTATION_GROUPS
+        from latice_tpu.utils.colorkey import ColorKeyGenerator
+
+        poles = RNG.normal(size=(5, 3))
+        poles /= np.linalg.norm(poles, axis=1, keepdims=True)
+        for group in ("222", "32", "422", "622"):
+            key = ColorKeyGenerator(group)
+            base = key.generate_ipf_colors(poles)
+            wxyz = np.asarray(ROTATION_GROUPS[group])
+            mats = R.from_quat(
+                np.concatenate([wxyz[:, 1:], wxyz[:, :1]], axis=1)
+            ).as_matrix()
+            for m in mats:
+                np.testing.assert_array_equal(
+                    key.generate_ipf_colors(poles @ m.T), base, err_msg=group
+                )
+
+    def test_inversion_invariance(self):
+        from latice_tpu.utils.colorkey import ColorKeyGenerator
+
+        poles = RNG.normal(size=(4, 3))
+        key = ColorKeyGenerator("1")  # triclinic: only inversion available
+        np.testing.assert_array_equal(
+            key.generate_ipf_colors(poles), key.generate_ipf_colors(-poles)
+        )
+
+    def test_unknown_group_raises(self):
+        from latice_tpu.utils.colorkey import ColorKeyGenerator
+
+        with pytest.raises(ValueError, match="unknown point group"):
+            ColorKeyGenerator("5-fold")
+
+    def test_get_color_key_group_passthrough(self):
+        from latice_tpu.utils import get_color_key
+
+        angles = RNG.uniform(0, 360, size=(6, 3))
+        cubic = get_color_key(angles, "ipf_z")
+        hexa = get_color_key(angles, "ipf_z", group="622")
+        assert cubic.shape == hexa.shape == (6, 3)
+        assert not np.array_equal(cubic, hexa)
