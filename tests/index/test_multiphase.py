@@ -263,6 +263,35 @@ class TestMultiphaseDatabase:
             db.find_best_orientation(vecs[0], top_n=5)
 
 
+class TestMultiphaseEngineMatrix:
+    """Phases ride the host-side index gather, so every top-k engine must
+    report them identically."""
+
+    @pytest.mark.parametrize("engine", ["device", "approx", "int8", "native"])
+    def test_phase_reported_across_engines(self, two_phase_setup, tmp_path, engine):
+        from latice_tpu.index import LatentVectorDatabaseConfig, TpuLatentVectorDatabase
+
+        if engine == "native":
+            from latice_tpu import native
+
+            if not native.available():
+                pytest.skip("native engine unavailable")
+
+        _, _, _, angles, phases, vecs = two_phase_setup
+        db = TpuLatentVectorDatabase(
+            LatentVectorDatabaseConfig(
+                npz_path=str(tmp_path / f"{engine}.npz"),
+                engine=engine,
+                phase_symmetries=["432", "622"],
+            )
+        )
+        db.add_vectors(vecs, angles, phases=phases)
+        dense = db.find_best_orientations_dense(
+            vecs[:12], top_n=5, orientation_threshold=3.0, min_required_matches=3
+        )
+        np.testing.assert_array_equal(dense["phase"], phases[:12], err_msg=engine)
+
+
 class TestIndexerMultiphaseBuild:
     def test_build_multiphase_dictionary(self, two_phase_setup, tmp_path):
         """One (patterns, angles) source pair per phase; list position is the
