@@ -134,6 +134,13 @@ class IndexPipeline:
 
         @jax.jit
         def _run(p, patterns):
+            if jnp.issubdtype(patterns.dtype, jnp.integer):
+                # uint8 input path: patterns ship over the host link in their
+                # native byte form (4x less transfer than f32 — the tunnel,
+                # not the chip, bounds full-map scans) and normalize on
+                # device with torchvision-ToTensor semantics (/255, matching
+                # data/transforms.py and reference data_module.py:91).
+                patterns = patterns.astype(jnp.float32) / 255.0
             mu, _ = model.apply({"params": p}, patterns, method="encode")
             if mesh is not None:
                 from latice_tpu.parallel.sharded_knn import (
@@ -206,7 +213,11 @@ class IndexPipeline:
         and compute overlap via async dispatch), then results materialize —
         a device-to-host sync per chunk would serialize the stream.
         """
-        x = np.asarray(patterns, dtype=np.float32)
+        x = np.asarray(patterns)
+        # uint8 stays uint8 (device-side /255 in _run); everything else takes
+        # the reference f32 path unchanged.
+        if x.dtype != np.uint8:
+            x = x.astype(np.float32, copy=False)
         if x.ndim == 3:
             x = x[..., None]
         pending = []

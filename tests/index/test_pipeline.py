@@ -131,3 +131,29 @@ class TestNonFiniteGuard:
         assert float(metrics2["skipped"]) == 0.0
         p2 = jax.tree_util.tree_leaves(new_state2.params)[0]
         assert not np.array_equal(np.asarray(p0), np.asarray(p2))
+
+
+class TestUint8InputPath:
+    def test_uint8_matches_f32(self, setup):
+        """uint8 patterns (native detector format, 4x less host-link traffic)
+        normalize on device with /255 ToTensor semantics: results must equal
+        feeding the same values as f32."""
+        model, params, patterns, angles = setup
+        latents = encode_all(model, params, patterns)
+        vecs = latents / np.linalg.norm(latents, axis=1, keepdims=True)
+        pipe = IndexPipeline(
+            model, params, vecs, angles,
+            top_n=5, orientation_threshold=3.0, min_required_matches=4,
+            batch_size=25,
+        )
+        pu8 = np.clip(np.round(patterns * 255), 0, 255).astype(np.uint8)
+        pf32 = pu8.astype(np.float32) / 255.0
+
+        a, b = pipe(pu8), pipe(pf32)
+        np.testing.assert_array_equal(a.indices, b.indices)
+        np.testing.assert_array_equal(a.success, b.success)
+        np.testing.assert_allclose(a.scores, b.scores, atol=1e-6)
+        ok = a.success
+        np.testing.assert_allclose(
+            a.mean_orientation[ok], b.mean_orientation[ok], atol=1e-5
+        )
