@@ -10,6 +10,12 @@ index_faiss.ipynb — SURVEY §2 #16); here it is a first-class command:
     # index unknown patterns against it
     python index.py query --patterns scan.npy --db latent_index.npz \
         --checkpoint checkpoints/best --out orientations.npy
+
+    # multi-phase: one --patterns/--angles pair per phase + its point group;
+    # query then also writes <out>_phase.npy
+    python index.py build --patterns fcc.npy --angles fcc.txt \
+        --patterns hcp.npy --angles hcp.txt --phase-groups 432,622 \
+        --checkpoint checkpoints/best --db mp_index.npz
 """
 
 from __future__ import annotations
@@ -57,27 +63,45 @@ def cmd_build(args) -> None:
         TpuLatentVectorDatabase,
     )
 
+    if len(args.patterns) != len(args.angles):
+        raise SystemExit("--patterns and --angles must be given the same number of times")
+    multiphase = len(args.patterns) > 1
+    groups = args.phase_groups.split(",") if args.phase_groups else None
+    if groups and len(groups) < len(args.patterns):
+        raise SystemExit(
+            f"{len(args.patterns)} phases but only {len(groups)} --phase-groups"
+        )
+
     model, params = _load_model(args.checkpoint, args.inplanes, args.latent_dim)
     db = TpuLatentVectorDatabase(
-        LatentVectorDatabaseConfig(npz_path=args.db, dimension=args.latent_dim)
+        LatentVectorDatabaseConfig(
+            npz_path=args.db,
+            dimension=args.latent_dim,
+            phase_symmetries=groups if multiphase else None,
+        )
     )
     indexer = DiffractionPatternIndexer(
         model,
         params,
         db=db,
         config=IndexerConfig(
-            pattern_path=args.patterns,
-            angles_path=args.angles,
+            pattern_path=args.patterns[0],
+            angles_path=args.angles[0],
             batch_size=args.batch_size,
             latent_dim=args.latent_dim,
         ),
     )
     t0 = time.time()
-    indexer.build_dictionary()
+    if multiphase:
+        # One (--patterns, --angles) pair per phase; list position = phase id.
+        indexer.build_multiphase_dictionary(list(zip(args.patterns, args.angles)))
+    else:
+        indexer.build_dictionary()
     db.save()
     logger.info(
-        f"Built dictionary of {db.get_count()} vectors in {time.time()-t0:.1f}s "
-        f"-> {args.db}"
+        f"Built dictionary of {db.get_count()} vectors"
+        + (f" across {len(args.patterns)} phases" if multiphase else "")
+        + f" in {time.time()-t0:.1f}s -> {args.db}"
     )
 
 
@@ -113,6 +137,12 @@ def cmd_query(args) -> None:
     patterns = np.load(args.patterns)
     x = default_transform(patterns, (128, 128))
 
+    phase_kw = {}
+    if db._has_phases:
+        phase_kw = dict(
+            dictionary_phases=db._phases,
+            phase_symmetries=db.config.phase_symmetries,
+        )
     pipe = IndexPipeline(
         model,
         params,
@@ -122,6 +152,7 @@ def cmd_query(args) -> None:
         orientation_threshold=args.threshold,
         min_required_matches=args.min_matches,
         batch_size=args.batch_size,
+        **phase_kw,
     )
     t0 = time.time()
     result = pipe(x)
@@ -137,6 +168,11 @@ def cmd_query(args) -> None:
         "seconds": dt,
         "out": args.out,
     }
+    if result.phase is not None:
+        phase_out = args.out.replace(".npy", "") + "_phase.npy"
+        np.save(phase_out, result.phase)
+        summary["phase_out"] = phase_out
+        summary["phase_counts"] = np.bincount(result.phase).tolist()
     print(json.dumps(summary))
 
 
@@ -152,8 +188,19 @@ def main() -> None:
     common.add_argument("--batch-size", type=int, default=256)
 
     b = sub.add_parser("build", parents=[common], help="build dictionary DB")
-    b.add_argument("--patterns", required=True, help="dictionary .npy stack")
-    b.add_argument("--angles", required=True, help="angle file")
+    b.add_argument(
+        "--patterns", required=True, action="append",
+        help="dictionary .npy stack (repeat once per phase for multi-phase)",
+    )
+    b.add_argument(
+        "--angles", required=True, action="append",
+        help="angle file (repeat once per phase, paired with --patterns)",
+    )
+    b.add_argument(
+        "--phase-groups", default=None,
+        help="comma-separated point groups, one per phase (e.g. 432,622); "
+        "persisted in the npz and applied automatically at query time",
+    )
     b.set_defaults(fn=cmd_build)
 
     e = sub.add_parser(

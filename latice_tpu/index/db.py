@@ -590,7 +590,13 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
         superset of the reference format; reference files load unchanged).
         """
         path = self.npz_path.with_suffix(".npz")
-        extra = {"phases": self._phases} if self._has_phases else {}
+        extra = {}
+        if self._has_phases:
+            extra["phases"] = self._phases
+            if self.config.phase_symmetries is not None:
+                extra["phase_groups"] = np.asarray(
+                    list(self.config.phase_symmetries), dtype=np.str_
+                )
         np.savez_compressed(
             str(path),
             vectors=self._vectors,
@@ -614,6 +620,8 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
             if self._has_phases
             else np.zeros(len(self._vectors), dtype=np.int32)
         )
+        if "phase_groups" in data and self.config.phase_symmetries is None:
+            self.config.phase_symmetries = [str(g) for g in data["phase_groups"]]
         self.dimension = self._vectors.shape[1]
         self._dev_cache = None
         self._int8_cache = None

@@ -1,0 +1,97 @@
+"""index.py CLI: build / query flows, single- and multi-phase."""
+
+import importlib
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO))
+index_cli = importlib.import_module("index")
+
+
+def _write_phase(tmp_path, name, n, seed):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(size=(1, 128, 128))
+    patterns = base + rng.normal(size=(n, 128, 128)) * 0.02
+    angles = rng.uniform([0, 20, 0], [340, 140, 340], size=(n, 3))
+    ppath = tmp_path / f"{name}.npy"
+    apath = tmp_path / f"{name}.txt"
+    np.save(ppath, patterns)
+    apath.write_text(
+        "eu\n%d\n" % n + "".join(f"{a[0]} {a[1]} {a[2]}\n" for a in angles)
+    )
+    return ppath, apath, patterns.astype(np.float32)
+
+
+def _run(argv, monkeypatch, capsys):
+    monkeypatch.setattr(sys, "argv", ["index.py"] + argv)
+    index_cli.main()
+    return capsys.readouterr().out
+
+
+SMALL = ["--inplanes", "2", "--latent-dim", "8", "--batch-size", "16"]
+
+
+class TestCLI:
+    def test_build_query_single_phase(self, tmp_path, monkeypatch, capsys):
+        ppath, apath, patterns = _write_phase(tmp_path, "dict", 24, seed=0)
+        db = str(tmp_path / "idx.npz")
+        _run(
+            ["build", "--patterns", str(ppath), "--angles", str(apath), "--db", db]
+            + SMALL,
+            monkeypatch, capsys,
+        )
+        assert Path(db).exists()
+
+        out = str(tmp_path / "orients.npy")
+        stdout = _run(
+            ["query", "--patterns", str(ppath), "--db", db, "--out", out,
+             "--top-n", "5", "--min-matches", "1"] + SMALL,
+            monkeypatch, capsys,
+        )
+        summary = json.loads(stdout.strip().splitlines()[-1])
+        assert summary["n_patterns"] == 24
+        assert "phase_out" not in summary
+        assert np.load(out).shape == (24, 3)
+
+    def test_build_query_multiphase(self, tmp_path, monkeypatch, capsys):
+        p0, a0, pat0 = _write_phase(tmp_path, "fcc", 16, seed=1)
+        p1, a1, pat1 = _write_phase(tmp_path, "hcp", 16, seed=2)
+        db = str(tmp_path / "mp.npz")
+        _run(
+            ["build", "--patterns", str(p0), "--angles", str(a0),
+             "--patterns", str(p1), "--angles", str(a1),
+             "--phase-groups", "432,622", "--db", db] + SMALL,
+            monkeypatch, capsys,
+        )
+        data = np.load(db)
+        assert list(data["phase_groups"]) == ["432", "622"]
+        np.testing.assert_array_equal(
+            data["phases"], np.repeat([0, 1], 16).astype(np.int32)
+        )
+
+        scan = tmp_path / "scan.npy"
+        np.save(scan, np.concatenate([pat1[:4], pat0[:4]]))
+        out = str(tmp_path / "o.npy")
+        stdout = _run(
+            ["query", "--patterns", str(scan), "--db", db, "--out", out,
+             "--top-n", "5", "--min-matches", "1"] + SMALL,
+            monkeypatch, capsys,
+        )
+        summary = json.loads(stdout.strip().splitlines()[-1])
+        phases = np.load(summary["phase_out"])
+        np.testing.assert_array_equal(phases, [1, 1, 1, 1, 0, 0, 0, 0])
+        assert summary["phase_counts"] == [4, 4]
+
+    def test_mismatched_pairs_rejected(self, tmp_path, monkeypatch, capsys):
+        p0, a0, _ = _write_phase(tmp_path, "x", 8, seed=3)
+        with pytest.raises(SystemExit, match="same number"):
+            _run(
+                ["build", "--patterns", str(p0), "--patterns", str(p0),
+                 "--angles", str(a0), "--db", str(tmp_path / "z.npz")] + SMALL,
+                monkeypatch, capsys,
+            )
