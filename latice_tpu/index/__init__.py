@@ -9,6 +9,7 @@ from latice_tpu.index.db import (
     LatentVectorDatabaseBase,
     LatentVectorDatabaseConfig,
     TpuLatentVectorDatabase,
+    parse_faiss_flat_blob,
 )
 from latice_tpu.index.indexer import DiffractionPatternIndexer, IndexerConfig
 from latice_tpu.index.pipeline import DenseIndexResult, IndexPipeline
@@ -32,6 +33,7 @@ __all__ = [
     "LatentVectorDatabaseConfig",
     "OrientationResult",
     "TpuLatentVectorDatabase",
+    "parse_faiss_flat_blob",
     "consensus_from_euler",
     "consensus_orientations",
     "cosine_topk",

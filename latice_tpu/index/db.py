@@ -55,6 +55,53 @@ def _l2_normalize_np(vectors: np.ndarray) -> np.ndarray:
     norms[norms == 0] = 1.0
     return vectors / norms
 
+def parse_faiss_flat_blob(blob: bytes | np.ndarray) -> np.ndarray:
+    """Decode a serialized FAISS ``IndexFlat`` into its ``(ntotal, d)`` vectors.
+
+    Pure-Python reader for the byte stream ``faiss.serialize_index`` emits for
+    flat indexes, so `.npz` files persisted by the reference FAISS backend
+    (faiss_db.py:440-458: ``faiss_index=serialize_index(...)``) load into this
+    framework without installing faiss. Stream layout (faiss
+    impl/index_write.cpp, stable across 1.x):
+
+    * fourcc: ``IxFI`` (inner product), ``IxF2`` (L2) or ``IxFl`` (other);
+    * header: ``d`` int32, ``ntotal`` int64, two deprecated int64 fields,
+      ``is_trained`` byte, ``metric_type`` int32 (+ ``metric_arg`` float when
+      metric_type > 1);
+    * the stored vectors as a legacy float vector: uint64 element count
+      (= ntotal*d) followed by the raw float32 data.
+
+    The data is located from the stream *tail* rather than a running offset,
+    so header-size drift between faiss versions cannot misalign the read; the
+    element-count prefix is then verified (accepting both the float-count and
+    byte-count conventions).
+    """
+    raw = bytes(np.asarray(blob, dtype=np.uint8))
+    if len(raw) < 45:
+        raise ValueError("serialized FAISS index too short to be an IndexFlat")
+    fourcc = raw[:4]
+    if fourcc not in (b"IxFI", b"IxF2", b"IxFl"):
+        raise ValueError(
+            f"unsupported FAISS index type {fourcc!r}: only flat indexes "
+            "(IndexFlat / IndexFlatIP / IndexFlatL2) can be parsed"
+        )
+    d = int(np.frombuffer(raw, dtype="<i4", count=1, offset=4)[0])
+    ntotal = int(np.frombuffer(raw, dtype="<i8", count=1, offset=8)[0])
+    if d <= 0 or ntotal < 0:
+        raise ValueError(f"implausible FAISS header: d={d}, ntotal={ntotal}")
+    nbytes = ntotal * d * 4
+    if len(raw) < nbytes + 8:
+        raise ValueError("serialized FAISS index truncated")
+    prefix = int(np.frombuffer(raw, dtype="<u8", count=1, offset=len(raw) - nbytes - 8)[0])
+    if prefix not in (ntotal * d, nbytes):
+        raise ValueError(
+            f"FAISS data-vector length prefix {prefix} does not match "
+            f"ntotal*d={ntotal * d}"
+        )
+    vectors = np.frombuffer(raw, dtype="<f4", count=ntotal * d, offset=len(raw) - nbytes)
+    return vectors.reshape(ntotal, d).copy()
+
+
 def _maybe_progress(enabled: bool):
     """Rich progress bar when requested and importable; silent no-op otherwise."""
     if enabled:
@@ -97,6 +144,7 @@ __all__ = [
     "LatentVectorDatabaseConfig",
     "TpuLatentVectorDatabase",
     "OrientationResult",
+    "parse_faiss_flat_blob",
 ]
 
 
@@ -606,13 +654,30 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
         logger.info(f"Saved index and metadata to {path}")
 
     def load(self) -> None:
-        """Load vectors + orientations from the .npz (faiss_db.py:460-476)."""
+        """Load vectors + orientations from the .npz (faiss_db.py:460-476).
+
+        Accepts both this framework's format (``vectors`` key) and `.npz`
+        files written by the reference FAISS backend, whose vectors live
+        inside a serialized ``IndexFlat`` blob (``faiss_index`` key) — decoded
+        here without faiss via :func:`parse_faiss_flat_blob`.
+        """
         path = self.npz_path.with_suffix(".npz")
         if not path.exists():
             logger.error(f"Cannot load. NPZ file {path} not found.")
             raise FileNotFoundError("NPZ file missing.")
         data = np.load(str(path))
-        self._vectors = data["vectors"].astype(np.float32)
+        if "vectors" in data:
+            self._vectors = data["vectors"].astype(np.float32)
+        elif "faiss_index" in data:
+            self._vectors = parse_faiss_flat_blob(data["faiss_index"]).astype(
+                np.float32
+            )
+            logger.info("Decoded reference-format serialized FAISS index")
+        else:
+            raise KeyError(
+                f"{path} holds neither 'vectors' nor 'faiss_index' — not a "
+                "latent-index file"
+            )
         self._orientations = data["orientations"].astype(np.float64)
         self._has_phases = "phases" in data
         self._phases = (

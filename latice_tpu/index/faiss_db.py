@@ -14,6 +14,7 @@ from dataclasses import dataclass
 from latice_tpu.index.db import (
     LatentVectorDatabaseConfig as _TpuConfig,
     TpuLatentVectorDatabase,
+    parse_faiss_flat_blob,
 )
 from latice_tpu.index.result import OrientationResult
 
@@ -21,6 +22,7 @@ __all__ = [
     "FaissLatentVectorDatabaseConfig",
     "FaissLatentVectorDatabase",
     "OrientationResult",
+    "parse_faiss_flat_blob",
 ]
 
 
