@@ -45,6 +45,11 @@ def main() -> None:
     import jax.numpy as jnp
 
     from examples.accuracy_benchmark import render_patterns
+    from latice_tpu.crystal import (
+        grain_boundary_mask,
+        label_grains,
+        misorientation_maps,
+    )
     from latice_tpu.index import IndexPipeline
     from latice_tpu.models import VariationalAutoEncoderRawData
     from latice_tpu.train import VAELoss, create_train_state, make_train_step
@@ -125,11 +130,23 @@ def main() -> None:
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, axs = plt.subplots(1, 3, figsize=(12, 4), dpi=120)
+    # Grain analysis on the indexed map (crystal.maps): segment grains and
+    # compare the recovered count against the Voronoi ground truth.
+    euler_grid = res.best_orientation.reshape(side, side, 3)
+    maps = misorientation_maps(euler_grid, group="432")
+    labels, n_grains = label_grains(maps, threshold_deg=5.0)
+    boundaries = grain_boundary_mask(maps, threshold_deg=5.0)
+    truth_grains = len(np.unique(grain_id))
+    print(f"grain segmentation: {n_grains} grains recovered (truth: {truth_grains})")
+
+    fig, axs = plt.subplots(1, 4, figsize=(16, 4), dpi=120)
+    grain_rgb = plt.get_cmap("tab20")(labels % 20)[..., :3]
+    grain_rgb[boundaries] = 0.0
     for ax, img, title in [
         (axs[0], truth_rgb, "ground truth (IPF-z)"),
         (axs[1], got_rgb, "indexed (IPF-z)"),
-        (axs[2], res.success.reshape(side, side), "success mask"),
+        (axs[2], grain_rgb, f"grains ({n_grains}, boundaries black)"),
+        (axs[3], res.success.reshape(side, side), "success mask"),
     ]:
         kw = {"vmin": 0, "vmax": 1, "cmap": "gray"} if img.ndim == 2 else {}
         ax.imshow(img, interpolation="nearest", **kw)

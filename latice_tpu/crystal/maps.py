@@ -1,0 +1,188 @@
+"""Orientation-map analysis: misorientation fields, KAM, grain labeling.
+
+Post-indexing analyses every EBSD workflow runs on the Euler-angle grid that
+`IndexPipeline` / `index.py query` produces. The reference stops at per-pixel
+orientations (its notebooks hand results to external tools); these are the
+standard next steps, built on the same pure-JAX quaternion algebra as the
+consensus engine (crystal/quaternion.py, crystal/symmetry.py).
+
+Design: the per-pixel disorientation field is one jitted XLA program over the
+whole (H, W) grid — quaternion conversion, symmetry reduction over all S
+operators, and both neighbor directions fused into a single dispatch (eager
+op-by-op math is pathologically slow on tunneled TPU backends). Grain
+labeling is host-side union-find in numpy: it is data-dependent, pointer-chasing
+work that a systolic array cannot help with, and at typical map sizes (<1M
+pixels) it is microseconds-cheap next to the device field computation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latice_tpu.crystal.quaternion import from_euler_zxz_deg, misorientation_angle, quat_mul
+from latice_tpu.crystal.symmetry import symmetry_quats
+
+__all__ = [
+    "MisorientationMaps",
+    "misorientation_maps",
+    "kernel_average_misorientation",
+    "grain_boundary_mask",
+    "label_grains",
+]
+
+
+class MisorientationMaps(NamedTuple):
+    """Neighbor disorientation fields over an (H, W) orientation grid.
+
+    ``east[i, j]`` is the symmetry-reduced misorientation (degrees) between
+    pixel (i, j) and (i, j+1); ``south[i, j]`` between (i, j) and (i+1, j).
+    The last column of ``east`` and last row of ``south`` are 0 (no neighbor).
+    """
+
+    east: np.ndarray
+    south: np.ndarray
+
+
+@partial(jax.jit, static_argnums=())
+def _disorientation_fields(euler_deg: jax.Array, sym: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(H, W, 3) Euler degrees -> (east, south) disorientation fields in degrees.
+
+    One compiled program: grid -> quaternions, then for each of the two
+    neighbor directions the minimum misorientation over all symmetry images
+    ``min_s angle(q_a, s * q_b)`` (crystal/symmetry.py:212 semantics),
+    vectorized over every pixel and operator at once.
+    """
+    q = from_euler_zxz_deg(euler_deg)  # (H, W, 4)
+
+    def reduced(qa, qb):
+        # (..., 4) x (..., 4) -> (...,) degrees, min over the S operators.
+        imgs = quat_mul(sym, qb[..., None, :])  # (..., S, 4)
+        ang = misorientation_angle(qa[..., None, :], imgs)  # (..., S)
+        return jnp.rad2deg(jnp.min(ang, axis=-1))
+
+    east = reduced(q[:, :-1], q[:, 1:])  # (H, W-1)
+    south = reduced(q[:-1, :], q[1:, :])  # (H-1, W)
+    east = jnp.pad(east, ((0, 0), (0, 1)))
+    south = jnp.pad(south, ((0, 1), (0, 0)))
+    return east, south
+
+
+def misorientation_maps(
+    euler_deg: np.ndarray, group: str = "432"
+) -> MisorientationMaps:
+    """Symmetry-reduced neighbor misorientation fields of an orientation map.
+
+    Args:
+        euler_deg: ``(H, W, 3)`` zxz extrinsic Euler angles in degrees (the
+            grid form of `IndexPipeline` output).
+        group: Proper rotation point group (`crystal.ROTATION_GROUPS` key).
+
+    Returns:
+        MisorientationMaps with float32 ``(H, W)`` east/south fields (host).
+    """
+    euler = np.asarray(euler_deg, dtype=np.float32)
+    if euler.ndim != 3 or euler.shape[-1] != 3:
+        raise ValueError(f"expected (H, W, 3) Euler grid, got {euler.shape}")
+    if euler.shape[0] < 2 or euler.shape[1] < 2:
+        raise ValueError("orientation map must be at least 2x2")
+    sym = symmetry_quats(group)
+    east, south = _disorientation_fields(jnp.asarray(euler), sym)
+    return MisorientationMaps(np.asarray(east), np.asarray(south))
+
+
+def kernel_average_misorientation(
+    maps: MisorientationMaps, threshold_deg: float = 5.0
+) -> np.ndarray:
+    """Kernel average misorientation (KAM), first-neighbor, with grain filter.
+
+    Per pixel: the mean disorientation to its in-grid 4-neighbors, counting
+    only neighbors below ``threshold_deg`` (the standard convention — edges
+    crossing a grain boundary are excluded). Pixels with no sub-threshold
+    neighbor get 0.
+    """
+    east, south = maps
+    h, w = east.shape
+    deg = np.zeros((h, w), dtype=np.float32)
+    cnt = np.zeros((h, w), dtype=np.int32)
+    for field, (dst_a, src_a) in (
+        (east[:, :-1], (np.s_[:, :-1], np.s_[:, 1:])),
+        (south[:-1, :], (np.s_[:-1, :], np.s_[1:, :])),
+    ):
+        ok = field < threshold_deg
+        for sl in (dst_a, src_a):
+            deg[sl] += np.where(ok, field, 0.0)
+            cnt[sl] += ok
+    return np.divide(deg, cnt, out=np.zeros_like(deg), where=cnt > 0)
+
+
+def grain_boundary_mask(
+    maps: MisorientationMaps, threshold_deg: float = 5.0
+) -> np.ndarray:
+    """Boolean ``(H, W)`` mask of pixels adjacent to a grain boundary.
+
+    A pixel is marked when any of its 4-neighbor edges carries a
+    disorientation of at least ``threshold_deg``.
+    """
+    east, south = maps
+    mask = np.zeros(east.shape, dtype=bool)
+    e = east[:, :-1] >= threshold_deg
+    s = south[:-1, :] >= threshold_deg
+    mask[:, :-1] |= e
+    mask[:, 1:] |= e
+    mask[:-1, :] |= s
+    mask[1:, :] |= s
+    return mask
+
+
+def label_grains(
+    maps: MisorientationMaps, threshold_deg: float = 5.0
+) -> tuple[np.ndarray, int]:
+    """Segment the map into grains: connected components of low-misorientation
+    edges (4-connectivity, edge kept when disorientation < ``threshold_deg``).
+
+    Returns ``(labels, n_grains)`` with labels in ``0..n_grains-1``, row-major
+    first-visit order. Host-side union-find with path halving.
+    """
+    east, south = maps
+    h, w = east.shape
+    n = h * w
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]  # path halving
+            i = parent[i]
+        return i
+
+    idx = np.arange(n).reshape(h, w)
+    edges_a: list[np.ndarray] = []
+    edges_b: list[np.ndarray] = []
+    e_ok = east[:, :-1] < threshold_deg
+    edges_a.append(idx[:, :-1][e_ok])
+    edges_b.append(idx[:, 1:][e_ok])
+    s_ok = south[:-1, :] < threshold_deg
+    edges_a.append(idx[:-1, :][s_ok])
+    edges_b.append(idx[1:, :][s_ok])
+    for a, b in zip(np.concatenate(edges_a), np.concatenate(edges_b)):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[rb] = ra
+
+    roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+    _, labels = np.unique(roots, return_inverse=True)
+    # Relabel so grain ids follow row-major first-visit order (deterministic
+    # and independent of union-find internals).
+    order = np.full(labels.max() + 1, -1, dtype=np.int64)
+    nxt = 0
+    out = np.empty(n, dtype=np.int32)
+    for i, lab in enumerate(labels):
+        if order[lab] < 0:
+            order[lab] = nxt
+            nxt += 1
+        out[i] = order[lab]
+    return out.reshape(h, w), nxt

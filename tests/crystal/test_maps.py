@@ -1,0 +1,110 @@
+"""Orientation-map analysis: misorientation fields, KAM, grain labeling."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as R
+
+from latice_tpu.crystal import (
+    CUBIC_SYMMETRY,
+    grain_boundary_mask,
+    kernel_average_misorientation,
+    label_grains,
+    misorientation_maps,
+)
+
+
+def _two_grain_map(h=6, w=8, split=4, seed=0):
+    """Left block ~[10,20,30], right block ~[80,60,40], ~0.3 deg in-grain noise."""
+    rng = np.random.default_rng(seed)
+    euler = np.empty((h, w, 3))
+    euler[:, :split] = [10.0, 20.0, 30.0]
+    euler[:, split:] = [80.0, 60.0, 40.0]
+    euler += rng.normal(scale=0.1, size=euler.shape)
+    return euler
+
+
+class TestMisorientationMaps:
+    def test_fields_match_scipy(self):
+        euler = _two_grain_map()
+        maps = misorientation_maps(euler, group="432")
+        # Cross-check one in-grain and one boundary east edge against scipy.
+        sym = R.from_quat(np.asarray(CUBIC_SYMMETRY)[:, [1, 2, 3, 0]])
+        for (i, j) in [(2, 1), (3, 3)]:
+            qa = R.from_euler("zxz", euler[i, j], degrees=True)
+            qb = R.from_euler("zxz", euler[i, j + 1], degrees=True)
+            expected = min(
+                (qa.inv() * (s * qb)).magnitude() for s in sym
+            ) * 180.0 / np.pi
+            assert maps.east[i, j] == pytest.approx(expected, abs=1e-3)
+
+    def test_edges_are_zero(self):
+        maps = misorientation_maps(_two_grain_map(), group="432")
+        np.testing.assert_array_equal(maps.east[:, -1], 0.0)
+        np.testing.assert_array_equal(maps.south[-1, :], 0.0)
+
+    def test_symmetry_equivalents_are_zero_misorientation(self):
+        # A 90-deg z-rotation is in 432: disorientation across the "boundary"
+        # must vanish, and the whole map must segment as ONE grain.
+        euler = np.zeros((4, 4, 3))
+        euler[:, 2:] = [90.0, 0.0, 0.0]
+        maps = misorientation_maps(euler, group="432")
+        assert float(maps.east.max()) < 1e-3
+        _, n = label_grains(maps, threshold_deg=5.0)
+        assert n == 1
+
+    def test_triclinic_group_sees_the_boundary(self):
+        euler = np.zeros((4, 4, 3))
+        euler[:, 2:] = [90.0, 0.0, 0.0]
+        maps = misorientation_maps(euler, group="1")
+        assert maps.east[0, 1] == pytest.approx(90.0, abs=1e-3)
+
+    def test_input_validation(self):
+        with pytest.raises(ValueError, match="Euler grid"):
+            misorientation_maps(np.zeros((5, 3)))
+        with pytest.raises(ValueError, match="at least 2x2"):
+            misorientation_maps(np.zeros((1, 5, 3)))
+
+
+class TestGrainAnalysis:
+    def test_two_grains_segmented(self):
+        maps = misorientation_maps(_two_grain_map(), group="432")
+        labels, n = label_grains(maps, threshold_deg=5.0)
+        assert n == 2
+        assert (labels[:, :4] == 0).all()
+        assert (labels[:, 4:] == 1).all()
+
+    def test_boundary_mask_hugs_the_split(self):
+        maps = misorientation_maps(_two_grain_map(), group="432")
+        mask = grain_boundary_mask(maps, threshold_deg=5.0)
+        assert mask[:, 3].all() and mask[:, 4].all()
+        assert not mask[:, :3].any() and not mask[:, 5:].any()
+
+    def test_kam_excludes_boundary_edges(self):
+        maps = misorientation_maps(_two_grain_map(), group="432")
+        kam = kernel_average_misorientation(maps, threshold_deg=5.0)
+        # In-grain noise ~0.1 deg -> KAM well under 1 deg everywhere,
+        # including at the boundary (the crossing edge is filtered out).
+        assert float(kam.max()) < 1.0
+        assert float(kam[2:4, 1:3].mean()) > 0.0
+
+    def test_four_quadrant_grains(self):
+        euler = np.zeros((6, 6, 3))
+        euler[:3, :3] = [10, 20, 30]
+        euler[:3, 3:] = [40, 50, 60]
+        euler[3:, :3] = [70, 30, 10]
+        euler[3:, 3:] = [100, 70, 5]
+        maps = misorientation_maps(euler, group="432")
+        labels, n = label_grains(maps, threshold_deg=5.0)
+        assert n == 4
+        # Row-major first-visit order: NW=0, NE=1, SW=2, SE=3.
+        assert labels[0, 0] == 0 and labels[0, 5] == 1
+        assert labels[5, 0] == 2 and labels[5, 5] == 3
+
+    def test_single_pixel_grain(self):
+        euler = np.zeros((3, 3, 3))
+        euler[1, 1] = [45.0, 60.0, 15.0]
+        maps = misorientation_maps(euler, group="432")
+        labels, n = label_grains(maps, threshold_deg=5.0)
+        assert n == 2
+        assert labels[1, 1] != labels[0, 0]
+        assert (labels == labels[0, 0]).sum() == 8
