@@ -1,0 +1,243 @@
+"""Production indexing service: a persistent, warmed-up HTTP plane.
+
+The reference ships indexing only as notebooks and library calls; production
+deployments need a long-lived process that pays the XLA compile once and then
+serves scans at device speed. This module provides that as a dependency-free
+stdlib HTTP server around the fused `IndexPipeline`:
+
+* the pipeline is **warmed at startup** (one padded dummy batch) so the first
+  request never eats the multi-second compile;
+* requests carry patterns as raw ``.npy`` bytes — uint8 stacks stay uint8 end
+  to end (the device does /255), preserving the 4x-smaller host-link transfer
+  of the pipeline's native-detector path;
+* all requests funnel through one lock: a single accelerator executes one
+  program at a time anyway, and the pipeline already batches/pads internally
+  to its static compile shape;
+* multi-phase dictionaries automatically add per-pixel phase ids to responses.
+
+Endpoints:
+  GET  /healthz  -> {"status": "ok", "count": N, "dimension": D, ...}
+  POST /index    -> body: .npy of (N, H, W[, 1]) patterns
+                    reply: {"orientations": ..., "success": ..., "n": ...}
+  POST /encode   -> body: .npy patterns; reply: {"latents": ...}
+
+See ``serve.py`` at the repo root for the CLI entry point.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["IndexService", "make_server"]
+
+
+class IndexService:
+    """Thread-safe indexing facade over a fused pipeline + encoder.
+
+    Args:
+        model / params: the Flax VAE and trained parameters.
+        db: a loaded ``TpuLatentVectorDatabase`` (vectors + orientations +
+            optional phases).
+        top_n / orientation_threshold / min_required_matches: consensus knobs
+            (reference defaults dp_indexer.py:47-48, faiss_db.py:262-264).
+        batch_size: static compile batch; requests of any size are chunked
+            and padded by the pipeline.
+        image_size: expected pattern height/width after the default transform.
+    """
+
+    def __init__(
+        self,
+        model: Any,
+        params: Any,
+        db: Any,
+        top_n: int = 20,
+        orientation_threshold: float = 3.0,
+        min_required_matches: int = 18,
+        batch_size: int = 256,
+        image_size: tuple[int, int] = (128, 128),
+    ) -> None:
+        import jax
+
+        from latice_tpu.index import IndexPipeline
+
+        self.image_size = tuple(image_size)
+        self._lock = threading.Lock()
+        self._model = model
+        self._params = params
+        self._db = db
+        phase_kw = {}
+        if getattr(db, "_has_phases", False):
+            phase_kw = dict(
+                dictionary_phases=db._phases,
+                phase_symmetries=db.config.phase_symmetries,
+            )
+        self.pipeline = IndexPipeline(
+            model,
+            params,
+            db._vectors,
+            db._orientations,
+            top_n=top_n,
+            orientation_threshold=orientation_threshold,
+            min_required_matches=min_required_matches,
+            batch_size=batch_size,
+            **phase_kw,
+        )
+        self._encode = jax.jit(
+            lambda p, x: model.apply({"params": p}, x, method="encode")[0]
+        )
+        self.started = time.time()
+        self.requests = 0
+        self.patterns_indexed = 0
+
+    def warmup(self) -> float:
+        """Compile both programs with a dummy batch; returns seconds spent."""
+        t0 = time.time()
+        h, w = self.image_size
+        dummy = np.zeros((1, h, w), dtype=np.uint8)
+        with self._lock:
+            self.pipeline(dummy)
+            np.asarray(
+                self._encode(
+                    self._params,
+                    np.zeros(
+                        (self.pipeline.batch_size, h, w, 1), dtype=np.float32
+                    ),
+                )
+            )
+        dt = time.time() - t0
+        logger.info(f"warmup compiled pipeline + encoder in {dt:.1f}s")
+        return dt
+
+    def _prepare(self, patterns: np.ndarray) -> np.ndarray:
+        """Shape/dtype normalization preserving the uint8 fast path."""
+        x = np.asarray(patterns)
+        if x.ndim == 2:
+            x = x[None]
+        if x.ndim == 4 and x.shape[-1] == 1:
+            x = x[..., 0]
+        if x.ndim != 3:
+            raise ValueError(f"expected (N, H, W[, 1]) patterns, got {x.shape}")
+        if x.shape[1:] != self.image_size:
+            if x.dtype == np.uint8:
+                # center_crop is a pure slice: uint8 survives it.
+                from latice_tpu.data import center_crop
+
+                x = center_crop(x, self.image_size)
+            else:
+                from latice_tpu.data import default_transform
+
+                x = default_transform(x, self.image_size)[..., 0]
+        return x
+
+    def index(self, patterns: np.ndarray) -> dict:
+        """Index a pattern stack; returns a JSON-ready dict."""
+        x = self._prepare(patterns)
+        t0 = time.time()
+        with self._lock:
+            res = self.pipeline(x)
+            self.requests += 1
+            self.patterns_indexed += len(x)
+        out = {
+            "n": int(len(x)),
+            "orientations": np.nan_to_num(res.best_orientation).tolist(),
+            "mean_orientations": res.mean_orientation.tolist(),
+            "success": res.success.tolist(),
+            "n_similar": res.n_similar.tolist(),
+            "seconds": time.time() - t0,
+        }
+        if res.phase is not None:
+            out["phase"] = res.phase.tolist()
+        return out
+
+    def encode(self, patterns: np.ndarray) -> dict:
+        """Encode patterns to mu latents; returns a JSON-ready dict."""
+        x = self._prepare(patterns)
+        if x.dtype == np.uint8:  # ToTensor semantics: bytes scale, floats pass
+            x = x.astype(np.float32) / 255.0
+        else:
+            x = x.astype(np.float32)
+        b = self.pipeline.batch_size
+        outs = []
+        with self._lock:
+            for s in range(0, len(x), b):
+                chunk = x[s : s + b]
+                pad = b - len(chunk)
+                if pad:
+                    chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
+                outs.append(np.asarray(self._encode(self._params, chunk[..., None])))
+            self.requests += 1
+        lat = np.concatenate(outs)[: len(x)]
+        return {"n": int(len(x)), "latents": lat.tolist()}
+
+    def health(self) -> dict:
+        from latice_tpu.utils import get_platform
+
+        return {
+            "status": "ok",
+            "count": int(self._db.get_count()),
+            "dimension": int(self._db.dimension),
+            "platform": get_platform(),
+            "batch_size": int(self.pipeline.batch_size),
+            "multiphase": bool(getattr(self._db, "_has_phases", False)),
+            "uptime_s": time.time() - self.started,
+            "requests": self.requests,
+            "patterns_indexed": self.patterns_indexed,
+        }
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: IndexService  # set by make_server
+
+    def _reply(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):  # route through logging, not stderr
+        logger.debug("%s " + fmt, self.address_string(), *args)
+
+    def do_GET(self) -> None:
+        if self.path == "/healthz":
+            self._reply(200, self.service.health())
+        else:
+            self._reply(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self) -> None:
+        if self.path not in ("/index", "/encode"):
+            self._reply(404, {"error": f"unknown path {self.path}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            patterns = np.load(io.BytesIO(self.rfile.read(length)), allow_pickle=False)
+        except Exception as e:  # malformed payloads must not kill the server
+            self._reply(400, {"error": f"body must be .npy bytes: {e}"})
+            return
+        try:
+            fn = self.service.index if self.path == "/index" else self.service.encode
+            self._reply(200, fn(patterns))
+        except ValueError as e:
+            self._reply(400, {"error": str(e)})
+        except Exception as e:
+            logger.exception("request failed")
+            self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def make_server(
+    service: IndexService, host: str = "127.0.0.1", port: int = 8800
+) -> ThreadingHTTPServer:
+    """Build the HTTP server (not yet serving — call ``serve_forever()``)."""
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer((host, port), handler)

@@ -1,0 +1,129 @@
+"""HTTP serving plane: warmed pipeline behind stdlib endpoints."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latice_tpu.index import LatentVectorDatabaseConfig, TpuLatentVectorDatabase
+from latice_tpu.models import VariationalAutoEncoderRawData
+from latice_tpu.serve import IndexService, make_server
+
+
+def _npy_bytes(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+def _post(url: str, body: bytes):
+    return json.load(urllib.request.urlopen(url, data=body, timeout=30))
+
+
+@pytest.fixture(scope="module")
+def served():
+    """A live server over a 24-entry dictionary encoded by a tiny VAE."""
+    rng = np.random.default_rng(0)
+    base = rng.uniform(size=(1, 128, 128)).astype(np.float32)
+    patterns = (base + rng.normal(size=(24, 128, 128)) * 0.02).astype(np.float32)
+    # Canonical scipy zxz ranges so the consensus mean reproduces the stored
+    # angles verbatim when only the self-candidate survives the threshold.
+    orientations = rng.uniform([10, 20, 10], [170, 140, 170], size=(24, 3))
+
+    model = VariationalAutoEncoderRawData(inplanes=2, latent_dim=8)
+    params = model.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 128, 128, 1)), jax.random.key(1)
+    )["params"]
+    enc = jax.jit(lambda p, x: model.apply({"params": p}, x, method="encode")[0])
+    latents = np.asarray(enc(params, patterns[..., None]))
+
+    db = TpuLatentVectorDatabase(
+        LatentVectorDatabaseConfig(npz_path="/tmp/serve_test.npz", dimension=8)
+    )
+    db.add_vectors(latents, orientations, phases=np.repeat([0, 1], 12))
+    service = IndexService(
+        model, params, db, top_n=5, orientation_threshold=3.0,
+        min_required_matches=1, batch_size=16,
+    )
+    service.warmup()
+    server = make_server(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    yield url, patterns, orientations, params, model
+    server.shutdown()
+    db.delete_persistence()
+
+
+class TestServe:
+    def test_healthz(self, served):
+        url, *_ = served
+        h = json.load(urllib.request.urlopen(f"{url}/healthz", timeout=30))
+        assert h["status"] == "ok"
+        assert h["count"] == 24
+        assert h["multiphase"] is True
+        assert h["batch_size"] == 16
+
+    def test_index_roundtrip(self, served):
+        url, patterns, orientations, *_ = served
+        out = _post(f"{url}/index", _npy_bytes(patterns[:6]))
+        assert out["n"] == 6
+        assert len(out["orientations"]) == 6
+        assert all(out["success"])
+        assert out["phase"] == [0] * 6
+        # Top candidate of a dictionary pattern is itself.
+        np.testing.assert_allclose(
+            np.asarray(out["orientations"])[0], orientations[0], atol=1e-3
+        )
+
+    def test_index_uint8_path(self, served):
+        url, patterns, *_ = served
+        q = (np.clip(patterns[:3], 0, 1) * 255).astype(np.uint8)
+        out = _post(f"{url}/index", _npy_bytes(q))
+        assert out["n"] == 3 and all(out["success"])
+
+    def test_index_larger_than_batch(self, served):
+        url, patterns, *_ = served
+        out = _post(f"{url}/index", _npy_bytes(patterns))  # 24 > batch 16
+        assert out["n"] == 24 and len(out["success"]) == 24
+
+    def test_encode_matches_model(self, served):
+        url, patterns, _, params, model = served
+        out = _post(f"{url}/encode", _npy_bytes(patterns[:4]))
+        lat = np.asarray(out["latents"], dtype=np.float32)
+        expected = np.asarray(
+            model.apply({"params": params}, patterns[:4, ..., None], method="encode")[0]
+        )
+        np.testing.assert_allclose(lat, expected, atol=2e-5)
+
+    def test_bad_body_is_400(self, served):
+        url, *_ = served
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{url}/index", b"this is not an npy file")
+        assert e.value.code == 400
+
+    def test_bad_shape_is_400(self, served):
+        url, *_ = served
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{url}/index", _npy_bytes(np.zeros((2, 2, 2, 2, 2), np.float32)))
+        assert e.value.code == 400
+
+    def test_unknown_path_is_404(self, served):
+        url, *_ = served
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{url}/nope", _npy_bytes(np.zeros((1, 128, 128), np.float32)))
+        assert e.value.code == 404
+
+    def test_health_counters_advance(self, served):
+        url, patterns, *_ = served
+        before = json.load(urllib.request.urlopen(f"{url}/healthz", timeout=30))
+        _post(f"{url}/index", _npy_bytes(patterns[:2]))
+        after = json.load(urllib.request.urlopen(f"{url}/healthz", timeout=30))
+        assert after["requests"] == before["requests"] + 1
+        assert after["patterns_indexed"] == before["patterns_indexed"] + 2
