@@ -125,7 +125,8 @@ def cmd_export(args) -> None:
 
 def cmd_query(args) -> None:
     from latice_tpu.index import IndexPipeline, LatentVectorDatabaseConfig, TpuLatentVectorDatabase
-    from latice_tpu.data import default_transform
+    from latice_tpu.index.pipeline import concat_dense_results
+    from latice_tpu.data import HDF5_EXTENSIONS, prepare_patterns
 
     model, params = _load_model(args.checkpoint, args.inplanes, args.latent_dim)
     db = TpuLatentVectorDatabase(
@@ -133,9 +134,6 @@ def cmd_query(args) -> None:
     )
     if db.get_count() == 0:
         raise SystemExit(f"Database {args.db} is empty — run 'build' first")
-
-    patterns = np.load(args.patterns)
-    x = default_transform(patterns, (128, 128))
 
     phase_kw = {}
     if db._has_phases:
@@ -155,15 +153,32 @@ def cmd_query(args) -> None:
         **phase_kw,
     )
     t0 = time.time()
-    result = pipe(x)
+    if args.patterns.lower().endswith(HDF5_EXTENSIONS):
+        # HDF5 scan (vendor acquisition container): stream slabs off disk so
+        # arbitrarily large maps never materialize fully in host memory.
+        from latice_tpu.data import find_pattern_dataset, iter_pattern_batches
+
+        f, dset = find_pattern_dataset(args.patterns, args.h5_dataset)
+        try:
+            result = concat_dense_results(
+                pipe(prepare_patterns(slab))
+                for slab in iter_pattern_batches(dset, args.h5_chunk)
+            )
+        finally:
+            f.close()
+        n = len(result.success)
+    else:
+        x = prepare_patterns(np.load(args.patterns))
+        result = pipe(x)
+        n = len(x)
     dt = time.time() - t0
     logger.info(
-        f"Indexed {len(x)} patterns in {dt:.2f}s ({len(x)/dt:,.0f}/s); "
+        f"Indexed {n} patterns in {dt:.2f}s ({n/dt:,.0f}/s); "
         f"success rate {result.success.mean():.1%}"
     )
     np.save(args.out, result.best_orientation)
     summary = {
-        "n_patterns": len(x),
+        "n_patterns": n,
         "success_rate": float(result.success.mean()),
         "seconds": dt,
         "out": args.out,
@@ -213,7 +228,19 @@ def main() -> None:
     e.set_defaults(fn=cmd_export)
 
     q = sub.add_parser("query", parents=[common], help="index patterns")
-    q.add_argument("--patterns", required=True, help=".npy stack to index")
+    q.add_argument(
+        "--patterns", required=True,
+        help=".npy stack or HDF5 scan (.h5/.h5oina/...) to index",
+    )
+    q.add_argument(
+        "--h5-dataset", default=None,
+        help="HDF5 dataset path of the pattern stack (default: auto-detect "
+        "the largest (N, H, W) dataset)",
+    )
+    q.add_argument(
+        "--h5-chunk", type=int, default=4096,
+        help="patterns per streamed HDF5 slab",
+    )
     q.add_argument("--out", default="orientations.npy")
     q.add_argument("--top-n", type=int, default=20)
     q.add_argument("--threshold", type=float, default=3.0)

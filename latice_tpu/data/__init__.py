@@ -1,10 +1,17 @@
 """Data pipeline: vectorized pattern loading, transforms, splits, batching."""
 
 from latice_tpu.data.datamodule import DPDataModule, batch_iterator, pad_batch
+from latice_tpu.data.h5io import (
+    HDF5_EXTENSIONS,
+    find_pattern_dataset,
+    iter_pattern_batches,
+    load_patterns,
+)
 from latice_tpu.data.dataset import DPdataset, parse_angle_file
 from latice_tpu.data.prefetch import prefetch_to_device
 from latice_tpu.data.transforms import (
     center_crop,
+    prepare_patterns,
     create_default_transform,
     default_transform,
     to_grayscale,
@@ -15,6 +22,11 @@ __all__ = [
     "DPdataset",
     "batch_iterator",
     "center_crop",
+    "prepare_patterns",
+    "HDF5_EXTENSIONS",
+    "find_pattern_dataset",
+    "iter_pattern_batches",
+    "load_patterns",
     "pad_batch",
     "prefetch_to_device",
     "create_default_transform",

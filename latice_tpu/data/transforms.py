@@ -21,7 +21,13 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["to_grayscale", "center_crop", "default_transform", "create_default_transform"]
+__all__ = [
+    "to_grayscale",
+    "center_crop",
+    "default_transform",
+    "create_default_transform",
+    "prepare_patterns",
+]
 
 _LUMA = np.asarray([0.299, 0.587, 0.114], dtype=np.float32)
 
@@ -69,6 +75,31 @@ def default_transform(
     )
     x = center_crop(x, image_size).astype(np.float32) * scale
     return x[..., None]
+
+
+def prepare_patterns(
+    patterns: np.ndarray, image_size: tuple[int, int] = (128, 128)
+) -> np.ndarray:
+    """Normalize a query stack to ``(N, H, W)`` preserving the uint8 fast path.
+
+    uint8 inputs stay uint8 (center-crop is a pure slice) so they ride the
+    pipeline's device-side /255 path with 4x less host-link traffic; anything
+    else goes through `default_transform`. Accepts ``(H, W)``,
+    ``(N, H, W)`` or ``(N, H, W, 1)``.
+    """
+    x = np.asarray(patterns)
+    if x.ndim == 2:
+        x = x[None]
+    if x.ndim == 4 and x.shape[-1] == 1:
+        x = x[..., 0]
+    if x.ndim != 3:
+        raise ValueError(f"expected (N, H, W[, 1]) patterns, got {x.shape}")
+    if x.shape[1:] != tuple(image_size):
+        if x.dtype == np.uint8:
+            x = center_crop(x, image_size)
+        else:
+            x = default_transform(x, image_size)[..., 0]
+    return x
 
 
 def create_default_transform(image_size: tuple[int, int]):

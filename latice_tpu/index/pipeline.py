@@ -22,7 +22,32 @@ import numpy as np
 from latice_tpu.index.consensus import consensus_orientations
 from latice_tpu.index.knn import l2_normalize
 
-__all__ = ["IndexPipeline", "DenseIndexResult"]
+__all__ = ["IndexPipeline", "DenseIndexResult", "concat_dense_results"]
+
+
+def concat_dense_results(results) -> "DenseIndexResult":
+    """Concatenate per-slab `DenseIndexResult`s (the streaming-input case:
+    HDF5 scans indexed slab by slab without materializing the whole map)."""
+    results = list(results)
+    if not results:
+        raise ValueError("no results to concatenate")
+    if len(results) == 1:
+        return results[0]
+    phase = (
+        None
+        if results[0].phase is None
+        else np.concatenate([r.phase for r in results])
+    )
+    cat = lambda f: np.concatenate([getattr(r, f) for r in results])  # noqa: E731
+    return DenseIndexResult(
+        mean_orientation=cat("mean_orientation"),
+        best_orientation=cat("best_orientation"),
+        success=cat("success"),
+        n_similar=cat("n_similar"),
+        indices=cat("indices"),
+        scores=cat("scores"),
+        phase=phase,
+    )
 
 
 class DenseIndexResult(NamedTuple):

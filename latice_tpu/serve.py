@@ -120,24 +120,9 @@ class IndexService:
 
     def _prepare(self, patterns: np.ndarray) -> np.ndarray:
         """Shape/dtype normalization preserving the uint8 fast path."""
-        x = np.asarray(patterns)
-        if x.ndim == 2:
-            x = x[None]
-        if x.ndim == 4 and x.shape[-1] == 1:
-            x = x[..., 0]
-        if x.ndim != 3:
-            raise ValueError(f"expected (N, H, W[, 1]) patterns, got {x.shape}")
-        if x.shape[1:] != self.image_size:
-            if x.dtype == np.uint8:
-                # center_crop is a pure slice: uint8 survives it.
-                from latice_tpu.data import center_crop
+        from latice_tpu.data import prepare_patterns
 
-                x = center_crop(x, self.image_size)
-            else:
-                from latice_tpu.data import default_transform
-
-                x = default_transform(x, self.image_size)[..., 0]
-        return x
+        return prepare_patterns(patterns, self.image_size)
 
     def index(self, patterns: np.ndarray) -> dict:
         """Index a pattern stack; returns a JSON-ready dict."""

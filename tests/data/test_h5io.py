@@ -1,0 +1,127 @@
+"""HDF5 scan input: dataset auto-detection, streaming, CLI query path."""
+
+import importlib
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+from latice_tpu.data import (
+    find_pattern_dataset,
+    iter_pattern_batches,
+    load_patterns,
+    prepare_patterns,
+)
+
+REPO = Path(__file__).resolve().parents[2]
+
+
+def _write_h5(path, patterns, dataset="Scan 1/EBSD/Data/Pattern", extra=True):
+    with h5py.File(path, "w") as f:
+        f.create_dataset(dataset, data=patterns)
+        if extra:
+            # Vendor files carry plenty of other data; none of it should win
+            # auto-detection over the (bigger) pattern stack.
+            f.create_dataset("Scan 1/EBSD/Data/phi1", data=np.zeros(len(patterns)))
+            f.create_dataset("Scan 1/EBSD/Header/small3d", data=np.zeros((2, 20, 20)))
+    return path
+
+
+class TestH5IO:
+    def test_autodetect_largest_3d(self, tmp_path):
+        pats = np.random.default_rng(0).uniform(size=(12, 64, 64)).astype(np.float32)
+        path = _write_h5(tmp_path / "scan.h5", pats)
+        f, dset = find_pattern_dataset(str(path))
+        try:
+            assert dset.shape == (12, 64, 64)
+        finally:
+            f.close()
+        np.testing.assert_array_equal(load_patterns(str(path)), pats)
+
+    def test_explicit_dataset_and_missing(self, tmp_path):
+        pats = np.zeros((4, 32, 32), np.uint8)
+        path = _write_h5(tmp_path / "s.h5", pats, dataset="mystack")
+        assert load_patterns(str(path), "mystack").shape == (4, 32, 32)
+        with pytest.raises(KeyError, match="mystack_nope"):
+            load_patterns(str(path), "mystack_nope")
+
+    def test_no_3d_dataset_raises(self, tmp_path):
+        path = tmp_path / "flat.h5"
+        with h5py.File(path, "w") as f:
+            f.create_dataset("x", data=np.zeros((5, 5)))
+        with pytest.raises(ValueError, match="no .* pattern dataset"):
+            load_patterns(str(path))
+
+    def test_streaming_preserves_dtype_and_order(self, tmp_path):
+        pats = np.arange(10 * 32 * 32, dtype=np.uint8).reshape(10, 32, 32)
+        path = _write_h5(tmp_path / "u8.h5", pats, extra=False)
+        f, dset = find_pattern_dataset(str(path))
+        try:
+            slabs = list(iter_pattern_batches(dset, batch_size=4))
+        finally:
+            f.close()
+        assert [len(s) for s in slabs] == [4, 4, 2]
+        assert all(s.dtype == np.uint8 for s in slabs)
+        np.testing.assert_array_equal(np.concatenate(slabs), pats)
+
+
+class TestPreparePatterns:
+    def test_uint8_stays_uint8_through_crop(self):
+        x = np.full((3, 140, 140), 200, np.uint8)
+        out = prepare_patterns(x, (128, 128))
+        assert out.dtype == np.uint8 and out.shape == (3, 128, 128)
+
+    def test_float_goes_through_default_transform(self):
+        x = np.ones((2, 140, 140), np.float32)
+        out = prepare_patterns(x, (128, 128))
+        assert out.dtype == np.float32 and out.shape == (2, 128, 128)
+
+    def test_shapes(self):
+        assert prepare_patterns(np.zeros((128, 128)), (128, 128)).shape == (1, 128, 128)
+        assert prepare_patterns(np.zeros((2, 128, 128, 1)), (128, 128)).shape == (2, 128, 128)
+        with pytest.raises(ValueError, match="patterns"):
+            prepare_patterns(np.zeros((2, 2, 2, 2, 2)))
+
+
+class TestCLIH5Query:
+    def test_query_h5_scan(self, tmp_path, monkeypatch, capsys):
+        sys.path.insert(0, str(REPO))
+        index_cli = importlib.import_module("index")
+
+        rng = np.random.default_rng(0)
+        base = rng.uniform(size=(1, 128, 128))
+        patterns = (base + rng.normal(size=(24, 128, 128)) * 0.02).astype(np.float32)
+        angles = rng.uniform([10, 20, 10], [170, 140, 170], size=(24, 3))
+        ppath = tmp_path / "dict.npy"
+        apath = tmp_path / "dict.txt"
+        np.save(ppath, patterns)
+        apath.write_text(
+            "eu\n24\n" + "".join(f"{a[0]} {a[1]} {a[2]}\n" for a in angles)
+        )
+        db = str(tmp_path / "idx.npz")
+        small = ["--inplanes", "2", "--latent-dim", "8", "--batch-size", "16"]
+
+        def run(argv):
+            monkeypatch.setattr(sys, "argv", ["index.py"] + argv)
+            index_cli.main()
+            return capsys.readouterr().out
+
+        run(["build", "--patterns", str(ppath), "--angles", str(apath), "--db", db] + small)
+
+        scan_h5 = tmp_path / "scan.h5"
+        with h5py.File(scan_h5, "w") as f:
+            f.create_dataset("Scan 1/EBSD/Data/Pattern", data=patterns[:10])
+        out = str(tmp_path / "o.npy")
+        stdout = run(
+            ["query", "--patterns", str(scan_h5), "--db", db, "--out", out,
+             "--top-n", "5", "--min-matches", "1", "--h5-chunk", "7"] + small
+        )
+        summary = json.loads(stdout.strip().splitlines()[-1])
+        assert summary["n_patterns"] == 10
+        assert summary["success_rate"] == 1.0
+        got = np.load(out)
+        np.testing.assert_allclose(got, angles[:10], atol=1e-3)
