@@ -188,6 +188,17 @@ def cmd_query(args) -> None:
         np.save(phase_out, result.phase)
         summary["phase_out"] = phase_out
         summary["phase_counts"] = np.bincount(result.phase).tolist()
+    grid = tuple(args.scan_grid) if args.scan_grid else None
+    if args.ang:
+        from latice_tpu.data import write_ang
+
+        write_ang(args.ang, result, grid=grid, step=args.step)
+        summary["ang_out"] = args.ang
+    if args.ctf:
+        from latice_tpu.data import write_ctf
+
+        write_ctf(args.ctf, result, grid=grid, step=args.step)
+        summary["ctf_out"] = args.ctf
     print(json.dumps(summary))
 
 
@@ -242,6 +253,17 @@ def main() -> None:
         help="patterns per streamed HDF5 slab",
     )
     q.add_argument("--out", default="orientations.npy")
+    q.add_argument(
+        "--ang", default=None, help="also write a TSL/OIM .ang result file"
+    )
+    q.add_argument(
+        "--ctf", default=None, help="also write a Channel Text File (.ctf)"
+    )
+    q.add_argument(
+        "--scan-grid", type=int, nargs=2, metavar=("ROWS", "COLS"), default=None,
+        help="scan shape for .ang/.ctf x-y columns (default: one line)",
+    )
+    q.add_argument("--step", type=float, default=1.0, help="scan step (um)")
     q.add_argument("--top-n", type=int, default=20)
     q.add_argument("--threshold", type=float, default=3.0)
     q.add_argument("--min-matches", type=int, default=18)

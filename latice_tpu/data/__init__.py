@@ -1,6 +1,7 @@
 """Data pipeline: vectorized pattern loading, transforms, splits, batching."""
 
 from latice_tpu.data.datamodule import DPDataModule, batch_iterator, pad_batch
+from latice_tpu.data.export import write_ang, write_ctf
 from latice_tpu.data.h5io import (
     HDF5_EXTENSIONS,
     find_pattern_dataset,
@@ -24,6 +25,8 @@ __all__ = [
     "center_crop",
     "prepare_patterns",
     "HDF5_EXTENSIONS",
+    "write_ang",
+    "write_ctf",
     "find_pattern_dataset",
     "iter_pattern_batches",
     "load_patterns",

@@ -1,0 +1,171 @@
+"""Result export to the standard EBSD interchange formats (.ang, .ctf).
+
+Downstream analysis in the EBSD world happens in TSL/OIM, Oxford Channel 5,
+or MTEX — all of which ingest the TSL ``.ang`` or the Channel Text File
+``.ctf`` column layouts. The reference ends at in-memory
+``OrientationResult`` lists; these writers close the production loop:
+scan in (``.npy``/HDF5) -> indexed orientations out in a format the rest of
+the toolchain reads directly.
+
+Angle convention: the stored zxz Euler triplets are written **verbatim**
+(radians for ``.ang``, degrees for ``.ctf``) into the three Euler columns.
+This framework's angles follow the reference's anglefile convention
+(``z1 x z2`` columns fed to scipy's extrinsic-zxz, reference
+data_module.py:87-116); whether that matches a given vendor's Bunge
+(phi1, Phi, phi2) definition is a property of the dictionary's anglefile,
+which the caller controls — no silent reinterpretation happens here.
+
+Unindexed points follow each format's native convention: CI = -1 in ``.ang``
+(TSL's "unindexed" marker), error flag + zeroed angles in ``.ctf``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["write_ang", "write_ctf"]
+
+
+def _grid_xy(n: int, grid: tuple[int, int] | None, step: float):
+    """(x, y) scan coordinates: row-major grid, or a single line when no
+    grid shape is given."""
+    if grid is None:
+        return np.arange(n) * step, np.zeros(n)
+    rows, cols = grid
+    if rows * cols != n:
+        raise ValueError(f"grid {rows}x{cols} does not hold {n} points")
+    idx = np.arange(n)
+    return (idx % cols) * step, (idx // cols) * step
+
+
+def _confidence(result) -> np.ndarray:
+    """Confidence index in [0, 1]: mean candidate cosine similarity."""
+    return np.clip(np.mean(result.scores, axis=1), 0.0, 1.0)
+
+
+def write_ang(
+    path: str,
+    result,
+    grid: tuple[int, int] | None = None,
+    step: float = 1.0,
+    phase_names: list[str] | None = None,
+) -> None:
+    """Write a `DenseIndexResult` as a TSL/OIM ``.ang`` file.
+
+    Columns: phi1 Phi phi2 (radians) x y IQ CI phase intensity fit. IQ
+    carries the top candidate similarity, CI the mean candidate similarity
+    (-1 where indexing failed, TSL's unindexed marker), fit the consensus
+    match count.
+
+    Args:
+        path: Output file.
+        result: `DenseIndexResult` (index plane output).
+        grid: Optional (rows, cols) scan shape for x/y columns.
+        step: Scan step size (same unit the header declares, microns).
+        phase_names: Names for the phase header blocks (default Phase1...).
+    """
+    n = len(result.success)
+    x, y = _grid_xy(n, grid, step)
+    euler_rad = np.deg2rad(np.nan_to_num(result.best_orientation))
+    ci = np.where(result.success, _confidence(result), -1.0)
+    iq = np.clip(result.scores[:, 0], 0.0, 1.0)
+    phases = (
+        result.phase
+        if result.phase is not None
+        else np.zeros(n, dtype=np.int64)
+    )
+    n_phases = int(np.max(phases)) + 1 if n else 1
+    names = phase_names or [f"Phase{i + 1}" for i in range(n_phases)]
+
+    rows_, cols_ = grid if grid is not None else (1, n)
+    lines = ["# TEM_PIXperUM          1.000000", "# x-star                0.000000"]
+    for i, name in enumerate(names):
+        lines += [
+            f"# Phase {i + 1}",
+            f"# MaterialName  \t{name}",
+            "# Formula     \t",
+            "# Info ",
+            "# Symmetry              43",
+            "#",
+        ]
+    lines += [
+        "# GRID: SqrGrid",
+        f"# XSTEP: {step:.6f}",
+        f"# YSTEP: {step:.6f}",
+        f"# NCOLS_ODD: {cols_}",
+        f"# NCOLS_EVEN: {cols_}",
+        f"# NROWS: {rows_}",
+        "#",
+        "# OPERATOR: \tlatice_tpu",
+        "#",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+        for i in range(n):
+            # .ang phase column is 1-based in multi-phase files, 0 allowed
+            # for single-phase; keep 1-based for uniformity.
+            f.write(
+                f"  {euler_rad[i, 0]:.5f}  {euler_rad[i, 1]:.5f}"
+                f"  {euler_rad[i, 2]:.5f}  {x[i]:.5f}  {y[i]:.5f}"
+                f"  {iq[i]:.3f}  {ci[i]:.3f}  {int(phases[i]) + 1}"
+                f"  1.000  {float(result.n_similar[i]):.3f}\n"
+            )
+
+
+def write_ctf(
+    path: str,
+    result,
+    grid: tuple[int, int] | None = None,
+    step: float = 1.0,
+    phase_names: list[str] | None = None,
+) -> None:
+    """Write a `DenseIndexResult` as an Oxford Channel Text File (``.ctf``).
+
+    Columns: Phase X Y Bands Error Euler1 Euler2 Euler3 MAD BC BS — Euler in
+    degrees, phase 1-based (0 = unindexed, the CTF convention), Bands carries
+    the consensus match count, MAD the (1 - mean similarity) residual.
+    """
+    n = len(result.success)
+    x, y = _grid_xy(n, grid, step)
+    euler = np.nan_to_num(result.best_orientation)
+    mad = 1.0 - _confidence(result)
+    phases = (
+        result.phase
+        if result.phase is not None
+        else np.zeros(n, dtype=np.int64)
+    )
+    n_phases = int(np.max(phases)) + 1 if n else 1
+    names = phase_names or [f"Phase{i + 1}" for i in range(n_phases)]
+
+    rows_, cols_ = grid if grid is not None else (1, n)
+    header = [
+        "Channel Text File",
+        "Prj\tlatice_tpu indexing",
+        "Author\tlatice_tpu",
+        "JobMode\tGrid",
+        f"XCells\t{cols_}",
+        f"YCells\t{rows_}",
+        f"XStep\t{step:.4f}",
+        f"YStep\t{step:.4f}",
+        "AcqE1\t0.0000",
+        "AcqE2\t0.0000",
+        "AcqE3\t0.0000",
+        "Euler angles refer to Sample Coordinate system (CS0)!",
+        f"Phases\t{len(names)}",
+    ]
+    for name in names:
+        # lattice params;angles;name;laue group;space group
+        header.append(f"3.600;3.600;3.600\t90.000;90.000;90.000\t{name}\t11\t225")
+    header.append("Phase\tX\tY\tBands\tError\tEuler1\tEuler2\tEuler3\tMAD\tBC\tBS")
+    with open(path, "w") as f:
+        f.write("\n".join(header) + "\n")
+        for i in range(n):
+            ok = bool(result.success[i])
+            phase = int(phases[i]) + 1 if ok else 0
+            err = 0 if ok else 3  # 3: "no solution" in Channel files
+            e1, e2, e3 = (euler[i] if ok else (0.0, 0.0, 0.0))
+            f.write(
+                f"{phase}\t{x[i]:.4f}\t{y[i]:.4f}\t{int(result.n_similar[i])}"
+                f"\t{err}\t{e1:.4f}\t{e2:.4f}\t{e3:.4f}"
+                f"\t{mad[i]:.4f}\t255\t255\n"
+            )

@@ -1,0 +1,85 @@
+"""Vendor-format result export: .ang and .ctf writers."""
+
+import numpy as np
+import pytest
+
+from latice_tpu.data import write_ang, write_ctf
+from latice_tpu.index import DenseIndexResult
+
+
+def _result(n=6, phases=None, fail=()):
+    rng = np.random.default_rng(0)
+    success = np.ones(n, bool)
+    for i in fail:
+        success[i] = False
+    best = rng.uniform([10, 20, 10], [170, 140, 170], size=(n, 3))
+    return DenseIndexResult(
+        mean_orientation=np.where(success[:, None], best, np.nan),
+        best_orientation=best,
+        success=success,
+        n_similar=np.where(success, 12, 0).astype(np.int64),
+        indices=np.tile(np.arange(5), (n, 1)),
+        scores=np.full((n, 5), 0.9),
+        phase=phases,
+    )
+
+
+class TestWriteAng:
+    def test_roundtrip_columns(self, tmp_path):
+        res = _result(6, fail=(2,))
+        path = tmp_path / "out.ang"
+        write_ang(str(path), res, grid=(2, 3), step=0.5)
+        rows = np.loadtxt(path, comments="#")
+        assert rows.shape == (6, 10)
+        np.testing.assert_allclose(
+            rows[:, :3], np.deg2rad(res.best_orientation), atol=1e-5
+        )
+        # Row-major grid coordinates at 0.5 um.
+        np.testing.assert_allclose(rows[:, 3], [0, 0.5, 1.0, 0, 0.5, 1.0])
+        np.testing.assert_allclose(rows[:, 4], [0, 0, 0, 0.5, 0.5, 0.5])
+        # CI: mean similarity for indexed, -1 for the failed point.
+        assert rows[0, 6] == pytest.approx(0.9, abs=1e-3)
+        assert rows[2, 6] == -1.0
+
+    def test_multiphase_and_header(self, tmp_path):
+        res = _result(4, phases=np.array([0, 0, 1, 1]))
+        path = tmp_path / "mp.ang"
+        write_ang(str(path), res, phase_names=["Ni", "Ti"])
+        text = path.read_text()
+        assert "MaterialName  \tNi" in text and "MaterialName  \tTi" in text
+        rows = np.loadtxt(path, comments="#")
+        np.testing.assert_array_equal(rows[:, 7], [1, 1, 2, 2])
+
+    def test_grid_mismatch_raises(self, tmp_path):
+        with pytest.raises(ValueError, match="does not hold"):
+            write_ang(str(tmp_path / "x.ang"), _result(6), grid=(2, 2))
+
+
+class TestWriteCtf:
+    def test_roundtrip_columns(self, tmp_path):
+        res = _result(6, fail=(4,))
+        path = tmp_path / "out.ctf"
+        write_ctf(str(path), res, grid=(3, 2), step=2.0)
+        lines = path.read_text().splitlines()
+        assert lines[0] == "Channel Text File"
+        hdr = lines.index(
+            "Phase\tX\tY\tBands\tError\tEuler1\tEuler2\tEuler3\tMAD\tBC\tBS"
+        )
+        rows = np.loadtxt(path, skiprows=hdr + 1)
+        assert rows.shape == (6, 11)
+        # Indexed rows carry degrees + phase 1; failed row is phase 0, err 3,
+        # zeroed angles.
+        np.testing.assert_allclose(rows[0, 5:8], res.best_orientation[0], atol=1e-3)
+        assert rows[4, 0] == 0 and rows[4, 4] == 3
+        np.testing.assert_array_equal(rows[4, 5:8], 0.0)
+        assert ("XCells\t2" in lines) and ("YCells\t3" in lines)
+
+    def test_phase_count_in_header(self, tmp_path):
+        res = _result(4, phases=np.array([0, 1, 1, 0]))
+        path = tmp_path / "mp.ctf"
+        write_ctf(str(path), res, phase_names=["Fe-BCC", "Fe-FCC"])
+        text = path.read_text()
+        assert "Phases\t2" in text and "Fe-FCC" in text
+        rows = np.loadtxt(path, skiprows=text.splitlines().index(
+            "Phase\tX\tY\tBands\tError\tEuler1\tEuler2\tEuler3\tMAD\tBC\tBS") + 1)
+        np.testing.assert_array_equal(rows[:, 0], [1, 2, 2, 1])
