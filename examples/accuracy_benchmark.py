@@ -50,15 +50,13 @@ def main():
     params0 = model.init({"params": jax.random.key(0)}, jnp.zeros((1,128,128,1)), jax.random.key(1))["params"]
     N = len(dict_angles)
 
-    def build_and_eval(params, tag):
+    def encode_dictionary(params):
         enc = jax.jit(lambda p, x: model.apply({"params": p}, x, method="encode")[0])
         xd = jnp.asarray(dict_patterns[..., None].astype(np.float32))
         lat = np.concatenate([np.asarray(enc(params, xd[i:i+512])) for i in range(0, N, 512)])
-        vecs = lat / np.linalg.norm(lat, axis=1, keepdims=True)
-        pipe = IndexPipeline(model, params, vecs, dict_angles, top_n=10,
-                             orientation_threshold=5.0, min_required_matches=3, batch_size=512)
-        q_angles = dict_angles[::8][:512]
-        q = render_patterns(q_angles, noise=0.15, seed=9)[..., None]
+        return lat / np.linalg.norm(lat, axis=1, keepdims=True)
+
+    def eval_pipe(pipe, q_angles, q, tag):
         res = pipe(q.astype(np.float32))
         got = R.from_euler("zxz", np.where(res.success[:,None], res.best_orientation, 0), degrees=True)
         want = R.from_euler("zxz", q_angles, degrees=True)
@@ -66,6 +64,15 @@ def main():
         err = np.where(res.success, err, np.nan)
         print(f"{tag}: success={res.success.mean():.1%} median_err={np.nanmedian(err):.3f} deg "
               f"p90={np.nanpercentile(err, 90):.2f}")
+        return np.nanmedian(err)
+
+    def build_and_eval(params, tag):
+        vecs = encode_dictionary(params)
+        pipe = IndexPipeline(model, params, vecs, dict_angles, top_n=10,
+                             orientation_threshold=5.0, min_required_matches=3, batch_size=512)
+        q_angles = dict_angles[::8][:512]
+        q = render_patterns(q_angles, noise=0.15, seed=9)[..., None]
+        eval_pipe(pipe, q_angles, q, tag)
 
     print("== random weights ==")
     build_and_eval(params0, "random")
@@ -97,6 +104,21 @@ def main():
     print(f"{STEPS} steps in {time.time()-t0:.1f}s, final loss {float(loss):.5f}")
     print("== trained weights ==")
     build_and_eval(state.params, "trained")
+
+    # Sub-grid refinement: off-grid queries (the realistic case — experimental
+    # orientations never sit on dictionary grid points) indexed with and
+    # without similarity-weighted consensus (IndexPipeline
+    # consensus_weight_power). Uniform mean = reference parity.
+    print("== off-grid refinement (similarity-weighted consensus) ==")
+    vecs = encode_dictionary(state.params)
+    rng2 = np.random.default_rng(11)
+    q_angles = rng2.uniform([1, 41, 1], [29, 69, 29], size=(512, 3))
+    q = render_patterns(q_angles, noise=0.15, seed=13)[..., None]
+    for power in (None, 16, 64, 256):
+        pipe = IndexPipeline(model, state.params, vecs, dict_angles, top_n=10,
+                             orientation_threshold=5.0, min_required_matches=3,
+                             batch_size=512, consensus_weight_power=power)
+        eval_pipe(pipe, q_angles, q, f"off-grid power={power}")
 
 
 if __name__ == "__main__":

@@ -81,6 +81,7 @@ def consensus_orientations(
     angle_unit: str = "deg",
     cand_phases: jax.Array | None = None,
     sym_tables: jax.Array | None = None,
+    cand_weights: jax.Array | None = None,
 ) -> ConsensusOutput:
     """Run the consensus algorithm on candidate orientations.
 
@@ -100,6 +101,11 @@ def consensus_orientations(
         sym_tables: Optional ``(P, S, 4)`` stacked per-phase symmetry tables
             (`crystal.stack_symmetry_tables`). Defaults to cubic for every
             phase when ``cand_phases`` is given without tables.
+        cand_weights: Optional ``(B, K)`` nonnegative per-candidate weights
+            (e.g. powered cosine similarities). The consensus mean becomes a
+            *weighted* quaternion mean over the in-threshold candidates —
+            sub-grid orientation refinement beyond the reference's uniform
+            mean (faiss_db.py:326-330). Success/threshold logic is unchanged.
 
     Returns:
         ConsensusOutput batch.
@@ -156,7 +162,10 @@ def consensus_orientations(
     sym_eq = nearest_symmetry_equivalent(
         ref_chosen[:, None, :], cand_quats, sym
     )  # (B, K, 4)
-    mean_quat = quat_mean(sym_eq, similar_mask.astype(cand_quats.dtype))
+    mean_w = similar_mask.astype(cand_quats.dtype)
+    if cand_weights is not None:
+        mean_w = mean_w * cand_weights.astype(cand_quats.dtype)
+    mean_quat = quat_mean(sym_eq, mean_w)
     mean_euler = to_euler_zxz_deg(mean_quat)
 
     return ConsensusOutput(

@@ -74,6 +74,11 @@ class IndexPipeline:
         angle_unit: consensus knobs (reference defaults:
             dp_indexer.py:47-48, faiss_db.py:262-264).
         batch_size: static compile batch; inputs are padded up to it.
+        consensus_weight_power: optional p — weight in-threshold candidates
+            by cosine-similarity**p in the consensus quaternion mean
+            (sub-grid refinement; measured -1.8% median off-grid error at
+            p=256, see ROADMAP). None (default) keeps the reference's
+            uniform mean (faiss_db.py:326-330).
         mesh: optional jax.sharding.Mesh — the dictionary rows shard over its
             first axis (per-shard top-k + a k-row all_gather merge over ICI),
             for dictionaries beyond one chip's HBM; params/queries replicate.
@@ -101,6 +106,7 @@ class IndexPipeline:
         mesh: Any = None,
         dictionary_phases: np.ndarray | None = None,
         phase_symmetries: Any = None,
+        consensus_weight_power: float | None = None,
     ) -> None:
         from latice_tpu.crystal import from_euler_zxz_deg, stack_symmetry_tables
 
@@ -192,6 +198,13 @@ class IndexPipeline:
                 if dictionary_phases is not None
                 else None
             )
+            cand_weights = None
+            if consensus_weight_power is not None:
+                # Sub-grid refinement: weight in-threshold candidates by
+                # similarity^p in the quaternion mean. scores near 1 make
+                # s^p ~ exp(-p (1 - s)), so p sets the sharpness; uniform
+                # (reference faiss_db.py:326-330 parity) when disabled.
+                cand_weights = jnp.maximum(scores, 0.0) ** consensus_weight_power
             cons = consensus_orientations(
                 cand_quats,
                 orientation_threshold,
@@ -200,6 +213,7 @@ class IndexPipeline:
                 angle_unit=angle_unit,
                 cand_phases=cand_phases,
                 sym_tables=sym_tables,
+                cand_weights=cand_weights,
             )
             # Failure fallback = top-1 candidate, derived from its already-
             # gathered quaternion: a second row gather from the (N, 3) Euler

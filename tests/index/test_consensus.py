@@ -165,3 +165,77 @@ class TestConsensusMechanics:
     def test_invalid_angle_unit_raises(self):
         with pytest.raises(ValueError, match="angle_unit"):
             consensus_from_euler(jnp.asarray(GOLDEN)[None], 1.0, angle_unit="grad")
+
+
+class TestWeightedConsensus:
+    """Similarity-weighted quaternion mean (cand_weights / pipeline
+    consensus_weight_power) — the sub-grid refinement lever."""
+
+    def _run(self, weights):
+        from latice_tpu.crystal import from_euler_zxz_deg
+        from latice_tpu.index import consensus_orientations
+
+        quats = from_euler_zxz_deg(jnp.asarray(GOLDEN[None, :5]))
+        return consensus_orientations(
+            quats,
+            orientation_threshold=6.0,
+            min_required_matches=3,
+            max_iterations=1,
+            cand_weights=None if weights is None else jnp.asarray(weights)[None],
+        )
+
+    def test_uniform_weights_match_unweighted(self):
+        base = self._run(None)
+        ones = self._run(np.ones(5, np.float32))
+        np.testing.assert_allclose(
+            np.asarray(base.mean_euler), np.asarray(ones.mean_euler), atol=1e-5
+        )
+
+    def test_extreme_weight_collapses_to_that_candidate(self):
+        w = np.array([0.0, 0.0, 1.0, 0.0, 0.0], np.float32)
+        out = self._run(w)
+        assert bool(out.success[0])
+        np.testing.assert_allclose(
+            np.asarray(out.mean_euler[0]), GOLDEN[2], atol=1e-3
+        )
+
+    def test_weighting_pulls_toward_heavier_candidates(self):
+        from scipy.spatial.transform import Rotation as R
+
+        heavy = self._run(np.array([1, 8, 1, 1, 1], np.float32))
+        uniform = self._run(None)
+        target = R.from_euler("zxz", GOLDEN[1], degrees=True)
+        def err(out):
+            got = R.from_euler("zxz", np.asarray(out.mean_euler[0]), degrees=True)
+            return np.degrees((got.inv() * target).magnitude())
+        assert err(heavy) < err(uniform)
+
+    def test_pipeline_power_zero_is_reference_parity(self):
+        """scores**0 == 1 -> identical to the unweighted pipeline."""
+        import jax
+
+        from latice_tpu.index import IndexPipeline
+        from latice_tpu.models import VariationalAutoEncoderRawData
+
+        rng = np.random.default_rng(0)
+        base = rng.uniform(size=(1, 128, 128)).astype(np.float32)
+        patterns = (base + rng.normal(size=(12, 128, 128)) * 0.02).astype(np.float32)
+        angles = rng.uniform([10, 20, 10], [170, 140, 170], size=(12, 3))
+        model = VariationalAutoEncoderRawData(inplanes=2, latent_dim=8)
+        params = model.init(
+            {"params": jax.random.key(0)},
+            jnp.zeros((1, 128, 128, 1)),
+            jax.random.key(1),
+        )["params"]
+        lat = np.asarray(
+            model.apply({"params": params}, patterns[..., None], method="encode")[0]
+        )
+        vecs = lat / np.linalg.norm(lat, axis=1, keepdims=True)
+        kw = dict(top_n=5, orientation_threshold=3.0, min_required_matches=1,
+                  batch_size=12)
+        r0 = IndexPipeline(model, params, vecs, angles, **kw)(patterns)
+        rp = IndexPipeline(
+            model, params, vecs, angles, consensus_weight_power=0.0, **kw
+        )(patterns)
+        np.testing.assert_allclose(r0.best_orientation, rp.best_orientation, atol=1e-5)
+        np.testing.assert_array_equal(r0.success, rp.success)
