@@ -21,13 +21,30 @@ __all__ = ["parse_angle_file", "DPdataset"]
 
 
 def parse_angle_file(path: str | Path) -> np.ndarray:
-    """Parse a rotation-angle text file into an (N, 3) float array.
+    """Parse a rotation-angle text file into an (N, 3) float array of degrees.
 
-    Format (reference data/anglefile_sample.txt, parsed at
-    data_module.py:87-116): two header lines (convention tag, count), then one
-    whitespace-separated ``z1 x z2`` triple per line, degrees.
+    Formats:
+    * reference anglefile (data/anglefile_sample.txt, parsed at
+      data_module.py:87-116): two header lines (convention tag, count), then
+      one whitespace-separated ``z1 x z2`` triple per line, degrees;
+    * TSL/OIM ``.ang`` (by extension): ``#``-comment header, Euler radians in
+      the first three columns — the format EMsoft-style dictionary
+      simulations emit — converted to degrees here.
     """
     path = Path(path)
+    if path.suffix.lower() == ".ang":
+        try:
+            rows = np.loadtxt(path, comments="#", ndmin=2)
+        except FileNotFoundError:
+            logger.error(f"Rotation angles file not found: {path}")
+            raise
+        except Exception as e:
+            raise ValueError(f"Failed to parse .ang file: {e}") from e
+        if rows.shape[1] < 3:
+            raise ValueError(
+                f"expected >=3 columns in .ang file, got {rows.shape[1]}"
+            )
+        return np.degrees(rows[:, :3]).astype(np.float64)
     try:
         # First-party C++ parser when the native runtime is available
         # (latice_tpu.native); byte-for-byte the same contract.

@@ -83,3 +83,24 @@ class TestWriteCtf:
         rows = np.loadtxt(path, skiprows=text.splitlines().index(
             "Phase\tX\tY\tBands\tError\tEuler1\tEuler2\tEuler3\tMAD\tBC\tBS") + 1)
         np.testing.assert_array_equal(rows[:, 0], [1, 2, 2, 1])
+
+
+class TestAngRoundTrip:
+    def test_written_ang_parses_as_angle_file(self, tmp_path):
+        """write_ang output feeds straight back in as a dictionary angle
+        source (EMsoft-style .ang dictionaries)."""
+        from latice_tpu.data import parse_angle_file
+
+        res = _result(6)
+        path = tmp_path / "dict.ang"
+        write_ang(str(path), res, grid=(2, 3))
+        angles = parse_angle_file(str(path))
+        np.testing.assert_allclose(angles, res.best_orientation, atol=1e-2)
+
+    def test_ang_too_few_columns_raises(self, tmp_path):
+        p = tmp_path / "bad.ang"
+        p.write_text("# header\n0.1 0.2\n")
+        with pytest.raises(ValueError, match="columns"):
+            from latice_tpu.data import parse_angle_file
+
+            parse_angle_file(str(p))
