@@ -53,6 +53,9 @@ class IndexService:
         batch_size: static compile batch; requests of any size are chunked
             and padded by the pipeline.
         image_size: expected pattern height/width after the default transform.
+        mesh: optional `jax.sharding.Mesh` — the dictionary shards over its
+            first axis (per-shard top-k + k-row all_gather merge over ICI),
+            serving dictionaries larger than one chip's HBM.
     """
 
     def __init__(
@@ -65,6 +68,7 @@ class IndexService:
         min_required_matches: int = 18,
         batch_size: int = 256,
         image_size: tuple[int, int] = (128, 128),
+        mesh: Any = None,
     ) -> None:
         import jax
 
@@ -81,6 +85,7 @@ class IndexService:
                 dictionary_phases=db._phases,
                 phase_symmetries=db.config.phase_symmetries,
             )
+        self.mesh = mesh
         self.pipeline = IndexPipeline(
             model,
             params,
@@ -90,6 +95,7 @@ class IndexService:
             orientation_threshold=orientation_threshold,
             min_required_matches=min_required_matches,
             batch_size=batch_size,
+            mesh=mesh,
             **phase_kw,
         )
         self._encode = jax.jit(
@@ -174,6 +180,7 @@ class IndexService:
             "platform": get_platform(),
             "batch_size": int(self.pipeline.batch_size),
             "multiphase": bool(getattr(self._db, "_has_phases", False)),
+            "mesh_devices": 0 if self.mesh is None else int(self.mesh.size),
             "uptime_s": time.time() - self.started,
             "requests": self.requests,
             "patterns_indexed": self.patterns_indexed,

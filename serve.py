@@ -39,6 +39,11 @@ def main() -> None:
     p.add_argument("--top-n", type=int, default=20)
     p.add_argument("--threshold", type=float, default=3.0)
     p.add_argument("--min-matches", type=int, default=18)
+    p.add_argument(
+        "--shard-dictionary", action="store_true",
+        help="shard the dictionary over all attached devices (1-D mesh; "
+        "per-shard top-k merged with a k-row all_gather over ICI)",
+    )
     args = p.parse_args()
 
     from index import _load_model
@@ -52,6 +57,18 @@ def main() -> None:
     if db.get_count() == 0:
         raise SystemExit(f"dictionary {args.db} is empty — build it first")
 
+    mesh = None
+    if args.shard_dictionary:
+        import jax
+
+        from latice_tpu.parallel import make_mesh
+
+        if jax.local_device_count() > 1:
+            mesh = make_mesh()
+            logger.info(f"sharding dictionary over {mesh.size} devices")
+        else:
+            logger.warning("--shard-dictionary ignored: one device attached")
+
     service = IndexService(
         model,
         params,
@@ -60,6 +77,7 @@ def main() -> None:
         orientation_threshold=args.threshold,
         min_required_matches=args.min_matches,
         batch_size=args.batch_size,
+        mesh=mesh,
     )
     warm_s = service.warmup()
     server = make_server(service, args.host, args.port)

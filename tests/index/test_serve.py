@@ -127,3 +127,45 @@ class TestServe:
         after = json.load(urllib.request.urlopen(f"{url}/healthz", timeout=30))
         assert after["requests"] == before["requests"] + 1
         assert after["patterns_indexed"] == before["patterns_indexed"] + 2
+
+
+class TestShardedServe:
+    def test_mesh_sharded_service_matches_unsharded(self, served):
+        """Same dictionary behind an 8-device sharded pipeline returns the
+        same results as the single-device service."""
+        url, patterns, orientations, params, model = served
+        import jax
+
+        from latice_tpu.index import (
+            LatentVectorDatabaseConfig,
+            TpuLatentVectorDatabase,
+        )
+        from latice_tpu.parallel import make_mesh
+
+        enc = jax.jit(lambda p, x: model.apply({"params": p}, x, method="encode")[0])
+        latents = np.asarray(enc(params, patterns[..., None]))
+        db = TpuLatentVectorDatabase(
+            LatentVectorDatabaseConfig(npz_path="/tmp/serve_mesh.npz", dimension=8)
+        )
+        db.add_vectors(latents, orientations, phases=np.repeat([0, 1], 12))
+        service = IndexService(
+            model, params, db, top_n=5, orientation_threshold=3.0,
+            min_required_matches=1, batch_size=16, mesh=make_mesh(8),
+        )
+        server = make_server(service, "127.0.0.1", 0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        murl = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            h = json.load(urllib.request.urlopen(f"{murl}/healthz", timeout=30))
+            assert h["mesh_devices"] == 8
+            sharded = _post(f"{murl}/index", _npy_bytes(patterns[:8]))
+            plain = _post(f"{url}/index", _npy_bytes(patterns[:8]))
+            np.testing.assert_allclose(
+                sharded["orientations"], plain["orientations"], atol=1e-4
+            )
+            assert sharded["success"] == plain["success"]
+            assert sharded["phase"] == plain["phase"]
+        finally:
+            server.shutdown()
+            db.delete_persistence()
