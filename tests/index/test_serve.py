@@ -169,3 +169,59 @@ class TestShardedServe:
         finally:
             server.shutdown()
             db.delete_persistence()
+
+
+class TestServeCLI:
+    def test_cli_builds_service_and_reports(self, tmp_path, monkeypatch, capsys):
+        """serve.py main(): arg parsing -> db load -> warmup -> ready line."""
+        import sys
+        from http.server import ThreadingHTTPServer
+        from pathlib import Path
+
+        rng = np.random.default_rng(4)
+        latents = rng.normal(size=(10, 8)).astype(np.float32)
+        orients = rng.uniform([10, 20, 10], [170, 140, 170], size=(10, 3))
+        db_path = tmp_path / "cli_db.npz"
+        db = TpuLatentVectorDatabase(
+            LatentVectorDatabaseConfig(npz_path=str(db_path), dimension=8)
+        )
+        db.add_vectors(latents, orients)
+        db.save()
+
+        repo = Path(__file__).resolve().parents[2]
+        sys.path.insert(0, str(repo))
+        import importlib
+
+        serve_cli = importlib.import_module("serve")
+        monkeypatch.setattr(
+            ThreadingHTTPServer, "serve_forever", lambda self, *a, **k: None
+        )
+        monkeypatch.setattr(
+            sys, "argv",
+            ["serve.py", "--db", str(db_path), "--inplanes", "2",
+             "--latent-dim", "8", "--batch-size", "8", "--port", "0"],
+        )
+        serve_cli.main()
+        ready = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert ready["status"] == "serving" and ready["count"] == 10
+        assert ready["warmup_s"] >= 0
+
+    def test_cli_rejects_empty_db(self, tmp_path, monkeypatch):
+        import sys
+        from pathlib import Path
+
+        db_path = tmp_path / "empty.npz"
+        db = TpuLatentVectorDatabase(
+            LatentVectorDatabaseConfig(npz_path=str(db_path), dimension=8)
+        )
+        db.save()
+        repo = Path(__file__).resolve().parents[2]
+        sys.path.insert(0, str(repo))
+        import importlib
+
+        serve_cli = importlib.import_module("serve")
+        monkeypatch.setattr(
+            sys, "argv", ["serve.py", "--db", str(db_path), "--latent-dim", "8"]
+        )
+        with pytest.raises(SystemExit, match="empty"):
+            serve_cli.main()
