@@ -202,6 +202,50 @@ def cmd_query(args) -> None:
     print(json.dumps(summary))
 
 
+def cmd_analyze(args) -> None:
+    """Grain analysis of an indexed orientation map (crystal.maps)."""
+    from latice_tpu.crystal import (
+        grain_boundary_mask,
+        kernel_average_misorientation,
+        label_grains,
+        misorientation_maps,
+    )
+
+    orients = np.load(args.orientations)
+    rows, cols = args.grid
+    if orients.ndim == 2:
+        if rows * cols != len(orients):
+            raise SystemExit(
+                f"--grid {rows}x{cols} does not hold {len(orients)} points"
+            )
+        orients = orients.reshape(rows, cols, 3)
+    maps = misorientation_maps(orients, group=args.group)
+    labels, n_grains = label_grains(maps, threshold_deg=args.gb_threshold)
+    kam = kernel_average_misorientation(maps, threshold_deg=args.gb_threshold)
+    boundaries = grain_boundary_mask(maps, threshold_deg=args.gb_threshold)
+
+    prefix = args.out_prefix
+    np.save(f"{prefix}_grains.npy", labels)
+    np.save(f"{prefix}_kam.npy", kam)
+    np.save(f"{prefix}_boundaries.npy", boundaries)
+    summary = {
+        "n_grains": int(n_grains),
+        "mean_grain_px": float(labels.size / max(n_grains, 1)),
+        "boundary_fraction": float(boundaries.mean()),
+        "mean_kam_deg": float(kam.mean()),
+        "outputs": [f"{prefix}_{s}.npy" for s in ("grains", "kam", "boundaries")],
+    }
+    if args.pole_figure:
+        from latice_tpu.utils import plot_pole_figure
+
+        fig = plot_pole_figure(
+            orients.reshape(-1, 3), pole=tuple(args.pole), group=args.group
+        )
+        fig.savefig(args.pole_figure)
+        summary["pole_figure"] = args.pole_figure
+    print(json.dumps(summary))
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -268,6 +312,32 @@ def main() -> None:
     q.add_argument("--threshold", type=float, default=3.0)
     q.add_argument("--min-matches", type=int, default=18)
     q.set_defaults(fn=cmd_query)
+
+    a = sub.add_parser(
+        "analyze", help="grain analysis of an indexed orientation map"
+    )
+    a.add_argument(
+        "--orientations", required=True,
+        help="(N, 3) or (R, C, 3) Euler .npy from 'query'",
+    )
+    a.add_argument(
+        "--grid", type=int, nargs=2, metavar=("ROWS", "COLS"), required=True,
+        help="scan shape",
+    )
+    a.add_argument("--group", default="432", help="point group")
+    a.add_argument(
+        "--gb-threshold", type=float, default=5.0,
+        help="grain-boundary misorientation threshold (deg)",
+    )
+    a.add_argument("--out-prefix", default="analysis")
+    a.add_argument(
+        "--pole-figure", default=None, help="also render a pole-figure PNG"
+    )
+    a.add_argument(
+        "--pole", type=float, nargs=3, default=(1.0, 0.0, 0.0),
+        metavar=("H", "K", "L"), help="pole for --pole-figure",
+    )
+    a.set_defaults(fn=cmd_analyze)
 
     args = parser.parse_args()
     args.fn(args)

@@ -95,3 +95,37 @@ class TestCLI:
                  "--angles", str(a0), "--db", str(tmp_path / "z.npz")] + SMALL,
                 monkeypatch, capsys,
             )
+
+
+class TestAnalyzeCLI:
+    def test_analyze_two_grain_map(self, tmp_path, monkeypatch, capsys):
+        rng = np.random.default_rng(0)
+        euler = np.empty((6, 8, 3))
+        euler[:, :4] = [10.0, 20.0, 30.0]
+        euler[:, 4:] = [80.0, 60.0, 40.0]
+        euler += rng.normal(scale=0.1, size=euler.shape)
+        opath = tmp_path / "orients.npy"
+        np.save(opath, euler.reshape(-1, 3))
+        prefix = str(tmp_path / "an")
+        png = str(tmp_path / "pf.png")
+        out = _run(
+            ["analyze", "--orientations", str(opath), "--grid", "6", "8",
+             "--out-prefix", prefix, "--pole-figure", png, "--pole", "1", "1", "1"],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(out.strip().splitlines()[-1])
+        assert summary["n_grains"] == 2
+        labels = np.load(prefix + "_grains.npy")
+        assert labels.shape == (6, 8)
+        assert (labels[:, :4] == 0).all() and (labels[:, 4:] == 1).all()
+        assert np.load(prefix + "_kam.npy").max() < 1.0
+        assert Path(png).exists()
+
+    def test_analyze_grid_mismatch(self, tmp_path, monkeypatch, capsys):
+        opath = tmp_path / "o.npy"
+        np.save(opath, np.zeros((10, 3)))
+        with pytest.raises(SystemExit, match="does not hold"):
+            _run(
+                ["analyze", "--orientations", str(opath), "--grid", "3", "3"],
+                monkeypatch, capsys,
+            )
