@@ -158,14 +158,18 @@ class IndexService:
         else:
             x = x.astype(np.float32)
         b = self.pipeline.batch_size
-        outs = []
+        pending = []
         with self._lock:
+            # Two-phase dispatch (same pattern as IndexPipeline.__call__):
+            # enqueue every chunk first so H2D transfers overlap compute,
+            # then materialize.
             for s in range(0, len(x), b):
                 chunk = x[s : s + b]
                 pad = b - len(chunk)
                 if pad:
                     chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
-                outs.append(np.asarray(self._encode(self._params, chunk[..., None])))
+                pending.append(self._encode(self._params, chunk[..., None]))
+            outs = [np.asarray(p) for p in pending]
             self.requests += 1
         lat = np.concatenate(outs)[: len(x)]
         return {"n": int(len(x)), "latents": lat.tolist()}

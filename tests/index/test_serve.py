@@ -225,3 +225,28 @@ class TestServeCLI:
         )
         with pytest.raises(SystemExit, match="empty"):
             serve_cli.main()
+
+
+class TestConcurrency:
+    def test_parallel_requests_all_succeed(self, served):
+        """8 threads hammering /index and /encode: every reply correct."""
+        url, patterns, *_ = served
+        errors = []
+
+        def hit(i):
+            try:
+                if i % 2:
+                    out = _post(f"{url}/index", _npy_bytes(patterns[i : i + 3]))
+                    assert out["n"] == 3 and all(out["success"])
+                else:
+                    out = _post(f"{url}/encode", _npy_bytes(patterns[i : i + 2]))
+                    assert len(out["latents"]) == 2
+            except Exception as e:  # surface in main thread
+                errors.append(e)
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
