@@ -20,6 +20,8 @@ Endpoints:
   POST /index    -> body: .npy of (N, H, W[, 1]) patterns
                     reply: {"orientations": ..., "success": ..., "n": ...}
   POST /encode   -> body: .npy patterns; reply: {"latents": ...}
+  POST /reload   -> body: {"checkpoint": path}; hot-swaps the model (new
+                    pipeline compiles outside the lock, then pointer-swap)
 
 See ``serve.py`` at the repo root for the CLI entry point.
 """
@@ -56,6 +58,11 @@ class IndexService:
         mesh: optional `jax.sharding.Mesh` — the dictionary shards over its
             first axis (per-shard top-k + k-row all_gather merge over ICI),
             serving dictionaries larger than one chip's HBM.
+        param_loader: optional ``checkpoint_path -> params`` callable enabling
+            the ``POST /reload`` endpoint (checkpoint hot-swap: the new
+            pipeline compiles *outside* the request lock, then swaps in
+            atomically — in-flight requests finish on the old model and no
+            request ever sees a cold compile).
     """
 
     def __init__(
@@ -69,10 +76,9 @@ class IndexService:
         batch_size: int = 256,
         image_size: tuple[int, int] = (128, 128),
         mesh: Any = None,
+        param_loader: Any = None,
     ) -> None:
         import jax
-
-        from latice_tpu.index import IndexPipeline
 
         self.image_size = tuple(image_size)
         self._lock = threading.Lock()
@@ -86,11 +92,7 @@ class IndexService:
                 phase_symmetries=db.config.phase_symmetries,
             )
         self.mesh = mesh
-        self.pipeline = IndexPipeline(
-            model,
-            params,
-            db._vectors,
-            db._orientations,
+        self._pipeline_kw = dict(
             top_n=top_n,
             orientation_threshold=orientation_threshold,
             min_required_matches=min_required_matches,
@@ -98,12 +100,51 @@ class IndexService:
             mesh=mesh,
             **phase_kw,
         )
+        self._param_loader = param_loader
+        self.model_version = 0
+        self.pipeline = self._build_pipeline(params)
         self._encode = jax.jit(
             lambda p, x: model.apply({"params": p}, x, method="encode")[0]
         )
         self.started = time.time()
         self.requests = 0
         self.patterns_indexed = 0
+
+    def _build_pipeline(self, params):
+        from latice_tpu.index import IndexPipeline
+
+        return IndexPipeline(
+            self._model,
+            params,
+            self._db._vectors,
+            self._db._orientations,
+            **self._pipeline_kw,
+        )
+
+    def reload(self, checkpoint: str) -> dict:
+        """Hot-swap the model from ``checkpoint`` without dropping requests.
+
+        The replacement pipeline is built and warmed while the old one keeps
+        serving; the swap itself is a pointer exchange under the lock.
+        """
+        if self._param_loader is None:
+            raise ValueError("service was started without a param_loader")
+        t0 = time.time()
+        params = self._param_loader(checkpoint)
+        pipeline = self._build_pipeline(params)
+        h, w = self.image_size
+        pipeline(np.zeros((1, h, w), dtype=np.uint8))  # compile outside lock
+        with self._lock:
+            self.pipeline = pipeline
+            self._params = params
+            self.model_version += 1
+            version = self.model_version
+        return {
+            "status": "reloaded",
+            "checkpoint": checkpoint,
+            "model_version": version,
+            "seconds": time.time() - t0,
+        }
 
     def warmup(self) -> float:
         """Compile both programs with a dummy batch; returns seconds spent."""
@@ -185,6 +226,7 @@ class IndexService:
             "batch_size": int(self.pipeline.batch_size),
             "multiphase": bool(getattr(self._db, "_has_phases", False)),
             "mesh_devices": 0 if self.mesh is None else int(self.mesh.size),
+            "model_version": self.model_version,
             "uptime_s": time.time() - self.started,
             "requests": self.requests,
             "patterns_indexed": self.patterns_indexed,
@@ -212,6 +254,17 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self) -> None:
+        if self.path == "/reload":
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                self._reply(200, self.service.reload(body["checkpoint"]))
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:
+                logger.exception("reload failed")
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+            return
         if self.path not in ("/index", "/encode"):
             self._reply(404, {"error": f"unknown path {self.path}"})
             return

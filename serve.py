@@ -69,6 +69,10 @@ def main() -> None:
         else:
             logger.warning("--shard-dictionary ignored: one device attached")
 
+    def param_loader(checkpoint: str):
+        _, new_params = _load_model(checkpoint, args.inplanes, args.latent_dim)
+        return new_params
+
     service = IndexService(
         model,
         params,
@@ -78,6 +82,7 @@ def main() -> None:
         min_required_matches=args.min_matches,
         batch_size=args.batch_size,
         mesh=mesh,
+        param_loader=param_loader,
     )
     warm_s = service.warmup()
     server = make_server(service, args.host, args.port)

@@ -250,3 +250,64 @@ class TestConcurrency:
         for t in threads:
             t.join(timeout=120)
         assert not errors, errors
+
+
+class TestHotReload:
+    def test_reload_swaps_model(self, tmp_path):
+        """POST /reload: new params serve subsequent requests; version bumps."""
+        rng = np.random.default_rng(7)
+        patterns = rng.uniform(size=(8, 128, 128)).astype(np.float32)
+        orientations = rng.uniform([10, 20, 10], [170, 140, 170], size=(8, 3))
+        model = VariationalAutoEncoderRawData(inplanes=2, latent_dim=8)
+
+        def loader(seed_str):
+            return model.init(
+                {"params": jax.random.key(int(seed_str))},
+                jnp.zeros((1, 128, 128, 1)),
+                jax.random.key(99),
+            )["params"]
+
+        params = loader("0")
+        enc = jax.jit(lambda p, x: model.apply({"params": p}, x, method="encode")[0])
+        latents = np.asarray(enc(params, patterns[..., None]))
+        db = TpuLatentVectorDatabase(
+            LatentVectorDatabaseConfig(npz_path=str(tmp_path / "r.npz"), dimension=8)
+        )
+        db.add_vectors(latents, orientations)
+        service = IndexService(
+            model, params, db, top_n=4, orientation_threshold=3.0,
+            min_required_matches=1, batch_size=8, param_loader=loader,
+        )
+        server = make_server(service, "127.0.0.1", 0)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            before = _post(f"{url}/encode", _npy_bytes(patterns[:2]))
+            req = json.dumps({"checkpoint": "5"}).encode()
+            out = json.load(
+                urllib.request.urlopen(f"{url}/reload", data=req, timeout=120)
+            )
+            assert out["status"] == "reloaded" and out["model_version"] == 1
+            h = json.load(urllib.request.urlopen(f"{url}/healthz", timeout=30))
+            assert h["model_version"] == 1
+            after = _post(f"{url}/encode", _npy_bytes(patterns[:2]))
+            # Different weights -> different latents.
+            assert not np.allclose(before["latents"], after["latents"])
+            # Index plane still serves (now through the new pipeline).
+            idx = _post(f"{url}/index", _npy_bytes(patterns[:2]))
+            assert idx["n"] == 2
+        finally:
+            server.shutdown()
+
+    def test_reload_without_loader_is_400(self, served):
+        url, *_ = served
+        req = json.dumps({"checkpoint": "x"}).encode()
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"{url}/reload", data=req, timeout=30)
+        assert e.value.code == 400
+
+    def test_reload_bad_body_is_400(self, served):
+        url, *_ = served
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"{url}/reload", data=b"{}", timeout=30)
+        assert e.value.code == 400
