@@ -1,0 +1,347 @@
+"""Indexing CLI — dictionary build + batch pattern indexing.
+
+The reference only shipped this flow as notebooks (notebook/index.ipynb,
+index_faiss.ipynb — SURVEY §2 #16); here it is a first-class command:
+
+    # build a dictionary database from simulated patterns + angles
+    python index.py build --patterns dict.npy --angles angles.txt \
+        --checkpoint checkpoints/best --db latent_index.npz
+
+    # index unknown patterns against it
+    python index.py query --patterns scan.npy --db latent_index.npz \
+        --checkpoint checkpoints/best --out orientations.npy
+
+    # multi-phase: one --patterns/--angles pair per phase + its point group;
+    # query then also writes <out>_phase.npy
+    python index.py build --patterns fcc.npy --angles fcc.txt \
+        --patterns hcp.npy --angles hcp.txt --phase-groups 432,622 \
+        --checkpoint checkpoints/best --db mp_index.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+
+import numpy as np
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger(__name__)
+
+
+def _load_model(checkpoint: str | None, inplanes: int, latent_dim: int):
+    import jax
+    import jax.numpy as jnp
+
+    from latice_tpu.models import VariationalAutoEncoderRawData
+    from latice_tpu.train.checkpoint import load_params
+
+    model = VariationalAutoEncoderRawData(
+        inplanes=inplanes, latent_dim=latent_dim, dtype=jnp.bfloat16
+    )
+    init_params = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, 128, 128, 1)),
+        jax.random.key(1),
+    )["params"]
+    if checkpoint:
+        params = load_params(checkpoint, init_params)
+        logger.info(f"Loaded checkpoint from {checkpoint}")
+    else:
+        params = init_params
+        logger.warning("No checkpoint given; using random weights")
+    return model, params
+
+
+def cmd_build(args) -> None:
+    from latice_tpu.index import (
+        DiffractionPatternIndexer,
+        IndexerConfig,
+        LatentVectorDatabaseConfig,
+        TpuLatentVectorDatabase,
+    )
+
+    if len(args.patterns) != len(args.angles):
+        raise SystemExit("--patterns and --angles must be given the same number of times")
+    multiphase = len(args.patterns) > 1
+    groups = args.phase_groups.split(",") if args.phase_groups else None
+    if groups and len(groups) < len(args.patterns):
+        raise SystemExit(
+            f"{len(args.patterns)} phases but only {len(groups)} --phase-groups"
+        )
+
+    model, params = _load_model(args.checkpoint, args.inplanes, args.latent_dim)
+    db = TpuLatentVectorDatabase(
+        LatentVectorDatabaseConfig(
+            npz_path=args.db,
+            dimension=args.latent_dim,
+            phase_symmetries=groups if multiphase else None,
+        )
+    )
+    indexer = DiffractionPatternIndexer(
+        model,
+        params,
+        db=db,
+        config=IndexerConfig(
+            pattern_path=args.patterns[0],
+            angles_path=args.angles[0],
+            batch_size=args.batch_size,
+            latent_dim=args.latent_dim,
+        ),
+    )
+    t0 = time.time()
+    if multiphase:
+        # One (--patterns, --angles) pair per phase; list position = phase id.
+        indexer.build_multiphase_dictionary(list(zip(args.patterns, args.angles)))
+    else:
+        indexer.build_dictionary()
+    db.save()
+    logger.info(
+        f"Built dictionary of {db.get_count()} vectors"
+        + (f" across {len(args.patterns)} phases" if multiphase else "")
+        + f" in {time.time()-t0:.1f}s -> {args.db}"
+    )
+
+
+def cmd_export(args) -> None:
+    from latice_tpu.index import DiffractionPatternIndexer, IndexerConfig
+
+    model, params = _load_model(args.checkpoint, args.inplanes, args.latent_dim)
+    indexer = DiffractionPatternIndexer(
+        model,
+        params,
+        config=IndexerConfig(
+            pattern_path=args.patterns,
+            angles_path=args.angles,
+            batch_size=args.batch_size,
+            latent_dim=args.latent_dim,
+        ),
+    )
+    latents, _ = indexer.export_latents(args.latents_out, args.angles_out)
+    logger.info(f"Exported {len(latents)} latent vectors")
+
+
+def cmd_query(args) -> None:
+    from latice_tpu.index import IndexPipeline, LatentVectorDatabaseConfig, TpuLatentVectorDatabase
+    from latice_tpu.index.pipeline import concat_dense_results
+    from latice_tpu.data import HDF5_EXTENSIONS, prepare_patterns
+
+    model, params = _load_model(args.checkpoint, args.inplanes, args.latent_dim)
+    db = TpuLatentVectorDatabase(
+        LatentVectorDatabaseConfig(npz_path=args.db, dimension=args.latent_dim)
+    )
+    if db.get_count() == 0:
+        raise SystemExit(f"Database {args.db} is empty — run 'build' first")
+
+    phase_kw = {}
+    if db._has_phases:
+        phase_kw = dict(
+            dictionary_phases=db._phases,
+            phase_symmetries=db.config.phase_symmetries,
+        )
+    pipe = IndexPipeline(
+        model,
+        params,
+        db._vectors,
+        db._orientations,
+        top_n=args.top_n,
+        orientation_threshold=args.threshold,
+        min_required_matches=args.min_matches,
+        batch_size=args.batch_size,
+        **phase_kw,
+    )
+    t0 = time.time()
+    if args.patterns.lower().endswith(HDF5_EXTENSIONS):
+        # HDF5 scan (vendor acquisition container): stream slabs off disk so
+        # arbitrarily large maps never materialize fully in host memory.
+        from latice_tpu.data import find_pattern_dataset, iter_pattern_batches
+
+        f, dset = find_pattern_dataset(args.patterns, args.h5_dataset)
+        try:
+            result = concat_dense_results(
+                pipe(prepare_patterns(slab))
+                for slab in iter_pattern_batches(dset, args.h5_chunk)
+            )
+        finally:
+            f.close()
+        n = len(result.success)
+    else:
+        x = prepare_patterns(np.load(args.patterns))
+        result = pipe(x)
+        n = len(x)
+    dt = time.time() - t0
+    logger.info(
+        f"Indexed {n} patterns in {dt:.2f}s ({n/dt:,.0f}/s); "
+        f"success rate {result.success.mean():.1%}"
+    )
+    np.save(args.out, result.best_orientation)
+    summary = {
+        "n_patterns": n,
+        "success_rate": float(result.success.mean()),
+        "seconds": dt,
+        "out": args.out,
+    }
+    if result.phase is not None:
+        phase_out = args.out.replace(".npy", "") + "_phase.npy"
+        np.save(phase_out, result.phase)
+        summary["phase_out"] = phase_out
+        summary["phase_counts"] = np.bincount(result.phase).tolist()
+    grid = tuple(args.scan_grid) if args.scan_grid else None
+    if args.ang:
+        from latice_tpu.data import write_ang
+
+        write_ang(args.ang, result, grid=grid, step=args.step)
+        summary["ang_out"] = args.ang
+    if args.ctf:
+        from latice_tpu.data import write_ctf
+
+        write_ctf(args.ctf, result, grid=grid, step=args.step)
+        summary["ctf_out"] = args.ctf
+    print(json.dumps(summary))
+
+
+def cmd_analyze(args) -> None:
+    """Grain analysis of an indexed orientation map (crystal.maps)."""
+    from latice_tpu.crystal import (
+        grain_boundary_mask,
+        kernel_average_misorientation,
+        label_grains,
+        misorientation_maps,
+    )
+
+    orients = np.load(args.orientations)
+    rows, cols = args.grid
+    if orients.ndim == 2:
+        if rows * cols != len(orients):
+            raise SystemExit(
+                f"--grid {rows}x{cols} does not hold {len(orients)} points"
+            )
+        orients = orients.reshape(rows, cols, 3)
+    maps = misorientation_maps(orients, group=args.group)
+    labels, n_grains = label_grains(maps, threshold_deg=args.gb_threshold)
+    kam = kernel_average_misorientation(maps, threshold_deg=args.gb_threshold)
+    boundaries = grain_boundary_mask(maps, threshold_deg=args.gb_threshold)
+
+    prefix = args.out_prefix
+    np.save(f"{prefix}_grains.npy", labels)
+    np.save(f"{prefix}_kam.npy", kam)
+    np.save(f"{prefix}_boundaries.npy", boundaries)
+    summary = {
+        "n_grains": int(n_grains),
+        "mean_grain_px": float(labels.size / max(n_grains, 1)),
+        "boundary_fraction": float(boundaries.mean()),
+        "mean_kam_deg": float(kam.mean()),
+        "outputs": [f"{prefix}_{s}.npy" for s in ("grains", "kam", "boundaries")],
+    }
+    if args.pole_figure:
+        from latice_tpu.utils import plot_pole_figure
+
+        fig = plot_pole_figure(
+            orients.reshape(-1, 3), pole=tuple(args.pole), group=args.group
+        )
+        fig.savefig(args.pole_figure)
+        summary["pole_figure"] = args.pole_figure
+    print(json.dumps(summary))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--checkpoint", default=None, help="orbax params dir")
+    common.add_argument("--db", default="latent_index.npz")
+    common.add_argument("--inplanes", type=int, default=32)
+    common.add_argument("--latent-dim", type=int, default=16)
+    common.add_argument("--batch-size", type=int, default=256)
+
+    b = sub.add_parser("build", parents=[common], help="build dictionary DB")
+    b.add_argument(
+        "--patterns", required=True, action="append",
+        help="dictionary .npy stack (repeat once per phase for multi-phase)",
+    )
+    b.add_argument(
+        "--angles", required=True, action="append",
+        help="angle file (repeat once per phase, paired with --patterns)",
+    )
+    b.add_argument(
+        "--phase-groups", default=None,
+        help="comma-separated point groups, one per phase (e.g. 432,622); "
+        "persisted in the npz and applied automatically at query time",
+    )
+    b.set_defaults(fn=cmd_build)
+
+    e = sub.add_parser(
+        "export", parents=[common], help="export dictionary latents to .npy"
+    )
+    e.add_argument("--patterns", required=True, help="dictionary .npy stack")
+    e.add_argument("--angles", required=True, help="angle file")
+    e.add_argument("--latents-out", default="latents.npy")
+    e.add_argument("--angles-out", default="orientations.npy")
+    e.set_defaults(fn=cmd_export)
+
+    q = sub.add_parser("query", parents=[common], help="index patterns")
+    q.add_argument(
+        "--patterns", required=True,
+        help=".npy stack or HDF5 scan (.h5/.h5oina/...) to index",
+    )
+    q.add_argument(
+        "--h5-dataset", default=None,
+        help="HDF5 dataset path of the pattern stack (default: auto-detect "
+        "the largest (N, H, W) dataset)",
+    )
+    q.add_argument(
+        "--h5-chunk", type=int, default=4096,
+        help="patterns per streamed HDF5 slab",
+    )
+    q.add_argument("--out", default="orientations.npy")
+    q.add_argument(
+        "--ang", default=None, help="also write a TSL/OIM .ang result file"
+    )
+    q.add_argument(
+        "--ctf", default=None, help="also write a Channel Text File (.ctf)"
+    )
+    q.add_argument(
+        "--scan-grid", type=int, nargs=2, metavar=("ROWS", "COLS"), default=None,
+        help="scan shape for .ang/.ctf x-y columns (default: one line)",
+    )
+    q.add_argument("--step", type=float, default=1.0, help="scan step (um)")
+    q.add_argument("--top-n", type=int, default=20)
+    q.add_argument("--threshold", type=float, default=3.0)
+    q.add_argument("--min-matches", type=int, default=18)
+    q.set_defaults(fn=cmd_query)
+
+    a = sub.add_parser(
+        "analyze", help="grain analysis of an indexed orientation map"
+    )
+    a.add_argument(
+        "--orientations", required=True,
+        help="(N, 3) or (R, C, 3) Euler .npy from 'query'",
+    )
+    a.add_argument(
+        "--grid", type=int, nargs=2, metavar=("ROWS", "COLS"), required=True,
+        help="scan shape",
+    )
+    a.add_argument("--group", default="432", help="point group")
+    a.add_argument(
+        "--gb-threshold", type=float, default=5.0,
+        help="grain-boundary misorientation threshold (deg)",
+    )
+    a.add_argument("--out-prefix", default="analysis")
+    a.add_argument(
+        "--pole-figure", default=None, help="also render a pole-figure PNG"
+    )
+    a.add_argument(
+        "--pole", type=float, nargs=3, default=(1.0, 0.0, 0.0),
+        metavar=("H", "K", "L"), help="pole for --pole-figure",
+    )
+    a.set_defaults(fn=cmd_analyze)
+
+    args = parser.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Serve the indexing plane over HTTP — the production deployment entry point.
+
+Loads a checkpoint + dictionary once, compiles the fused pipeline at startup,
+then serves scans until stopped. Clients POST raw ``.npy`` bytes:
+
+    python serve.py --db latent_index.npz --checkpoint checkpoints/best &
+    curl -s localhost:8800/healthz
+    python - <<'PY'
+    import io, urllib.request, numpy as np, json
+    buf = io.BytesIO(); np.save(buf, np.load("scan.npy"))
+    r = urllib.request.urlopen("http://localhost:8800/index", data=buf.getvalue())
+    print(json.load(r)["orientations"][:3])
+    PY
+
+Multi-phase dictionaries (built with ``index.py build --phase-groups``) serve
+per-pixel phase ids automatically. The reference has no serving story
+(notebooks only — SURVEY §2 #16); this plane is latice_tpu-native.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger(__name__)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--db", required=True, help="dictionary npz (index.py build)")
+    p.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8800)
+    p.add_argument("--inplanes", type=int, default=32)
+    p.add_argument("--latent-dim", type=int, default=16)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--top-n", type=int, default=20)
+    p.add_argument("--threshold", type=float, default=3.0)
+    p.add_argument("--min-matches", type=int, default=18)
+    p.add_argument(
+        "--shard-dictionary", action="store_true",
+        help="shard the dictionary over all attached devices (1-D mesh; "
+        "per-shard top-k merged with a k-row all_gather over ICI)",
+    )
+    args = p.parse_args()
+
+    from latice_tpu.cli.index import _load_model
+    from latice_tpu.index import LatentVectorDatabaseConfig, TpuLatentVectorDatabase
+    from latice_tpu.serve import IndexService, make_server
+
+    model, params = _load_model(args.checkpoint, args.inplanes, args.latent_dim)
+    db = TpuLatentVectorDatabase(
+        LatentVectorDatabaseConfig(npz_path=args.db, dimension=args.latent_dim)
+    )
+    if db.get_count() == 0:
+        raise SystemExit(f"dictionary {args.db} is empty — build it first")
+
+    mesh = None
+    if args.shard_dictionary:
+        import jax
+
+        from latice_tpu.parallel import make_mesh
+
+        if jax.local_device_count() > 1:
+            mesh = make_mesh()
+            logger.info(f"sharding dictionary over {mesh.size} devices")
+        else:
+            logger.warning("--shard-dictionary ignored: one device attached")
+
+    def param_loader(checkpoint: str):
+        _, new_params = _load_model(checkpoint, args.inplanes, args.latent_dim)
+        return new_params
+
+    service = IndexService(
+        model,
+        params,
+        db,
+        top_n=args.top_n,
+        orientation_threshold=args.threshold,
+        min_required_matches=args.min_matches,
+        batch_size=args.batch_size,
+        mesh=mesh,
+        param_loader=param_loader,
+    )
+    warm_s = service.warmup()
+    server = make_server(service, args.host, args.port)
+    print(
+        json.dumps(
+            {
+                "status": "serving",
+                "addr": f"http://{args.host}:{server.server_address[1]}",
+                "count": db.get_count(),
+                "warmup_s": round(warm_s, 1),
+            }
+        ),
+        flush=True,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()
