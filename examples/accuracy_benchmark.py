@@ -33,7 +33,7 @@ def render_patterns(angles_deg, noise=0.0, seed=0, freqs=(9.0, 14.0, 6.0)):
         out = out + rng.normal(size=out.shape).astype(np.float32) * noise
     return np.clip(out, 0, 1)
 
-def main():
+def main(scaled: bool = False):
     # Fine grid: 16x16x16 over a 30-degree box -> 2-degree spacing (reference-like
     # dictionary density, cf. anglefile_sample's 1-degree grid).
     g = np.linspace(0, 30, 16)
@@ -46,7 +46,15 @@ def main():
     from latice_tpu.train import VAELoss, create_train_state, make_train_step
     from latice_tpu.index import IndexPipeline
 
-    model = VariationalAutoEncoderRawData(inplanes=32, latent_dim=16, dtype=jnp.bfloat16)
+    # --scaled: the 64-d-latent 6-stage flagship (conf/lightning_module/
+    # scaled.yaml) for an accuracy-vs-capacity comparison on the same data.
+    if scaled:
+        model = VariationalAutoEncoderRawData(
+            inplanes=64, latent_dim=64, n_stages=6, bottleneck_hw=2,
+            dtype=jnp.bfloat16,
+        )
+    else:
+        model = VariationalAutoEncoderRawData(inplanes=32, latent_dim=16, dtype=jnp.bfloat16)
     params0 = model.init({"params": jax.random.key(0)}, jnp.zeros((1,128,128,1)), jax.random.key(1))["params"]
     N = len(dict_angles)
 
@@ -122,4 +130,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(scaled="--scaled" in sys.argv)
