@@ -4,9 +4,13 @@ End-to-end quality check of the whole product (BASELINE "orientation-match
 quality gate"): renders orientation-dependent synthetic patterns, builds a
 2-degree-grid dictionary of 4096 entries, and indexes noisy re-renders.
 
-Measured on TPU v5e (bf16, 600 train steps in ~18s):
-    random weights : 15.8% success, 19.1 deg median error
-    trained        : 100%  success, 1.74 deg median error, p90 3.07 deg
+Measured on TPU v5e (bf16, 600 train steps in ~18s; with the
+analytic-VJP norm default, round 2):
+    random weights  : ~11-16% success, 19.1 deg median error
+    trained (16-d)  : 100% success, 1.95 deg median error on-grid,
+                      1.85 deg off-grid (1.82 with consensus_weight_power=256)
+    trained --scaled: 100% success, 1.27 deg on-grid, 1.14 deg off-grid
+                      (1.09 with consensus_weight_power=256)
 (errors bounded by the 2-degree dictionary spacing, as expected).
 
 Run: PYTHONPATH=.:/root/.axon_site python examples/accuracy_benchmark.py
