@@ -65,12 +65,15 @@ def cmd_build(args) -> None:
 
     if len(args.patterns) != len(args.angles):
         raise SystemExit("--patterns and --angles must be given the same number of times")
-    multiphase = len(args.patterns) > 1
     groups = args.phase_groups.split(",") if args.phase_groups else None
     if groups and len(groups) < len(args.patterns):
         raise SystemExit(
             f"{len(args.patterns)} phases but only {len(groups)} --phase-groups"
         )
+    # Phase labels are persisted whenever more than one phase is given OR an
+    # explicit point group is named — a single-phase hexagonal dictionary
+    # (--phase-groups 622) must not silently fall back to cubic at query time.
+    multiphase = len(args.patterns) > 1 or groups is not None
 
     model, params = _load_model(args.checkpoint, args.inplanes, args.latent_dim)
     db = TpuLatentVectorDatabase(
@@ -100,7 +103,7 @@ def cmd_build(args) -> None:
     db.save()
     logger.info(
         f"Built dictionary of {db.get_count()} vectors"
-        + (f" across {len(args.patterns)} phases" if multiphase else "")
+        + (f" across {len(args.patterns)} phases" if len(args.patterns) > 1 else "")
         + f" in {time.time()-t0:.1f}s -> {args.db}"
     )
 
@@ -189,15 +192,20 @@ def cmd_query(args) -> None:
         summary["phase_out"] = phase_out
         summary["phase_counts"] = np.bincount(result.phase).tolist()
     grid = tuple(args.scan_grid) if args.scan_grid else None
+    db_groups = (
+        list(db.config.phase_symmetries)
+        if db.config.phase_symmetries is not None
+        else None
+    )
     if args.ang:
         from latice_tpu.data import write_ang
 
-        write_ang(args.ang, result, grid=grid, step=args.step)
+        write_ang(args.ang, result, grid=grid, step=args.step, phase_groups=db_groups)
         summary["ang_out"] = args.ang
     if args.ctf:
         from latice_tpu.data import write_ctf
 
-        write_ctf(args.ctf, result, grid=grid, step=args.step)
+        write_ctf(args.ctf, result, grid=grid, step=args.step, phase_groups=db_groups)
         summary["ctf_out"] = args.ctf
     print(json.dumps(summary))
 

@@ -10,9 +10,9 @@ Design: the per-pixel disorientation field is one jitted XLA program over the
 whole (H, W) grid — quaternion conversion, symmetry reduction over all S
 operators, and both neighbor directions fused into a single dispatch (eager
 op-by-op math is pathologically slow on tunneled TPU backends). Grain
-labeling is host-side union-find in numpy: it is data-dependent, pointer-chasing
-work that a systolic array cannot help with, and at typical map sizes (<1M
-pixels) it is microseconds-cheap next to the device field computation.
+labeling is host-side connected components over the thresholded edge graph
+(scipy csgraph): data-dependent, pointer-chasing work a systolic array cannot
+help with, and milliseconds-cheap in compiled form even at 1M-pixel maps.
 """
 
 from __future__ import annotations
@@ -146,43 +146,25 @@ def label_grains(
     edges (4-connectivity, edge kept when disorientation < ``threshold_deg``).
 
     Returns ``(labels, n_grains)`` with labels in ``0..n_grains-1``, row-major
-    first-visit order. Host-side union-find with path halving.
+    first-visit order. Fully vectorized: scipy's compiled connected-components
+    over the sparse edge graph (milliseconds at 1M pixels — a Python
+    union-find loop takes minutes there).
     """
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
     east, south = maps
     h, w = east.shape
     n = h * w
-    parent = np.arange(n, dtype=np.int64)
-
-    def find(i: int) -> int:
-        while parent[i] != i:
-            parent[i] = parent[parent[i]]  # path halving
-            i = parent[i]
-        return i
-
     idx = np.arange(n).reshape(h, w)
-    edges_a: list[np.ndarray] = []
-    edges_b: list[np.ndarray] = []
     e_ok = east[:, :-1] < threshold_deg
-    edges_a.append(idx[:, :-1][e_ok])
-    edges_b.append(idx[:, 1:][e_ok])
     s_ok = south[:-1, :] < threshold_deg
-    edges_a.append(idx[:-1, :][s_ok])
-    edges_b.append(idx[1:, :][s_ok])
-    for a, b in zip(np.concatenate(edges_a), np.concatenate(edges_b)):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[rb] = ra
-
-    roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
-    _, labels = np.unique(roots, return_inverse=True)
-    # Relabel so grain ids follow row-major first-visit order (deterministic
-    # and independent of union-find internals).
-    order = np.full(labels.max() + 1, -1, dtype=np.int64)
-    nxt = 0
-    out = np.empty(n, dtype=np.int32)
-    for i, lab in enumerate(labels):
-        if order[lab] < 0:
-            order[lab] = nxt
-            nxt += 1
-        out[i] = order[lab]
-    return out.reshape(h, w), nxt
+    a = np.concatenate([idx[:, :-1][e_ok], idx[:-1, :][s_ok]])
+    b = np.concatenate([idx[:, 1:][e_ok], idx[1:, :][s_ok]])
+    adj = coo_matrix((np.ones(len(a), np.int8), (a, b)), shape=(n, n))
+    n_grains, labels = connected_components(adj, directed=False)
+    # Relabel to row-major first-visit order (deterministic, independent of
+    # scipy's internal component ordering).
+    _, first = np.unique(labels, return_index=True)
+    order = np.argsort(np.argsort(first))
+    return order[labels].reshape(h, w).astype(np.int32), int(n_grains)

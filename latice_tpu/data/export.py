@@ -25,6 +25,20 @@ import numpy as np
 
 __all__ = ["write_ang", "write_ctf"]
 
+# Proper rotation point group -> TSL .ang "Symmetry" code (the code of the
+# corresponding Laue class as TSL numbers it).
+_ANG_SYMMETRY = {
+    "432": "43", "23": "23", "622": "62", "6": "6", "422": "42", "4": "4",
+    "32": "32", "3": "3", "222": "22", "2": "20", "1": "1",
+}
+# Proper rotation point group -> CTF Laue group number (1..11, triclinic ->
+# cubic m-3m) and lattice angles of the matching crystal family.
+_CTF_LAUE = {
+    "1": 1, "2": 2, "222": 3, "4": 4, "422": 5, "3": 6, "32": 7,
+    "6": 8, "622": 9, "23": 10, "432": 11,
+}
+_HEX_FAMILY = {"3", "32", "6", "622"}  # gamma = 120 lattice angle
+
 
 def _grid_xy(n: int, grid: tuple[int, int] | None, step: float):
     """(x, y) scan coordinates: row-major grid, or a single line when no
@@ -49,6 +63,7 @@ def write_ang(
     grid: tuple[int, int] | None = None,
     step: float = 1.0,
     phase_names: list[str] | None = None,
+    phase_groups: list[str] | None = None,
 ) -> None:
     """Write a `DenseIndexResult` as a TSL/OIM ``.ang`` file.
 
@@ -63,6 +78,9 @@ def write_ang(
         grid: Optional (rows, cols) scan shape for x/y columns.
         step: Scan step size (same unit the header declares, microns).
         phase_names: Names for the phase header blocks (default Phase1...).
+        phase_groups: Proper rotation point group per phase
+            (`crystal.ROTATION_GROUPS` keys) for the header Symmetry codes;
+            defaults to cubic "432" per phase.
     """
     n = len(result.success)
     x, y = _grid_xy(n, grid, step)
@@ -77,15 +95,17 @@ def write_ang(
     n_phases = int(np.max(phases)) + 1 if n else 1
     names = phase_names or [f"Phase{i + 1}" for i in range(n_phases)]
 
+    groups = list(phase_groups) if phase_groups else ["432"] * len(names)
     rows_, cols_ = grid if grid is not None else (1, n)
     lines = ["# TEM_PIXperUM          1.000000", "# x-star                0.000000"]
     for i, name in enumerate(names):
+        sym = _ANG_SYMMETRY.get(groups[i] if i < len(groups) else "432", "43")
         lines += [
             f"# Phase {i + 1}",
             f"# MaterialName  \t{name}",
             "# Formula     \t",
             "# Info ",
-            "# Symmetry              43",
+            f"# Symmetry              {sym}",
             "#",
         ]
     lines += [
@@ -118,12 +138,15 @@ def write_ctf(
     grid: tuple[int, int] | None = None,
     step: float = 1.0,
     phase_names: list[str] | None = None,
+    phase_groups: list[str] | None = None,
 ) -> None:
     """Write a `DenseIndexResult` as an Oxford Channel Text File (``.ctf``).
 
     Columns: Phase X Y Bands Error Euler1 Euler2 Euler3 MAD BC BS — Euler in
     degrees, phase 1-based (0 = unindexed, the CTF convention), Bands carries
     the consensus match count, MAD the (1 - mean similarity) residual.
+    ``phase_groups`` names each phase's proper rotation point group so the
+    header carries the right Laue class and lattice angles (default cubic).
     """
     n = len(result.success)
     x, y = _grid_xy(n, grid, step)
@@ -153,9 +176,16 @@ def write_ctf(
         "Euler angles refer to Sample Coordinate system (CS0)!",
         f"Phases\t{len(names)}",
     ]
-    for name in names:
-        # lattice params;angles;name;laue group;space group
-        header.append(f"3.600;3.600;3.600\t90.000;90.000;90.000\t{name}\t11\t225")
+    groups = list(phase_groups) if phase_groups else ["432"] * len(names)
+    for i, name in enumerate(names):
+        g = groups[i] if i < len(groups) else "432"
+        laue = _CTF_LAUE.get(g, 11)
+        gamma = "120.000" if g in _HEX_FAMILY else "90.000"
+        # lattice params;angles;name;laue group;space group (0 = unspecified:
+        # the point group, not a full space group, is what the index knows)
+        header.append(
+            f"3.600;3.600;3.600\t90.000;90.000;{gamma}\t{name}\t{laue}\t0"
+        )
     header.append("Phase\tX\tY\tBands\tError\tEuler1\tEuler2\tEuler3\tMAD\tBC\tBS")
     with open(path, "w") as f:
         f.write("\n".join(header) + "\n")

@@ -69,12 +69,20 @@ def default_transform(
     Accepts ``(H, W)``, ``(N, H, W)`` or ``(..., H, W, 3)`` arrays; returns
     float32 with a trailing channel axis of 1 (NHWC-ready).
     """
-    x = to_grayscale(np.asarray(patterns))
-    scale = (
-        np.float32(1.0 / 255.0) if np.issubdtype(x.dtype, np.integer) else np.float32(1)
-    )
+    x = np.asarray(patterns)
+    scale = _int_scale(x.dtype)  # from the ORIGINAL dtype: to_grayscale
+    x = to_grayscale(x)          # promotes integer RGB to float32 luma
     x = center_crop(x, image_size).astype(np.float32) * scale
     return x[..., None]
+
+
+def _int_scale(dtype) -> np.float32:
+    """[0, 1] normalization factor: 1/dtype-max for integers (1/255 for the
+    reference's uint8 ToTensor case, 1/65535 for uint16 vendor detectors),
+    1.0 for floats (ToTensor passes float images through unscaled)."""
+    if np.issubdtype(dtype, np.integer):
+        return np.float32(1.0 / np.iinfo(dtype).max)
+    return np.float32(1.0)
 
 
 def prepare_patterns(
@@ -83,23 +91,33 @@ def prepare_patterns(
     """Normalize a query stack to ``(N, H, W)`` preserving the uint8 fast path.
 
     uint8 inputs stay uint8 (center-crop is a pure slice) so they ride the
-    pipeline's device-side /255 path with 4x less host-link traffic; anything
-    else goes through `default_transform`. Accepts ``(H, W)``,
-    ``(N, H, W)`` or ``(N, H, W, 1)``.
+    pipeline's device-side /255 path with 4x less host-link traffic; other
+    integer dtypes (e.g. uint16 vendor detectors) normalize by their dtype
+    max on host; floats pass through unscaled (ToTensor semantics). Accepts
+    ``(H, W)``, ``(N, H, W)``, ``(N, H, W, 1)`` or RGB ``(N, H, W, 3)``.
     """
     x = np.asarray(patterns)
     if x.ndim == 2:
         x = x[None]
+    if x.ndim == 4 and x.shape[-1] == 3:
+        # Luma reduction promotes to float32; scale by the ORIGINAL integer
+        # dtype's max first so e.g. uint8 RGB still lands in [0, 1].
+        x = to_grayscale(x.astype(np.float32) * _int_scale(x.dtype))
     if x.ndim == 4 and x.shape[-1] == 1:
         x = x[..., 0]
     if x.ndim != 3:
-        raise ValueError(f"expected (N, H, W[, 1]) patterns, got {x.shape}")
+        raise ValueError(f"expected (N, H, W[, 1|3]) patterns, got {x.shape}")
+    if x.dtype == np.uint8:
+        if x.shape[1:] != tuple(image_size):
+            x = center_crop(x, image_size)  # pure slice: uint8 survives
+        return x
+    if np.issubdtype(x.dtype, np.integer):
+        # Non-uint8 integers have no device-side fast path: normalize by the
+        # dtype max here so the model sees [0, 1] regardless of bit depth.
+        x = x.astype(np.float32) * _int_scale(x.dtype)
     if x.shape[1:] != tuple(image_size):
-        if x.dtype == np.uint8:
-            x = center_crop(x, image_size)
-        else:
-            x = default_transform(x, image_size)[..., 0]
-    return x
+        x = default_transform(x, image_size)[..., 0]
+    return np.ascontiguousarray(x, dtype=np.float32)
 
 
 def create_default_transform(image_size: tuple[int, int]):

@@ -164,7 +164,10 @@ def consensus_orientations(
     )  # (B, K, 4)
     mean_w = similar_mask.astype(cand_quats.dtype)
     if cand_weights is not None:
-        mean_w = mean_w * cand_weights.astype(cand_quats.dtype)
+        w = mean_w * cand_weights.astype(cand_quats.dtype)
+        # Guard: if every in-threshold weight underflowed to zero, fall back
+        # to the uniform mask rather than handing quat_mean all-zeros.
+        mean_w = jnp.where(jnp.sum(w, axis=-1, keepdims=True) > 0, w, mean_w)
     mean_quat = quat_mean(sym_eq, mean_w)
     mean_euler = to_euler_zxz_deg(mean_quat)
 

@@ -76,7 +76,10 @@ def parse_faiss_flat_blob(blob: bytes | np.ndarray) -> np.ndarray:
     element-count prefix is then verified (accepting both the float-count and
     byte-count conventions).
     """
-    raw = bytes(np.asarray(blob, dtype=np.uint8))
+    if isinstance(blob, (bytes, bytearray, memoryview)):
+        raw = bytes(blob)
+    else:
+        raw = np.asarray(blob).astype(np.uint8, copy=False).tobytes()
     if len(raw) < 45:
         raise ValueError("serialized FAISS index too short to be an IndexFlat")
     fourcc = raw[:4]

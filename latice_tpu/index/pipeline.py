@@ -114,6 +114,7 @@ class IndexPipeline:
         self._n = len(dictionary_vectors)
         self.mesh = mesh
         k = min(top_n, self._n)
+        self._k = k
 
         sym_tables = None
         if dictionary_phases is not None:
@@ -204,7 +205,16 @@ class IndexPipeline:
                 # similarity^p in the quaternion mean. scores near 1 make
                 # s^p ~ exp(-p (1 - s)), so p sets the sharpness; uniform
                 # (reference faiss_db.py:326-330 parity) when disabled.
-                cand_weights = jnp.maximum(scores, 0.0) ** consensus_weight_power
+                # Normalize by the per-row max BEFORE powering: raw s**p
+                # flushes to zero in f32 for p=256 at s <~ 0.71, which would
+                # hand quat_mean all-zero weights (arbitrary result) while
+                # success stayed True. (s / s_max)**p keeps the top weight
+                # at exactly 1 and preserves the ranking.
+                pos = jnp.maximum(scores, 0.0)
+                top = jnp.maximum(
+                    jnp.max(pos, axis=-1, keepdims=True), jnp.float32(1e-30)
+                )
+                cand_weights = (pos / top) ** consensus_weight_power
             cons = consensus_orientations(
                 cand_quats,
                 orientation_threshold,
@@ -259,6 +269,17 @@ class IndexPipeline:
             x = x.astype(np.float32, copy=False)
         if x.ndim == 3:
             x = x[..., None]
+        if len(x) == 0:
+            k = self._k
+            return DenseIndexResult(
+                mean_orientation=np.zeros((0, 3), np.float64),
+                best_orientation=np.zeros((0, 3), np.float64),
+                success=np.zeros((0,), bool),
+                n_similar=np.zeros((0,), np.int64),
+                indices=np.zeros((0, k), np.int64),
+                scores=np.zeros((0, k), np.float64),
+                phase=None if self.n_phases is None else np.zeros((0,), np.int64),
+            )
         pending = []
         for start in range(0, len(x), self.batch_size):
             chunk = x[start : start + self.batch_size]

@@ -133,7 +133,10 @@ class IndexService:
         params = self._param_loader(checkpoint)
         pipeline = self._build_pipeline(params)
         h, w = self.image_size
-        pipeline(np.zeros((1, h, w), dtype=np.uint8))  # compile outside lock
+        # Compile BOTH input traces outside the lock — uint8 and float32 are
+        # distinct jit programs, and either may be the first post-swap request.
+        pipeline(np.zeros((1, h, w), dtype=np.uint8))
+        pipeline(np.zeros((1, h, w), dtype=np.float32))
         with self._lock:
             self.pipeline = pipeline
             self._params = params
@@ -147,23 +150,29 @@ class IndexService:
         }
 
     def warmup(self) -> float:
-        """Compile both programs with a dummy batch; returns seconds spent."""
+        """Compile every served program with dummy batches; returns seconds.
+
+        Both pipeline input traces are compiled — uint8 (device-side /255)
+        and float32 — since jit treats them as distinct programs and either
+        may arrive first.
+        """
         t0 = time.time()
-        h, w = self.image_size
-        dummy = np.zeros((1, h, w), dtype=np.uint8)
         with self._lock:
-            self.pipeline(dummy)
-            np.asarray(
-                self._encode(
-                    self._params,
-                    np.zeros(
-                        (self.pipeline.batch_size, h, w, 1), dtype=np.float32
-                    ),
-                )
-            )
+            self._compile_all(self.pipeline)
         dt = time.time() - t0
         logger.info(f"warmup compiled pipeline + encoder in {dt:.1f}s")
         return dt
+
+    def _compile_all(self, pipeline) -> None:
+        h, w = self.image_size
+        pipeline(np.zeros((1, h, w), dtype=np.uint8))
+        pipeline(np.zeros((1, h, w), dtype=np.float32))
+        np.asarray(
+            self._encode(
+                self._params,
+                np.zeros((pipeline.batch_size, h, w, 1), dtype=np.float32),
+            )
+        )
 
     def _prepare(self, patterns: np.ndarray) -> np.ndarray:
         """Shape/dtype normalization preserving the uint8 fast path."""

@@ -116,9 +116,9 @@ def plot_pole_figure(
 
     Any matplotlib scatter keyword passes through (``s``, ``alpha``, ``c``...).
     """
-    import matplotlib
+    from latice_tpu.utils._mpl import ensure_headless_backend
 
-    matplotlib.use("Agg")  # no-op if a backend is already active
+    ensure_headless_backend()
     import matplotlib.pyplot as plt
 
     pts = compute_pole_figure(euler_deg, pole, group)

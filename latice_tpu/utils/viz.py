@@ -43,9 +43,9 @@ def plot_detection(
     Matches utils.py:77-116 including the sigmoid applied at plot time
     (utils.py:99 — the model emits logits).
     """
-    import matplotlib
+    from latice_tpu.utils._mpl import ensure_headless_backend
 
-    matplotlib.use("Agg")
+    ensure_headless_backend()
     import matplotlib.pyplot as plt
 
     imgs = np.asarray(imgs)
@@ -152,9 +152,9 @@ def plot_latent(dataset: Any, latent: np.ndarray, color: str = "ipf_z"):
             .interactive()
         )
     except ImportError:
-        import matplotlib
+        from latice_tpu.utils._mpl import ensure_headless_backend
 
-        matplotlib.use("Agg")
+        ensure_headless_backend()
         import matplotlib.pyplot as plt
 
         fig, ax = plt.subplots(figsize=(6, 6))

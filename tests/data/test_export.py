@@ -104,3 +104,25 @@ class TestAngRoundTrip:
             from latice_tpu.data import parse_angle_file
 
             parse_angle_file(str(p))
+
+
+class TestSymmetryMetadata:
+    def test_ang_header_carries_phase_groups(self, tmp_path):
+        res = _result(4, phases=np.array([0, 0, 1, 1]))
+        path = tmp_path / "hex.ang"
+        write_ang(str(path), res, phase_names=["Ni", "Ti"],
+                  phase_groups=["432", "622"])
+        text = path.read_text()
+        assert "# Symmetry              43" in text
+        assert "# Symmetry              62" in text
+
+    def test_ctf_header_hexagonal_laue_and_gamma(self, tmp_path):
+        res = _result(4, phases=np.array([0, 1, 1, 0]))
+        path = tmp_path / "hex.ctf"
+        write_ctf(str(path), res, phase_names=["Cu", "Mg"],
+                  phase_groups=["432", "622"])
+        lines = path.read_text().splitlines()
+        cu = next(l for l in lines if "Cu" in l)
+        mg = next(l for l in lines if "Mg" in l)
+        assert "\t11\t" in cu and "90.000;90.000;90.000" in cu
+        assert "\t9\t" in mg and "90.000;90.000;120.000" in mg

@@ -125,3 +125,31 @@ class TestCLIH5Query:
         assert summary["success_rate"] == 1.0
         got = np.load(out)
         np.testing.assert_allclose(got, angles[:10], atol=1e-3)
+
+
+class TestPreparePatternsDtypes:
+    """Input-scaling fixes: every integer dtype must land in [0, 1]."""
+
+    def test_uint16_correct_size_is_scaled(self):
+        x = np.full((2, 128, 128), 65535, np.uint16)
+        out = prepare_patterns(x, (128, 128))
+        assert out.dtype == np.float32
+        np.testing.assert_allclose(out, 1.0)
+
+    def test_uint16_cropped_is_scaled_once(self):
+        x = np.full((2, 140, 140), 32767, np.uint16)
+        out = prepare_patterns(x, (128, 128))
+        np.testing.assert_allclose(out, 32767 / 65535, rtol=1e-5)
+
+    def test_rgb_uint8_stack_accepted_and_scaled(self):
+        x = np.full((2, 128, 128, 3), 255, np.uint8)
+        out = prepare_patterns(x, (128, 128))
+        assert out.shape == (2, 128, 128)
+        np.testing.assert_allclose(out, 1.0, rtol=1e-5)
+
+    def test_default_transform_uint8_rgb_scaled(self):
+        from latice_tpu.data import default_transform
+
+        x = np.full((2, 130, 130, 3), 255, np.uint8)
+        out = default_transform(x, (128, 128))
+        np.testing.assert_allclose(out, 1.0, rtol=1e-5)

@@ -129,3 +129,26 @@ class TestAnalyzeCLI:
                 ["analyze", "--orientations", str(opath), "--grid", "3", "3"],
                 monkeypatch, capsys,
             )
+
+
+class TestSinglePhaseGroup:
+    def test_explicit_group_persists_for_one_phase(self, tmp_path, monkeypatch, capsys):
+        """--phase-groups 622 with ONE pattern/angle pair must not silently
+        fall back to cubic: the group persists and reloads."""
+        p0, a0, pats = _write_phase(tmp_path, "hcp", 16, seed=5)
+        db = str(tmp_path / "hex.npz")
+        _run(
+            ["build", "--patterns", str(p0), "--angles", str(a0),
+             "--phase-groups", "622", "--db", db] + SMALL,
+            monkeypatch, capsys,
+        )
+        data = np.load(db)
+        assert list(data["phase_groups"]) == ["622"]
+        np.testing.assert_array_equal(data["phases"], np.zeros(16, np.int32))
+
+        from latice_tpu.index import LatentVectorDatabaseConfig, TpuLatentVectorDatabase
+
+        loaded = TpuLatentVectorDatabase(
+            LatentVectorDatabaseConfig(npz_path=db, dimension=8)
+        )
+        assert loaded.config.phase_symmetries == ["622"]

@@ -239,3 +239,12 @@ class TestWeightedConsensus:
         )(patterns)
         np.testing.assert_allclose(r0.best_orientation, rp.best_orientation, atol=1e-5)
         np.testing.assert_array_equal(r0.success, rp.success)
+
+    def test_all_zero_weights_fall_back_to_uniform(self):
+        """Underflowed weights (e.g. s**256 at moderate similarity) must not
+        hand quat_mean an all-zero row — the mean falls back to uniform."""
+        zero = self._run(np.zeros(5, np.float32))
+        uniform = self._run(None)
+        np.testing.assert_allclose(
+            np.asarray(zero.mean_euler), np.asarray(uniform.mean_euler), atol=1e-5
+        )

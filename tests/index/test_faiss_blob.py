@@ -146,3 +146,11 @@ class TestReferenceNpzMigration:
             TpuLatentVectorDatabase(
                 LatentVectorDatabaseConfig(npz_path=str(path), dimension=16)
             )
+
+
+class TestBytesInput:
+    def test_raw_bytes_blob_parses(self):
+        """The natural migration call: parse the raw write_index file bytes."""
+        v = _unit_rows(6, 16)
+        blob_bytes = bytes(make_flat_blob(v))
+        np.testing.assert_array_equal(parse_faiss_flat_blob(blob_bytes), v)

@@ -157,3 +157,24 @@ class TestUint8InputPath:
         np.testing.assert_allclose(
             a.mean_orientation[ok], b.mean_orientation[ok], atol=1e-5
         )
+
+
+class TestEmptyInput:
+    def test_empty_stack_returns_empty_result(self):
+        import jax
+
+        from latice_tpu.models import VariationalAutoEncoderRawData
+
+        model = VariationalAutoEncoderRawData(inplanes=2, latent_dim=8)
+        params = model.init(
+            {"params": jax.random.key(0)},
+            np.zeros((1, 128, 128, 1), np.float32),
+            jax.random.key(1),
+        )["params"]
+        vecs = np.eye(6, 8, dtype=np.float32)
+        angles = np.tile([10.0, 30.0, 50.0], (6, 1))
+        pipe = IndexPipeline(model, params, vecs, angles, top_n=4, batch_size=4)
+        res = pipe(np.zeros((0, 128, 128), np.float32))
+        assert len(res.success) == 0
+        assert res.indices.shape == (0, 4)
+        assert res.phase is None
