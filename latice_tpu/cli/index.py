@@ -227,7 +227,16 @@ def cmd_analyze(args) -> None:
                 f"--grid {rows}x{cols} does not hold {len(orients)} points"
             )
         orients = orients.reshape(rows, cols, 3)
-    maps = misorientation_maps(orients, group=args.group)
+    if args.phases:
+        # Multi-phase map (query's <out>_phase.npy): per-phase symmetry,
+        # phase boundaries always segment as grain boundaries.
+        from latice_tpu.crystal import misorientation_maps_multiphase
+
+        phases = np.load(args.phases).reshape(rows, cols)
+        groups = (args.phase_groups or args.group).split(",")
+        maps = misorientation_maps_multiphase(orients, phases, groups)
+    else:
+        maps = misorientation_maps(orients, group=args.group)
     labels, n_grains = label_grains(maps, threshold_deg=args.gb_threshold)
     kam = kernel_average_misorientation(maps, threshold_deg=args.gb_threshold)
     boundaries = grain_boundary_mask(maps, threshold_deg=args.gb_threshold)
@@ -333,6 +342,15 @@ def main() -> None:
         help="scan shape",
     )
     a.add_argument("--group", default="432", help="point group")
+    a.add_argument(
+        "--phases", default=None,
+        help="per-pixel phase-id .npy (query's <out>_phase.npy) for "
+        "multi-phase maps",
+    )
+    a.add_argument(
+        "--phase-groups", default=None,
+        help="comma-separated point groups, one per phase id (with --phases)",
+    )
     a.add_argument(
         "--gb-threshold", type=float, default=5.0,
         help="grain-boundary misorientation threshold (deg)",

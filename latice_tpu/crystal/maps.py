@@ -30,10 +30,16 @@ from latice_tpu.crystal.symmetry import symmetry_quats
 __all__ = [
     "MisorientationMaps",
     "misorientation_maps",
+    "misorientation_maps_multiphase",
     "kernel_average_misorientation",
     "grain_boundary_mask",
     "label_grains",
 ]
+
+#: Sentinel disorientation (degrees) assigned to edges joining pixels of
+#: different phases: far above any physical disorientation (max possible is
+#: 180), so every phase boundary reads as a grain boundary at any threshold.
+PHASE_BOUNDARY_DEG = 999.0
 
 
 class MisorientationMaps(NamedTuple):
@@ -93,6 +99,53 @@ def misorientation_maps(
     sym = symmetry_quats(group)
     east, south = _disorientation_fields(jnp.asarray(euler), sym)
     return MisorientationMaps(np.asarray(east), np.asarray(south))
+
+
+def misorientation_maps_multiphase(
+    euler_deg: np.ndarray,
+    phases: np.ndarray,
+    groups: list[str],
+) -> MisorientationMaps:
+    """Disorientation fields of a multi-phase orientation map.
+
+    Same-phase neighbor edges are symmetry-reduced with *that phase's* point
+    group; cross-phase edges get `PHASE_BOUNDARY_DEG` so phase boundaries
+    always segment as grain boundaries (the output of a multi-phase
+    `IndexPipeline` query: per-pixel Euler angles + phase ids).
+
+    Args:
+        euler_deg: ``(H, W, 3)`` zxz Euler degrees.
+        phases: ``(H, W)`` integer phase ids.
+        groups: Point-group name per phase id (`crystal.ROTATION_GROUPS`).
+    """
+    ph = np.asarray(phases)
+    euler = np.asarray(euler_deg)
+    if ph.shape != euler.shape[:2]:
+        raise ValueError(
+            f"phases {ph.shape} does not match map {euler.shape[:2]}"
+        )
+    n_phases = int(ph.max()) + 1 if ph.size else 1
+    if len(groups) < n_phases:
+        raise ValueError(f"{n_phases} phase ids but only {len(groups)} groups")
+
+    east = np.full(ph.shape, 0.0, dtype=np.float32)
+    south = np.full(ph.shape, 0.0, dtype=np.float32)
+    # One compiled field per distinct group (not per phase: phases sharing a
+    # group share the device computation).
+    by_group: dict[str, MisorientationMaps] = {}
+    for g in set(groups[:n_phases]):
+        by_group[g] = misorientation_maps(euler, group=g)
+    for p in range(n_phases):
+        m = by_group[groups[p]]
+        sel_e = (ph[:, :-1] == p) & (ph[:, 1:] == p)
+        sel_s = (ph[:-1, :] == p) & (ph[1:, :] == p)
+        east[:, :-1][sel_e] = m.east[:, :-1][sel_e]
+        south[:-1, :][sel_s] = m.south[:-1, :][sel_s]
+    cross_e = ph[:, :-1] != ph[:, 1:]
+    cross_s = ph[:-1, :] != ph[1:, :]
+    east[:, :-1][cross_e] = PHASE_BOUNDARY_DEG
+    south[:-1, :][cross_s] = PHASE_BOUNDARY_DEG
+    return MisorientationMaps(east, south)
 
 
 def kernel_average_misorientation(

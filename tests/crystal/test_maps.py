@@ -108,3 +108,51 @@ class TestGrainAnalysis:
         assert n == 2
         assert labels[1, 1] != labels[0, 0]
         assert (labels == labels[0, 0]).sum() == 8
+
+
+class TestMultiphaseMaps:
+    def test_phase_boundary_always_segments(self):
+        """Two phases, identical orientation everywhere: the phase boundary
+        alone must split the map into two grains."""
+        from latice_tpu.crystal import misorientation_maps_multiphase
+
+        euler = np.tile([10.0, 30.0, 50.0], (4, 6, 1))
+        phases = np.zeros((4, 6), np.int32)
+        phases[:, 3:] = 1
+        maps = misorientation_maps_multiphase(euler, phases, ["432", "622"])
+        labels, n = label_grains(maps, threshold_deg=5.0)
+        assert n == 2
+        assert (labels[:, :3] == 0).all() and (labels[:, 3:] == 1).all()
+        assert float(maps.east[0, 2]) > 180.0  # phase-boundary sentinel
+
+    def test_per_phase_symmetry_applied(self):
+        """A 90-deg z rotation is cubic-equivalent (zero disorientation) but
+        NOT hexagonal-equivalent: the same split map must read as one grain
+        inside the cubic phase and two inside the hexagonal phase."""
+        from latice_tpu.crystal import misorientation_maps_multiphase
+
+        euler = np.zeros((4, 8, 3))
+        euler[:, 2:4] = [90.0, 0.0, 0.0]  # inside cubic half
+        euler[:, 6:] = [90.0, 0.0, 0.0]   # inside hexagonal half
+        phases = np.zeros((4, 8), np.int32)
+        phases[:, 4:] = 1
+        maps = misorientation_maps_multiphase(euler, phases, ["432", "622"])
+        labels, n = label_grains(maps, threshold_deg=5.0)
+        # cubic half: one grain (90-deg z in 432); hex half: two grains.
+        assert n == 3
+        assert labels[0, 0] == labels[0, 3]
+        assert labels[0, 4] != labels[0, 7]
+
+    def test_validation(self):
+        from latice_tpu.crystal import misorientation_maps_multiphase
+
+        with pytest.raises(ValueError, match="does not match"):
+            misorientation_maps_multiphase(
+                np.zeros((4, 4, 3)), np.zeros((2, 2), np.int32), ["432"]
+            )
+        with pytest.raises(ValueError, match="only 1 groups"):
+            misorientation_maps_multiphase(
+                np.zeros((2, 2, 3)),
+                np.array([[0, 1], [0, 1]], np.int32),
+                ["432"],
+            )

@@ -152,3 +152,20 @@ class TestSinglePhaseGroup:
             LatentVectorDatabaseConfig(npz_path=db, dimension=8)
         )
         assert loaded.config.phase_symmetries == ["622"]
+
+    def test_analyze_multiphase_map(self, tmp_path, monkeypatch, capsys):
+        euler = np.tile([10.0, 30.0, 50.0], (4, 6, 1))
+        phases = np.zeros((4, 6), np.int64)
+        phases[:, 3:] = 1
+        opath = tmp_path / "o.npy"
+        fpath = tmp_path / "p.npy"
+        np.save(opath, euler.reshape(-1, 3))
+        np.save(fpath, phases.ravel())
+        out = _run(
+            ["analyze", "--orientations", str(opath), "--grid", "4", "6",
+             "--phases", str(fpath), "--phase-groups", "432,622",
+             "--out-prefix", str(tmp_path / "mp")],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(out.strip().splitlines()[-1])
+        assert summary["n_grains"] == 2  # identical orientations; phase split
