@@ -234,6 +234,13 @@ def cmd_analyze(args) -> None:
 
         phases = np.load(args.phases).reshape(rows, cols)
         groups = (args.phase_groups or args.group).split(",")
+        n_phases = int(phases.max()) + 1 if phases.size else 1
+        if len(groups) < n_phases:
+            raise SystemExit(
+                f"{n_phases} phase ids in {args.phases} but only "
+                f"{len(groups)} point groups — pass --phase-groups with one "
+                "group per phase"
+            )
         maps = misorientation_maps_multiphase(orients, phases, groups)
     else:
         maps = misorientation_maps(orients, group=args.group)

@@ -115,7 +115,9 @@ def misorientation_maps_multiphase(
 
     Args:
         euler_deg: ``(H, W, 3)`` zxz Euler degrees.
-        phases: ``(H, W)`` integer phase ids.
+        phases: ``(H, W)`` integer phase ids. Negative ids mark unindexed
+            pixels (the vendor ``-1`` convention): every edge touching one is
+            a boundary, so unindexed regions never fuse into pseudo-grains.
         groups: Point-group name per phase id (`crystal.ROTATION_GROUPS`).
     """
     ph = np.asarray(phases)
@@ -125,6 +127,8 @@ def misorientation_maps_multiphase(
             f"phases {ph.shape} does not match map {euler.shape[:2]}"
         )
     n_phases = int(ph.max()) + 1 if ph.size else 1
+    if n_phases < 1:
+        n_phases = 1  # all pixels unindexed: every edge becomes a boundary
     if len(groups) < n_phases:
         raise ValueError(f"{n_phases} phase ids but only {len(groups)} groups")
 
@@ -141,8 +145,11 @@ def misorientation_maps_multiphase(
         sel_s = (ph[:-1, :] == p) & (ph[1:, :] == p)
         east[:, :-1][sel_e] = m.east[:, :-1][sel_e]
         south[:-1, :][sel_s] = m.south[:-1, :][sel_s]
-    cross_e = ph[:, :-1] != ph[:, 1:]
-    cross_s = ph[:-1, :] != ph[1:, :]
+    # Cross-phase edges, plus any edge touching an unindexed (negative-id)
+    # pixel, are boundaries.
+    bad = ph < 0
+    cross_e = (ph[:, :-1] != ph[:, 1:]) | bad[:, :-1] | bad[:, 1:]
+    cross_s = (ph[:-1, :] != ph[1:, :]) | bad[:-1, :] | bad[1:, :]
     east[:, :-1][cross_e] = PHASE_BOUNDARY_DEG
     south[:-1, :][cross_s] = PHASE_BOUNDARY_DEG
     return MisorientationMaps(east, south)

@@ -11,10 +11,12 @@ Semantics preserved:
 * grayscale: inputs are single-channel already; a trailing RGB axis is reduced
   with the ITU-R 601 luma weights PIL uses for ``Grayscale()``;
 * center crop to ``image_size`` (torchvision CenterCrop coordinates);
-* dtype: integer inputs are scaled by 1/255 like ``ToTensor`` on uint8 images;
-  float inputs pass through unscaled, matching ToTensor's behavior on float
-  (mode "F") images — the path reference data actually takes
-  (data_module.py:132 casts to float64 before the transform).
+* dtype: unsigned-integer inputs are scaled by their dtype max — 1/255 for
+  uint8 like ``ToTensor``, 1/65535 for uint16 vendor detectors; signed
+  integers keep the legacy 1/255 (see ``_int_scale``); float inputs pass
+  through unscaled, matching ToTensor's behavior on float (mode "F") images
+  — the path reference data actually takes (data_module.py:132 casts to
+  float64 before the transform).
 """
 
 from __future__ import annotations
@@ -77,11 +79,18 @@ def default_transform(
 
 
 def _int_scale(dtype) -> np.float32:
-    """[0, 1] normalization factor: 1/dtype-max for integers (1/255 for the
-    reference's uint8 ToTensor case, 1/65535 for uint16 vendor detectors),
-    1.0 for floats (ToTensor passes float images through unscaled)."""
-    if np.issubdtype(dtype, np.integer):
+    """[0, 1] normalization factor by dtype.
+
+    Unsigned integers scale by their dtype max (1/255 for the reference's
+    uint8 ToTensor case, 1/65535 for uint16 vendor detectors). Signed
+    integers keep the legacy 1/255: plain-Python-int arrays (np.save of int
+    lists -> int64) almost always hold 8-bit pattern data, and 1/2^63 would
+    silently zero them. Floats pass through unscaled (ToTensor semantics).
+    """
+    if np.issubdtype(dtype, np.unsignedinteger):
         return np.float32(1.0 / np.iinfo(dtype).max)
+    if np.issubdtype(dtype, np.integer):
+        return np.float32(1.0 / 255.0)
     return np.float32(1.0)
 
 

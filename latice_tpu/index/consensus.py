@@ -165,9 +165,14 @@ def consensus_orientations(
     mean_w = similar_mask.astype(cand_quats.dtype)
     if cand_weights is not None:
         w = mean_w * cand_weights.astype(cand_quats.dtype)
-        # Guard: if every in-threshold weight underflowed to zero, fall back
-        # to the uniform mask rather than handing quat_mean all-zeros.
-        mean_w = jnp.where(jnp.sum(w, axis=-1, keepdims=True) > 0, w, mean_w)
+        # Renormalize by the per-row max of the MASKED weights so the largest
+        # surviving weight is exactly 1 — tiny-but-nonzero rows (possible on
+        # non-flush backends at extreme powers) would otherwise degrade
+        # quat_mean's power iteration. Rows that underflowed to exactly zero
+        # fall back to the uniform mask.
+        wmax = jnp.max(w, axis=-1, keepdims=True)
+        w_norm = w / jnp.where(wmax > 0, wmax, 1.0)
+        mean_w = jnp.where(wmax > 0, w_norm, mean_w)
     mean_quat = quat_mean(sym_eq, mean_w)
     mean_euler = to_euler_zxz_deg(mean_quat)
 

@@ -132,11 +132,9 @@ class IndexService:
         t0 = time.time()
         params = self._param_loader(checkpoint)
         pipeline = self._build_pipeline(params)
-        h, w = self.image_size
-        # Compile BOTH input traces outside the lock — uint8 and float32 are
-        # distinct jit programs, and either may be the first post-swap request.
-        pipeline(np.zeros((1, h, w), dtype=np.uint8))
-        pipeline(np.zeros((1, h, w), dtype=np.float32))
+        # Compile every served trace outside the lock; the encoder jit is
+        # params-as-argument so its cached trace carries over.
+        self._warm_pipeline(pipeline)
         with self._lock:
             self.pipeline = pipeline
             self._params = params
@@ -163,10 +161,18 @@ class IndexService:
         logger.info(f"warmup compiled pipeline + encoder in {dt:.1f}s")
         return dt
 
-    def _compile_all(self, pipeline) -> None:
+    def _warm_pipeline(self, pipeline) -> None:
+        """Compile both pipeline input traces — uint8 (device-side /255) and
+        float32 — jit treats them as distinct programs and either may arrive
+        first. Single home for the invariant: warmup() and reload() share it.
+        """
         h, w = self.image_size
         pipeline(np.zeros((1, h, w), dtype=np.uint8))
         pipeline(np.zeros((1, h, w), dtype=np.float32))
+
+    def _compile_all(self, pipeline) -> None:
+        h, w = self.image_size
+        self._warm_pipeline(pipeline)
         np.asarray(
             self._encode(
                 self._params,

@@ -156,3 +156,18 @@ class TestMultiphaseMaps:
                 np.array([[0, 1], [0, 1]], np.int32),
                 ["432"],
             )
+
+    def test_negative_phase_ids_are_unindexed_boundaries(self):
+        """-1 (vendor 'unindexed') pixels never fuse into pseudo-grains:
+        every edge touching one is a boundary."""
+        from latice_tpu.crystal import misorientation_maps_multiphase
+
+        euler = np.tile([10.0, 30.0, 50.0], (3, 4, 1))
+        phases = np.zeros((3, 4), np.int32)
+        phases[:, 2:] = -1
+        maps = misorientation_maps_multiphase(euler, phases, ["432"])
+        labels, n = label_grains(maps, threshold_deg=5.0)
+        # One indexed grain (left 3x2) + 6 single-pixel unindexed grains.
+        assert n == 7
+        assert (labels[:, :2] == 0).all()
+        assert len(np.unique(labels[:, 2:])) == 6

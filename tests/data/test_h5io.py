@@ -153,3 +153,10 @@ class TestPreparePatternsDtypes:
         x = np.full((2, 130, 130, 3), 255, np.uint8)
         out = default_transform(x, (128, 128))
         np.testing.assert_allclose(out, 1.0, rtol=1e-5)
+
+    def test_int64_byte_range_keeps_legacy_255_scale(self):
+        # np.save of a Python int list -> int64; 8-bit-range data must not
+        # be near-zeroed by a 1/2^63 scale.
+        x = np.full((2, 128, 128), 255, np.int64)
+        out = prepare_patterns(x, (128, 128))
+        np.testing.assert_allclose(out, 1.0, rtol=1e-6)
