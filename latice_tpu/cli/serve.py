@@ -31,8 +31,24 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--db", required=True, help="dictionary npz (index.py build)")
     p.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
-    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument(
+        "--host", default="127.0.0.1",
+        help="bind address. The plane has no authentication: anyone who can "
+        "reach it can index patterns and (with --checkpoint-root) hot-swap "
+        "checkpoints under that root, so only bind non-loopback interfaces "
+        "on trusted networks (default: %(default)s)",
+    )
     p.add_argument("--port", type=int, default=8800)
+    p.add_argument(
+        "--checkpoint-root", default=None,
+        help="directory /reload targets must live under (default: the "
+        "parent of --checkpoint; reloads of arbitrary paths are refused)",
+    )
+    p.add_argument(
+        "--max-body-mb", type=int, default=1024,
+        help="reject request bodies larger than this with 413 "
+        "(default: %(default)s MiB)",
+    )
     p.add_argument("--inplanes", type=int, default=32)
     p.add_argument("--latent-dim", type=int, default=16)
     p.add_argument("--batch-size", type=int, default=256)
@@ -73,6 +89,12 @@ def main() -> None:
         _, new_params = _load_model(checkpoint, args.inplanes, args.latent_dim)
         return new_params
 
+    checkpoint_root = args.checkpoint_root
+    if checkpoint_root is None and args.checkpoint is not None:
+        import os
+
+        checkpoint_root = os.path.dirname(os.path.abspath(args.checkpoint))
+
     service = IndexService(
         model,
         params,
@@ -83,6 +105,8 @@ def main() -> None:
         batch_size=args.batch_size,
         mesh=mesh,
         param_loader=param_loader,
+        checkpoint_root=checkpoint_root,
+        max_body_bytes=args.max_body_mb << 20,
     )
     warm_s = service.warmup()
     server = make_server(service, args.host, args.port)

@@ -23,6 +23,11 @@ Endpoints:
   POST /reload   -> body: {"checkpoint": path}; hot-swaps the model (new
                     pipeline compiles outside the lock, then pointer-swap)
 
+Responses are strict RFC-8259 JSON: consensus failures surface as ``null``
+rows in ``mean_orientations`` (never bare ``NaN`` tokens), and the encoder
+replies are always finite. Requests larger than ``max_body_bytes`` are
+rejected with 413 before the body is read.
+
 See ``serve.py`` at the repo root for the CLI entry point.
 """
 
@@ -63,6 +68,12 @@ class IndexService:
             pipeline compiles *outside* the request lock, then swaps in
             atomically — in-flight requests finish on the old model and no
             request ever sees a cold compile).
+        checkpoint_root: optional directory that ``/reload`` targets must
+            resolve under. ``None`` (library default) means unrestricted —
+            appropriate only when the server binds a trusted interface.
+        max_body_bytes: request bodies above this are refused with 413
+            before being read (default 1 GiB — a full 65k-pixel uint8 scan
+            with 15x headroom).
     """
 
     def __init__(
@@ -77,6 +88,8 @@ class IndexService:
         image_size: tuple[int, int] = (128, 128),
         mesh: Any = None,
         param_loader: Any = None,
+        checkpoint_root: str | None = None,
+        max_body_bytes: int = 1 << 30,
     ) -> None:
         import jax
 
@@ -101,11 +114,24 @@ class IndexService:
             **phase_kw,
         )
         self._param_loader = param_loader
+        self.checkpoint_root = checkpoint_root
+        self.max_body_bytes = int(max_body_bytes)
         self.model_version = 0
         self.pipeline = self._build_pipeline(params)
-        self._encode = jax.jit(
-            lambda p, x: model.apply({"params": p}, x, method="encode")[0]
-        )
+
+        def _encode_impl(p, x):
+            import jax.numpy as jnp
+
+            # dtype is static under jit: uint8 stacks scale on device
+            # (ToTensor semantics), floats pass through — the host link
+            # carries the 4x-smaller bytes either way.
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32) / 255.0
+            else:
+                x = x.astype(jnp.float32)
+            return model.apply({"params": p}, x, method="encode")[0]
+
+        self._encode = jax.jit(_encode_impl)
         self.started = time.time()
         self.requests = 0
         self.patterns_indexed = 0
@@ -129,6 +155,18 @@ class IndexService:
         """
         if self._param_loader is None:
             raise ValueError("service was started without a param_loader")
+        if self.checkpoint_root is not None:
+            import os
+
+            root = os.path.realpath(self.checkpoint_root)
+            target = os.path.realpath(os.path.join(root, checkpoint))
+            if os.path.commonpath([root, target]) != root:
+                # Deliberately echo no filesystem detail beyond the request.
+                raise ValueError(
+                    f"checkpoint {checkpoint!r} is outside the configured "
+                    "checkpoint root"
+                )
+            checkpoint = target
         t0 = time.time()
         params = self._param_loader(checkpoint)
         pipeline = self._build_pipeline(params)
@@ -173,12 +211,13 @@ class IndexService:
     def _compile_all(self, pipeline) -> None:
         h, w = self.image_size
         self._warm_pipeline(pipeline)
-        np.asarray(
-            self._encode(
-                self._params,
-                np.zeros((pipeline.batch_size, h, w, 1), dtype=np.float32),
+        for dtype in (np.float32, np.uint8):  # jit traces per input dtype
+            np.asarray(
+                self._encode(
+                    self._params,
+                    np.zeros((pipeline.batch_size, h, w, 1), dtype=dtype),
+                )
             )
-        )
 
     def _prepare(self, patterns: np.ndarray) -> np.ndarray:
         """Shape/dtype normalization preserving the uint8 fast path."""
@@ -194,10 +233,18 @@ class IndexService:
             res = self.pipeline(x)
             self.requests += 1
             self.patterns_indexed += len(x)
+        # Strict JSON: consensus failures leave NaN rows in the mean;
+        # serialize them as null (json.dumps would emit bare NaN tokens,
+        # which RFC 8259 forbids and non-Python clients reject).
+        mean = res.mean_orientation
+        mean_rows = [
+            row.tolist() if np.all(np.isfinite(row)) else [None] * len(row)
+            for row in np.atleast_2d(mean)
+        ]
         out = {
             "n": int(len(x)),
             "orientations": np.nan_to_num(res.best_orientation).tolist(),
-            "mean_orientations": res.mean_orientation.tolist(),
+            "mean_orientations": mean_rows,
             "success": res.success.tolist(),
             "n_similar": res.n_similar.tolist(),
             "seconds": time.time() - t0,
@@ -207,11 +254,13 @@ class IndexService:
         return out
 
     def encode(self, patterns: np.ndarray) -> dict:
-        """Encode patterns to mu latents; returns a JSON-ready dict."""
+        """Encode patterns to mu latents; returns a JSON-ready dict.
+
+        uint8 stacks stay uint8 across the host link — the jitted encoder
+        does the /255 on device (ToTensor semantics), same as ``/index``.
+        """
         x = self._prepare(patterns)
-        if x.dtype == np.uint8:  # ToTensor semantics: bytes scale, floats pass
-            x = x.astype(np.float32) / 255.0
-        else:
+        if x.dtype != np.uint8:
             x = x.astype(np.float32)
         b = self.pipeline.batch_size
         pending = []
@@ -252,7 +301,9 @@ class _Handler(BaseHTTPRequestHandler):
     service: IndexService  # set by make_server
 
     def _reply(self, code: int, payload: dict) -> None:
-        body = json.dumps(payload).encode()
+        # allow_nan=False is a regression tripwire: any NaN/Inf reaching a
+        # response is a server bug, not something to leak as invalid JSON.
+        body = json.dumps(payload, allow_nan=False).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
@@ -269,9 +320,34 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self) -> None:
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except (TypeError, ValueError):
+            self._reply(400, {"error": "bad Content-Length header"})
+            return
+        if length > self.service.max_body_bytes:
+            # Drain (bounded, chunked — never materialized) so clients that
+            # write the full body before reading see a clean 413 instead of
+            # EPIPE; beyond the drain cap, close the connection instead.
+            drain_cap = 64 << 20
+            remaining = min(length, drain_cap)
+            while remaining > 0:
+                chunk = self.rfile.read(min(1 << 20, remaining))
+                if not chunk:
+                    break
+                remaining -= len(chunk)
+            if length > drain_cap:
+                self.close_connection = True
+            self._reply(
+                413,
+                {
+                    "error": f"body of {length} bytes exceeds the "
+                    f"{self.service.max_body_bytes}-byte limit"
+                },
+            )
+            return
         if self.path == "/reload":
             try:
-                length = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(length) or b"{}")
                 self._reply(200, self.service.reload(body["checkpoint"]))
             except (KeyError, ValueError, json.JSONDecodeError) as e:
@@ -284,7 +360,6 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"unknown path {self.path}"})
             return
         try:
-            length = int(self.headers.get("Content-Length", 0))
             patterns = np.load(io.BytesIO(self.rfile.read(length)), allow_pickle=False)
         except Exception as e:  # malformed payloads must not kill the server
             self._reply(400, {"error": f"body must be .npy bytes: {e}"})

@@ -56,7 +56,7 @@ def served():
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     url = f"http://127.0.0.1:{server.server_address[1]}"
-    yield url, patterns, orientations, params, model
+    yield url, patterns, orientations, params, model, service
     server.shutdown()
     db.delete_persistence()
 
@@ -94,13 +94,71 @@ class TestServe:
         assert out["n"] == 24 and len(out["success"]) == 24
 
     def test_encode_matches_model(self, served):
-        url, patterns, _, params, model = served
+        url, patterns, _, params, model, _ = served
         out = _post(f"{url}/encode", _npy_bytes(patterns[:4]))
         lat = np.asarray(out["latents"], dtype=np.float32)
         expected = np.asarray(
             model.apply({"params": params}, patterns[:4, ..., None], method="encode")[0]
         )
         np.testing.assert_allclose(lat, expected, atol=2e-5)
+
+    def test_encode_uint8_matches_scaled_float(self, served):
+        """uint8 stacks go to the device as uint8; /255 happens on-chip."""
+        url, patterns, _, params, model, _ = served
+        q = (np.clip(patterns[:3], 0, 1) * 255).astype(np.uint8)
+        out = _post(f"{url}/encode", _npy_bytes(q))
+        lat = np.asarray(out["latents"], dtype=np.float32)
+        expected = np.asarray(
+            model.apply(
+                {"params": params},
+                q[..., None].astype(np.float32) / 255.0,
+                method="encode",
+            )[0]
+        )
+        np.testing.assert_allclose(lat, expected, atol=2e-5)
+
+    def test_index_failure_rows_are_strict_json(self, served):
+        """Consensus failures must serialize as null, never bare NaN tokens
+        (RFC 8259 — reference faiss_db.py:345-351 returns NaN means)."""
+        url, patterns, orientations, params, model, service = served
+        from latice_tpu.serve import IndexService, make_server
+
+        # min_required_matches > top_n guarantees every pattern fails.
+        failing = IndexService(
+            model, params, service._db, top_n=3, orientation_threshold=3.0,
+            min_required_matches=5, batch_size=8,
+        )
+        server = make_server(failing, "127.0.0.1", 0)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        furl = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            raw = urllib.request.urlopen(
+                f"{furl}/index", data=_npy_bytes(patterns[:4]), timeout=120
+            ).read()
+
+            def reject(token):  # NaN/Infinity tokens in the body fail here
+                raise AssertionError(f"non-strict JSON token {token!r}")
+
+            out = json.loads(raw, parse_constant=reject)
+            assert out["success"] == [False] * 4
+            assert out["mean_orientations"] == [[None] * 3] * 4
+        finally:
+            server.shutdown()
+
+    def test_oversized_body_is_413(self, served):
+        url, patterns, *_ = served
+        service = served[5]
+        limit, service.max_body_bytes = service.max_body_bytes, 1024
+        try:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post(f"{url}/index", _npy_bytes(patterns[:1]))  # ~64KB
+            assert e.value.code == 413
+            assert "413" in str(e.value.code) or "exceeds" in e.value.read().decode()
+        finally:
+            service.max_body_bytes = limit
+        # Back under the limit, requests flow again.
+        out = _post(f"{url}/index", _npy_bytes(patterns[:1]))
+        assert out["n"] == 1
 
     def test_bad_body_is_400(self, served):
         url, *_ = served
@@ -133,7 +191,7 @@ class TestShardedServe:
     def test_mesh_sharded_service_matches_unsharded(self, served):
         """Same dictionary behind an 8-device sharded pipeline returns the
         same results as the single-device service."""
-        url, patterns, orientations, params, model = served
+        url, patterns, orientations, params, model, _ = served
         import jax
 
         from latice_tpu.index import (
@@ -296,6 +354,44 @@ class TestHotReload:
             # Index plane still serves (now through the new pipeline).
             idx = _post(f"{url}/index", _npy_bytes(patterns[:2]))
             assert idx["n"] == 2
+        finally:
+            server.shutdown()
+
+    def test_reload_outside_checkpoint_root_is_400(self, served, tmp_path):
+        """With checkpoint_root set, /reload refuses paths escaping it and
+        resolves relative names under it."""
+        url, patterns, orientations, params, model, service = served
+        from latice_tpu.serve import IndexService, make_server
+
+        seen = []
+
+        def loader(path):
+            seen.append(path)
+            return params
+
+        root = tmp_path / "ckpts"
+        (root / "best").mkdir(parents=True)
+        restricted = IndexService(
+            model, params, service._db, top_n=3, min_required_matches=1,
+            batch_size=8, param_loader=loader, checkpoint_root=str(root),
+        )
+        server = make_server(restricted, "127.0.0.1", 0)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        rurl = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            for bad in ("../escape", "/etc/passwd", "a/../../b"):
+                req = json.dumps({"checkpoint": bad}).encode()
+                with pytest.raises(urllib.error.HTTPError) as e:
+                    urllib.request.urlopen(f"{rurl}/reload", data=req, timeout=30)
+                assert e.value.code == 400
+                assert "outside" in e.value.read().decode()
+            assert seen == []  # loader never ran for refused paths
+            req = json.dumps({"checkpoint": "best"}).encode()
+            out = json.load(
+                urllib.request.urlopen(f"{rurl}/reload", data=req, timeout=300)
+            )
+            assert out["status"] == "reloaded"
+            assert seen == [str(root / "best")]
         finally:
             server.shutdown()
 
