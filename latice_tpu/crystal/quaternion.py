@@ -135,25 +135,33 @@ def matrix_to_euler_zxz_deg(mat: jax.Array, eps: float = 1e-7) -> jax.Array:
     Extrinsic zxz with angles ``(a1, a2, a3)`` equals intrinsic ZXZ with angles
     ``(a3, a2, a1)``; we extract the intrinsic angles from
     ``R = Rz(p1) @ Rx(P) @ Rz(p2)`` and swap. Gimbal-locked inputs
-    (``sin(P) ≈ 0``) put the full z-rotation into the *last* extrinsic angle and
-    zero the first, mirroring scipy's "setting first angle to zero" behavior
-    for extrinsic conventions.
+    (``sin(P) ≈ 0``) put the full z-rotation into the *first* extrinsic angle
+    and zero the last — scipy's convention for extrinsic sequences (pinned at
+    both poles by tests/crystal/test_quaternion.py).
     """
     r02, r12, r22 = mat[..., 0, 2], mat[..., 1, 2], mat[..., 2, 2]
     r20, r21 = mat[..., 2, 0], mat[..., 2, 1]
     r00, r10 = mat[..., 0, 0], mat[..., 1, 0]
 
-    big_phi = jnp.arccos(jnp.clip(r22, -1.0, 1.0))
-    degenerate = jnp.abs(jnp.sin(big_phi)) < eps
+    # atan2(sin, cos) rather than arccos(r22): near the poles cos(P) rounds
+    # to ±1 in f32 for P under ~0.04 deg, which would misroute small-but-real
+    # x-tilts into the lock branch; sqrt(r20^2+r21^2) = |sin(P)| stays
+    # first-order accurate there.
+    sin_phi = jnp.sqrt(r20 * r20 + r21 * r21)
+    big_phi = jnp.arctan2(sin_phi, r22)
+    degenerate = sin_phi < eps
 
     phi1 = jnp.arctan2(r02, -r12)  # intrinsic first angle
     phi2 = jnp.arctan2(r20, r21)  # intrinsic last angle
 
-    # Gimbal lock: rotation is (close to) Rz(p1 ± p2); fold into one angle.
-    lock_angle = jnp.arctan2(r10, r00)
-    sign = jnp.where(r22 > 0, 1.0, -1.0)
-    phi1_lock = jnp.where(sign > 0, lock_angle, lock_angle)
-    phi2_lock = jnp.zeros_like(lock_angle)
+    # Gimbal lock: the rotation degenerates to Rz(p1+p2) (Phi=0, r22>0) or
+    # Rz(p1-p2)·Rx(pi) (Phi=pi, r22<0); in both cases r00=cos(f), r10=sin(f)
+    # for the folded z-angle f. scipy zeroes the *last* extrinsic angle, i.e.
+    # the intrinsic first angle p1, and carries the fold in the extrinsic
+    # first slot a1 = p2: at Phi=0, Rz(a1)=Rz(f) needs a1=f; at Phi=pi,
+    # Rx(pi)Rz(a1) has fold -a1, so a1=-f.
+    phi1_lock = jnp.zeros_like(r00)
+    phi2_lock = jnp.arctan2(jnp.where(r22 > 0, r10, -r10), r00)
 
     phi1 = jnp.where(degenerate, phi1_lock, phi1)
     phi2 = jnp.where(degenerate, phi2_lock, phi2)

@@ -93,6 +93,48 @@ class TestEulerZXZ:
         back = R.from_euler("zxz", euler, degrees=True)
         np.testing.assert_allclose(back.as_matrix(), r.as_matrix(), atol=1e-4)
 
+    def test_gimbal_lock_scipy_parity_at_poles(self):
+        """Angle-for-angle scipy parity AT the degenerate poles Phi=0 and
+        Phi=180 (VERDICT r2 #5). Phi=0 rows exist in every z1/x/z2 dictionary
+        grid (data/anglefile_sample.txt), so the lock branch runs on real
+        inputs; parity target is scipy's extrinsic lock convention — fold
+        angle in the first slot, last angle zeroed (R.as_euler("zxz") as
+        used at reference faiss_db.py:330).
+        """
+        import warnings
+
+        phi1 = np.array([0.0, 2.0, 30.0, 88.0, 120.0, 179.0, 181.0, 359.0])
+        phi2 = np.array([0.0, 4.0, 150.0, 90.0, 10.0, 44.0, 300.0, 2.0])
+        for big_phi in (0.0, 180.0):
+            angles = np.stack(
+                [phi1, np.full_like(phi1, big_phi), phi2], axis=-1
+            )
+            r = R.from_euler("zxz", angles, degrees=True)
+            got = np.asarray(to_euler_zxz_deg(to_wxyz(r)))
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", UserWarning)  # scipy lock warn
+                want = r.as_euler("zxz", degrees=True)
+            np.testing.assert_allclose(got, want, atol=1e-4)
+            # And the zeroed-last-angle convention itself:
+            np.testing.assert_allclose(got[:, 2], 0.0, atol=1e-4)
+
+    def test_near_gimbal_lock_reconstructs_rotation(self):
+        """Just off the poles the individual angles are ill-conditioned, but
+        the returned triple must still reproduce the rotation."""
+        rng = np.random.default_rng(11)
+        rows = []
+        for big_phi in (1e-4, 1e-2, 0.5, 179.5, 179.99, 179.9999):
+            p1 = rng.uniform(0, 360, size=4)
+            p2 = rng.uniform(0, 360, size=4)
+            rows.append(np.stack([p1, np.full_like(p1, big_phi), p2], axis=-1))
+        angles = np.concatenate(rows)
+        r = R.from_euler("zxz", angles, degrees=True)
+        euler = np.asarray(to_euler_zxz_deg(to_wxyz(r)))
+        assert np.all(np.isfinite(euler))
+        back = R.from_euler("zxz", euler, degrees=True)
+        err = (back * r.inv()).magnitude()
+        assert np.degrees(err).max() < 1e-3
+
 
 class TestMisorientation:
     def test_matches_faiss_semantics(self):
