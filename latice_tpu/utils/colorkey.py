@@ -49,7 +49,11 @@ IPF_SECTORS: dict[str, tuple[float, float, float]] = {
     "422": (0.0, pi / 4, pi / 2),  # 4/mmm
     "6": (0.0, pi / 3, pi / 2),  # 6/m
     "622": (0.0, pi / 6, pi / 2),  # 6/mmm
-    "23": (0.0, pi / 2, _CHI_MAX_CUBIC_RAD),  # m-3
+    # m-3: the box is further cut to the true fundamental quadrilateral
+    # [001]-[101]-[111]-[011] (z >= max(x, y)) in generate_ipf_colors — the
+    # box alone over-covers 4pi/24 sr and would give first-match-order-
+    # dependent colors to orbits with two in-box images.
+    "23": (0.0, pi / 2, _CHI_MAX_CUBIC_RAD),
     "432": (0.0, _ETA_MAX_RAD, _CHI_MAX_CUBIC_RAD),  # m-3m (reference sector)
 }
 
@@ -127,6 +131,13 @@ class ColorKeyGenerator:
             & (chi >= 0)
             & (chi <= self._chi_max_rad)
         )
+        if self.group == "23":
+            # True m-3 domain: z >= max(x, y), i.e. chi <= atan(1/max(cos
+            # eta, sin eta)) — the great-circle arcs [101]->[111] (plane z=x)
+            # and [111]->[011] (plane z=y). Exactly 4pi/24 sr, so every
+            # orbit has one in-sector image and colors are order-independent.
+            chi_cap = np.arctan2(1.0, np.maximum(np.cos(eta_w), np.sin(eta_w)))
+            in_sector &= chi <= chi_cap + 1e-9
 
         # First in-sector candidate in reference iteration order; fall back
         # to the last candidate when none qualify (reference keeps whatever
@@ -136,7 +147,14 @@ class ColorKeyGenerator:
         rows = np.arange(len(axes))
         chi_sel = chi[rows, first]
 
-        chi_frac = (chi_sel * K_180_OVER_PI) / (self._chi_max_rad * K_180_OVER_PI)
+        if self.group == "23":
+            # Normalize chi against the eta-dependent sector edge so the
+            # full red->edge gradient spans the quadrilateral.
+            chi_frac = chi_sel / chi_cap[rows, first]
+        else:
+            chi_frac = (chi_sel * K_180_OVER_PI) / (
+                self._chi_max_rad * K_180_OVER_PI
+            )
         if self.group == "432":
             # Reference formula verbatim (raw |eta|, degrees) — bit-exact
             # cubic parity including its out-of-sector fallback quirk.

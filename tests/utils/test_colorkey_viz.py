@@ -145,7 +145,7 @@ class TestGeneralizedIPF:
 
         poles = RNG.normal(size=(5, 3))
         poles /= np.linalg.norm(poles, axis=1, keepdims=True)
-        for group in ("222", "32", "422", "622"):
+        for group in ("222", "32", "422", "622", "23"):
             key = ColorKeyGenerator(group)
             base = key.generate_ipf_colors(poles)
             wxyz = np.asarray(ROTATION_GROUPS[group])
@@ -156,6 +156,30 @@ class TestGeneralizedIPF:
                 np.testing.assert_array_equal(
                     key.generate_ipf_colors(poles @ m.T), base, err_msg=group
                 )
+
+    def test_m3_sector_image_is_unique(self):
+        """The '23' (m-3) sector must tile the sphere exactly: every orbit
+        has exactly one in-sector image, so colors cannot depend on symmetry
+        iteration order (ADVICE r2: the plain eta/chi box over-covered)."""
+        from latice_tpu.crystal.symmetry import apply_symmetry_to_axes
+        from latice_tpu.utils.colorkey import ColorKeyGenerator
+
+        key = ColorKeyGenerator("23")
+        poles = RNG.normal(size=(500, 3))
+        poles /= np.linalg.norm(poles, axis=1, keepdims=True)
+        sym = apply_symmetry_to_axes(poles, "23")
+        cands = np.concatenate([sym, -sym], axis=1)
+        x, y, z = cands[..., 0], cands[..., 1], cands[..., 2]
+        tol = 1e-9
+        inside = (
+            (z >= np.maximum(np.abs(x), np.abs(y)) - tol)
+            & (x >= -tol)
+            & (y >= -tol)
+        )
+        counts = inside.sum(axis=1)
+        # 2 on sector boundaries (measure zero for random poles), else 1.
+        assert counts.min() >= 1
+        assert (counts == 1).mean() > 0.99
 
     def test_inversion_invariance(self):
         from latice_tpu.utils.colorkey import ColorKeyGenerator
