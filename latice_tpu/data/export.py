@@ -57,6 +57,18 @@ def _confidence(result) -> np.ndarray:
     return np.clip(np.mean(result.scores, axis=1), 0.0, 1.0)
 
 
+# Placeholder cell (Angstrom) written when the caller supplies no lattice
+# constants. 3.6 == fcc Cu; real analysis should pass phase_lattices.
+_PLACEHOLDER_ABC = (3.6, 3.6, 3.6)
+
+
+def _lattice_abc(phase_lattices, i: int) -> tuple[float, float, float]:
+    if phase_lattices is not None and i < len(phase_lattices):
+        a, b, c = phase_lattices[i]
+        return float(a), float(b), float(c)
+    return _PLACEHOLDER_ABC
+
+
 def write_ang(
     path: str,
     result,
@@ -64,6 +76,7 @@ def write_ang(
     step: float = 1.0,
     phase_names: list[str] | None = None,
     phase_groups: list[str] | None = None,
+    phase_lattices: list[tuple[float, float, float]] | None = None,
 ) -> None:
     """Write a `DenseIndexResult` as a TSL/OIM ``.ang`` file.
 
@@ -81,6 +94,13 @@ def write_ang(
         phase_groups: Proper rotation point group per phase
             (`crystal.ROTATION_GROUPS` keys) for the header Symmetry codes;
             defaults to cubic "432" per phase.
+        phase_lattices: Optional per-phase lattice constants (a, b, c) in
+            Angstrom for the header ``LatticeConstants`` lines. The default
+            3.6/3.6/3.6 is a **placeholder**, not a real cell — supply true
+            constants (especially c for hexagonal/tetragonal phases) before
+            doing plane/direction math downstream. Lattice angles are
+            derived from the phase's crystal family (gamma=120 for the
+            hexagonal family, else all 90).
     """
     n = len(result.success)
     x, y = _grid_xy(n, grid, step)
@@ -99,13 +119,18 @@ def write_ang(
     rows_, cols_ = grid if grid is not None else (1, n)
     lines = ["# TEM_PIXperUM          1.000000", "# x-star                0.000000"]
     for i, name in enumerate(names):
-        sym = _ANG_SYMMETRY.get(groups[i] if i < len(groups) else "432", "43")
+        g = groups[i] if i < len(groups) else "432"
+        sym = _ANG_SYMMETRY.get(g, "43")
+        a, b, c = _lattice_abc(phase_lattices, i)
+        gamma = 120.0 if g in _HEX_FAMILY else 90.0
         lines += [
             f"# Phase {i + 1}",
             f"# MaterialName  \t{name}",
             "# Formula     \t",
             "# Info ",
             f"# Symmetry              {sym}",
+            f"# LatticeConstants      {a:.3f} {b:.3f} {c:.3f}"
+            f"  90.000  90.000  {gamma:.3f}",
             "#",
         ]
     lines += [
@@ -139,6 +164,7 @@ def write_ctf(
     step: float = 1.0,
     phase_names: list[str] | None = None,
     phase_groups: list[str] | None = None,
+    phase_lattices: list[tuple[float, float, float]] | None = None,
 ) -> None:
     """Write a `DenseIndexResult` as an Oxford Channel Text File (``.ctf``).
 
@@ -147,6 +173,10 @@ def write_ctf(
     the consensus match count, MAD the (1 - mean similarity) residual.
     ``phase_groups`` names each phase's proper rotation point group so the
     header carries the right Laue class and lattice angles (default cubic).
+    ``phase_lattices`` gives each phase's true (a, b, c) in Angstrom; the
+    3.6/3.6/3.6 default is a **placeholder** (implied c/a = 1 is wrong for
+    hexagonal/tetragonal cells, and Channel/MTEX use these values for
+    plane/direction math — supply real constants for non-cubic phases).
     """
     n = len(result.success)
     x, y = _grid_xy(n, grid, step)
@@ -181,10 +211,11 @@ def write_ctf(
         g = groups[i] if i < len(groups) else "432"
         laue = _CTF_LAUE.get(g, 11)
         gamma = "120.000" if g in _HEX_FAMILY else "90.000"
+        a, b, c = _lattice_abc(phase_lattices, i)
         # lattice params;angles;name;laue group;space group (0 = unspecified:
         # the point group, not a full space group, is what the index knows)
         header.append(
-            f"3.600;3.600;3.600\t90.000;90.000;{gamma}\t{name}\t{laue}\t0"
+            f"{a:.3f};{b:.3f};{c:.3f}\t90.000;90.000;{gamma}\t{name}\t{laue}\t0"
         )
     header.append("Phase\tX\tY\tBands\tError\tEuler1\tEuler2\tEuler3\tMAD\tBC\tBS")
     with open(path, "w") as f:

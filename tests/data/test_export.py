@@ -126,3 +126,32 @@ class TestSymmetryMetadata:
         mg = next(l for l in lines if "Mg" in l)
         assert "\t11\t" in cu and "90.000;90.000;90.000" in cu
         assert "\t9\t" in mg and "90.000;90.000;120.000" in mg
+
+    def test_lattice_constants_propagate(self, tmp_path):
+        """Per-phase (a, b, c) reach both headers; defaults stay 3.6 (a
+        documented placeholder — ADVICE r2)."""
+        res = _result(4, phases=np.array([0, 1, 1, 0]))
+        ctf = tmp_path / "lat.ctf"
+        write_ctf(str(ctf), res, phase_names=["Cu", "Mg"],
+                  phase_groups=["432", "622"],
+                  phase_lattices=[(3.615, 3.615, 3.615), (3.209, 3.209, 5.211)])
+        lines = ctf.read_text().splitlines()
+        assert any(l.startswith("3.615;3.615;3.615") and "Cu" in l for l in lines)
+        assert any(l.startswith("3.209;3.209;5.211") and "Mg" in l for l in lines)
+
+        ang = tmp_path / "lat.ang"
+        write_ang(str(ang), res, phase_names=["Cu", "Mg"],
+                  phase_groups=["432", "622"],
+                  phase_lattices=[(3.615, 3.615, 3.615), (3.209, 3.209, 5.211)])
+        text = ang.read_text()
+        assert "# LatticeConstants      3.615 3.615 3.615  90.000  90.000  90.000" in text
+        assert "# LatticeConstants      3.209 3.209 5.211  90.000  90.000  120.000" in text
+
+    def test_lattice_defaults_are_placeholder(self, tmp_path):
+        res = _result(2)
+        ctf = tmp_path / "d.ctf"
+        write_ctf(str(ctf), res)
+        assert "3.600;3.600;3.600" in ctf.read_text()
+        ang = tmp_path / "d.ang"
+        write_ang(str(ang), res)
+        assert "# LatticeConstants      3.600 3.600 3.600" in ang.read_text()
