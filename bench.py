@@ -100,9 +100,63 @@ def bench_train_steps(batch_size: int = 256) -> float:
     return 1.0 / dt
 
 
+def _scaled_model():
+    """The scaled flagship (conf/lightning_module/scaled.yaml): 64/64,
+    6 stages, 2px bottleneck — the config ROADMAP advertises."""
+    from latice_tpu.models import VariationalAutoEncoderRawData
+
+    return VariationalAutoEncoderRawData(
+        inplanes=64, latent_dim=64, n_stages=6, bottleneck_hw=2,
+        dtype=jnp.bfloat16,
+    )
+
+
+def bench_scaled_encode(batch_size: int = 256) -> float:
+    """Scaled-flagship encode patterns/sec at b256."""
+    rng = np.random.default_rng(2)
+    model = _scaled_model()
+    params = model.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 128, 128, 1)), jax.random.key(1)
+    )["params"]
+    enc = jax.jit(lambda p, x: model.apply({"params": p}, x, method="encode")[0])
+    x = jnp.asarray(rng.uniform(size=(batch_size, 128, 128, 1)).astype(np.float32))
+    float(enc(params, x).sum())  # warm + sync
+    n_iter = 30
+    t0 = time.time()
+    for _ in range(n_iter):
+        out = enc(params, x)
+    float(out.sum())
+    return batch_size / ((time.time() - t0) / n_iter)
+
+
+def bench_scaled_train(batch_size: int = 256) -> float:
+    """Scaled-flagship train steps/s at b256, bf16 mixed."""
+    from latice_tpu.train import VAELoss, create_train_state, make_train_step
+
+    rng = np.random.default_rng(3)
+    model = _scaled_model()
+    x = jnp.asarray(rng.uniform(size=(batch_size, 128, 128, 1)).astype(np.float32))
+    params = model.init({"params": jax.random.key(0)}, x[:1], jax.random.key(1))[
+        "params"
+    ]
+    state = create_train_state(model, params, learning_rate=1e-4)
+    step = make_train_step(VAELoss(kl_lambda=5e-6), donate=True)
+    key = jax.random.key(4)
+    state, metrics = step(state, x, key)
+    float(metrics["loss"])
+    n_iter = 15
+    t0 = time.time()
+    for _ in range(n_iter):
+        state, metrics = step(state, x, key)
+    float(metrics["loss"])
+    return 1.0 / ((time.time() - t0) / n_iter)
+
+
 def main() -> None:
     patterns_per_sec = bench_index_throughput()
     steps_per_sec = bench_train_steps()
+    scaled_encode = bench_scaled_encode()
+    scaled_steps = bench_scaled_train()
     result = {
         "metric": "encode+top10-index throughput (100k dict, b1024, bf16)",
         "value": round(patterns_per_sec, 1),
@@ -110,8 +164,17 @@ def main() -> None:
         "vs_baseline": round(patterns_per_sec / NORTH_STAR_PER_SEC, 3),
         "train_steps_per_sec_b256": round(steps_per_sec, 2),
         "patterns_per_min": round(patterns_per_sec * 60),
+        "scaled_encode_patterns_per_sec": round(scaled_encode, 1),
+        "scaled_train_steps_per_sec": round(scaled_steps, 2),
         "device": str(jax.devices()[0]),
     }
+    # Append to the cross-round history so regressions are diffable
+    # (VERDICT r2 #6); the ONE-json-line stdout contract stays intact.
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BENCH_HISTORY.jsonl"), "a") as f:
+            f.write(json.dumps({"ts": time.strftime("%Y-%m-%dT%H:%M:%S"), **result}) + "\n")
+    except OSError:
+        pass
     print(json.dumps(result))
 
 

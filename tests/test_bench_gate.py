@@ -1,13 +1,16 @@
 """Perf-regression gate: the headline bench must not silently regress.
 
-The test suite runs CPU-forced (tests/conftest.py), so this gate runs
+The test suite runs CPU-forced (tests/conftest.py), so the TPU gate runs
 ``bench.py`` in a subprocess with a *clean* environment that reaches the real
-TPU chip, and asserts the headline numbers stay above conservative floors
-(round-1 record: 35.7k patterns/s, 22.6 train steps/s — VERDICT.md Weak #6
-asked for exactly this pin). Opt-in because a cold bench costs minutes of
-compile on the tunneled backend:
+TPU chip, and asserts the headline numbers stay above the ratcheted floors
+(~8% under the r1/r2 records — VERDICT r2 #6). Opt-in because a cold bench
+costs minutes of compile on the tunneled backend:
 
     LATICE_TPU_BENCH=1 python -m pytest tests/test_bench_gate.py -m tpu_bench -s
+
+``check_floors`` is pure and unit-tested on CPU so the gate's trip logic is
+itself covered: a simulated 10% slowdown must trip, the recorded numbers
+must pass.
 """
 
 from __future__ import annotations
@@ -22,10 +25,54 @@ import pytest
 
 REPO = Path(__file__).resolve().parents[1]
 
-# Floors with ~15% headroom under the round-1 record, so real regressions
-# trip the gate but run-to-run tunnel noise does not.
-PATTERNS_PER_SEC_FLOOR = 30_000.0
-TRAIN_STEPS_PER_SEC_FLOOR = 18.0
+# Floors ~8% under the best recorded values (r1: 35.7k patterns/s, 23.7
+# steps/s r2; scaled flagship r2: 17.4k encode, 10.0 steps/s), so real
+# regressions trip while run-to-run tunnel noise does not.
+FLOORS = {
+    "value": 33_000.0,  # headline patterns/sec/chip
+    "train_steps_per_sec_b256": 21.5,
+    "scaled_encode_patterns_per_sec": 16_000.0,
+    "scaled_train_steps_per_sec": 9.2,
+    "vs_baseline": 3.9,
+}
+
+# Best recorded values (update when a round sets a new record).
+RECORD = {
+    "value": 35_692.0,
+    "train_steps_per_sec_b256": 23.69,
+    "scaled_encode_patterns_per_sec": 17_400.0,
+    "scaled_train_steps_per_sec": 10.0,
+    "vs_baseline": 4.25,
+}
+
+
+def check_floors(result: dict) -> list[str]:
+    """Return a violation message per metric under its floor (empty = pass)."""
+    violations = []
+    for key, floor in FLOORS.items():
+        got = result.get(key)
+        if got is None:
+            violations.append(f"{key}: missing from bench output (floor {floor})")
+        elif got < floor:
+            violations.append(f"{key}: {got} < floor {floor}")
+    return violations
+
+
+class TestGateLogic:
+    """CPU-runnable coverage of the trip logic itself."""
+
+    def test_record_numbers_pass(self):
+        assert check_floors(RECORD) == []
+
+    def test_ten_percent_slowdown_trips(self):
+        slowed = {k: v * 0.9 for k, v in RECORD.items()}
+        violations = check_floors(slowed)
+        # Every ratcheted floor is within 10% of the record, so all trip.
+        assert len(violations) == len(FLOORS), violations
+
+    def test_missing_metric_trips(self):
+        partial = {k: v for k, v in RECORD.items() if k != "scaled_train_steps_per_sec"}
+        assert any("missing" in v for v in check_floors(partial))
 
 
 @pytest.mark.tpu_bench
@@ -51,6 +98,4 @@ def test_bench_headline_above_floor():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     result = json.loads(proc.stdout.strip().splitlines()[-1])
-    assert result["value"] >= PATTERNS_PER_SEC_FLOOR, result
-    assert result["train_steps_per_sec_b256"] >= TRAIN_STEPS_PER_SEC_FLOOR, result
-    assert result["vs_baseline"] >= 3.5, result
+    assert check_floors(result) == [], result
