@@ -34,6 +34,18 @@ __all__ = [
 
 HDF5_EXTENSIONS = (".h5", ".hdf5", ".h5oina", ".oh5", ".hdf")
 
+# Known H5EBSD-family pattern-stack locations, tried (by dataset-path suffix,
+# case-insensitive) BEFORE the largest-3-D heuristic so a vendor file whose
+# biggest 3-D dataset is a montage/EDS cube still resolves to the patterns.
+# Order = priority when a file matches several.
+VENDOR_PATTERN_SUFFIXES = (
+    "ebsd/data/pattern",                # EDAX/TSL H5, e.g. "Scan 1/EBSD/Data/Pattern"
+    "ebsd/data/rawpatterns",            # Bruker Esprit
+    "ebsd/data/processed patterns",     # Oxford AZtec .h5oina
+    "ebsd/data/unprocessed patterns",   # Oxford AZtec .h5oina (raw)
+    "ebsd/data/patterns",               # kikuchipy h5ebsd
+)
+
 
 def _h5py():
     try:
@@ -49,10 +61,14 @@ def _h5py():
 def find_pattern_dataset(path: str, dataset: str | None = None):
     """Open ``path`` and return ``(file, dataset)`` for the pattern stack.
 
-    With ``dataset`` given, that HDF5 path is used directly. Otherwise every
-    dataset in the file is scanned and the largest 3-D one whose trailing two
-    axes look like pattern geometry (>= 16 px) is chosen — the layout shared
-    by the H5EBSD-family vendor schemas. Caller owns closing the file.
+    With ``dataset`` given, that HDF5 path is used directly. Otherwise the
+    known H5EBSD vendor locations (`VENDOR_PATTERN_SUFFIXES` — EDAX, Bruker,
+    Oxford .h5oina, kikuchipy) are tried first; only when none match does the
+    heuristic fall back to the largest 3-D dataset whose trailing two axes
+    look like pattern geometry (>= 16 px). A warning is logged when several
+    plausible candidates exist, since heuristic selection can mis-pick (e.g.
+    a montage or EDS cube) — pass ``dataset`` explicitly to override.
+    Caller owns closing the file.
     """
     h5py = _h5py()
     f = h5py.File(path, "r")
@@ -67,7 +83,32 @@ def find_pattern_dataset(path: str, dataset: str | None = None):
         candidates = _scan_3d(f)
         if not candidates:
             raise ValueError(f"no (N, H, W) pattern dataset found in {path}")
+
+        for suffix in VENDOR_PATTERN_SUFFIXES:
+            matches = [
+                (n, d) for n, d in candidates if n.lower().endswith(suffix)
+            ]
+            if matches:
+                name, dset = max(matches, key=lambda kv: kv[1].size)
+                if len(matches) > 1:
+                    logger.warning(
+                        f"multiple datasets match vendor layout {suffix!r}; "
+                        f"picked the largest, {name!r} {dset.shape} — pass "
+                        "dataset= to override"
+                    )
+                logger.info(
+                    f"vendor-schema pattern dataset {name!r} {dset.shape}"
+                )
+                return f, dset
+
         name, dset = max(candidates, key=lambda kv: kv[1].size)
+        if len(candidates) > 1:
+            logger.warning(
+                f"no known vendor layout in {path}; {len(candidates)} "
+                f"plausible 3-D datasets "
+                f"({', '.join(n for n, _ in candidates)}) — picked the "
+                f"largest, {name!r} {dset.shape}. Pass dataset= to override."
+            )
         logger.info(f"auto-selected pattern dataset {name!r} {dset.shape}")
         return f, dset
     except Exception:
