@@ -83,6 +83,21 @@ def cmd_build(args) -> None:
             phase_symmetries=groups if multiphase else None,
         )
     )
+    mesh = None
+    if getattr(args, "devices", None) and args.devices > 1:
+        import jax
+
+        from latice_tpu.parallel import make_mesh
+
+        if jax.local_device_count() >= args.devices:
+            mesh = make_mesh(args.devices)
+            logger.info(f"sharding build encode over {mesh.size} devices")
+        else:
+            logger.warning(
+                f"--devices {args.devices} ignored: only "
+                f"{jax.local_device_count()} attached"
+            )
+
     indexer = DiffractionPatternIndexer(
         model,
         params,
@@ -93,6 +108,7 @@ def cmd_build(args) -> None:
             batch_size=args.batch_size,
             latent_dim=args.latent_dim,
         ),
+        mesh=mesh,
     )
     t0 = time.time()
     if multiphase:
@@ -294,6 +310,12 @@ def main() -> None:
         "--phase-groups", default=None,
         help="comma-separated point groups, one per phase (e.g. 432,622); "
         "persisted in the npz and applied automatically at query time",
+    )
+    b.add_argument(
+        "--devices", type=int, default=None,
+        help="shard the build encode over N devices (data-parallel mesh, "
+        "params replicated; latents match the single-device build to float "
+        "roundoff). Default: single device",
     )
     b.set_defaults(fn=cmd_build)
 

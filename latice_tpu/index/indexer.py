@@ -76,6 +76,7 @@ class DiffractionPatternIndexer:
         db: LatentVectorDatabaseBase | None = None,
         config: IndexerConfig | None = None,
         timer: Any | None = None,
+        mesh: Any | None = None,
     ) -> None:
         """Args:
         model: Flax VAE module exposing an ``encode`` method returning
@@ -87,6 +88,15 @@ class DiffractionPatternIndexer:
         timer: Optional latice_tpu.utils.PhaseTimer — when given, encode and
             search phases are timed (the per-phase introspection SURVEY §5
             notes the reference lacked).
+        mesh: Optional ``jax.sharding.Mesh`` — encode batches shard over its
+            first axis (params replicated), scaling the dictionary build
+            linearly over the devices (SURVEY §2 parallelism (b), build
+            side; reference flow dp_indexer.py:92-111, 254-297). Batch rows
+            are independent through the conv stack, so sharding only
+            partitions work; latents match the single-device build to float
+            roundoff (XLA may vectorize the smaller per-shard batch
+            differently). ``config.batch_size`` must divide by the mesh
+            size.
         """
         self.timer = timer
         self.config = config if config is not None else IndexerConfig()
@@ -98,7 +108,7 @@ class DiffractionPatternIndexer:
             )
         )
         self.model = model
-        self.params = params
+        self.mesh = mesh
 
         requested = self.config.device
         platforms = {d.platform for d in jax.devices()}
@@ -106,9 +116,28 @@ class DiffractionPatternIndexer:
             logger.warning("TPU not available, falling back to CPU")
         logger.info(f"Using devices: {jax.devices()}")
 
-        self._encode_jit = jax.jit(
-            lambda params, x: self.model.apply({"params": params}, x, method="encode")[0]
-        )
+        def _encode(params, x):
+            return self.model.apply({"params": params}, x, method="encode")[0]
+
+        if mesh is not None:
+            if self.config.batch_size % mesh.devices.size:
+                raise ValueError(
+                    f"batch_size {self.config.batch_size} must divide by "
+                    f"mesh size {mesh.devices.size}"
+                )
+            from latice_tpu.parallel import data_parallel_sharding
+
+            batch_sh, replicated = data_parallel_sharding(mesh)
+            # Params live replicated once; every encode dispatch ships only
+            # its batch shard to each device.
+            self.params = jax.device_put(params, replicated)
+            self._encode_jit = jax.jit(
+                _encode, in_shardings=(replicated, batch_sh),
+                out_shardings=batch_sh,
+            )
+        else:
+            self.params = params
+            self._encode_jit = jax.jit(_encode)
 
     def _phase(self, name: str):
         import contextlib
@@ -117,17 +146,22 @@ class DiffractionPatternIndexer:
 
     # -- encoding ----------------------------------------------------------
 
-    def _encode_fixed(self, batch: np.ndarray) -> np.ndarray:
-        """Encode a (b<=batch_size, H, W, 1) chunk, padding to the static
-        batch size so every dispatch reuses one compiled program."""
+    def _dispatch_encode(self, batch: np.ndarray) -> tuple[jax.Array, int]:
+        """Enqueue one encode dispatch (padded to the static batch size so
+        every call reuses one compiled program); returns the device future
+        and the number of genuine rows."""
         bs = self.config.batch_size
         n = len(batch)
         if n < bs:
             batch = np.concatenate(
                 [batch, np.zeros((bs - n,) + batch.shape[1:], batch.dtype)]
             )
-        mu = self._encode_jit(self.params, jnp.asarray(batch))
-        return np.asarray(mu[:n])
+        return self._encode_jit(self.params, batch), n
+
+    def _encode_fixed(self, batch: np.ndarray) -> np.ndarray:
+        """Encode a (b<=batch_size, H, W, 1) chunk synchronously."""
+        mu, n = self._dispatch_encode(batch)
+        return np.asarray(mu)[:n]
 
     def _to_nhwc(self, patterns: NDArray | Any) -> np.ndarray:
         """Normalize input to a (B, H, W, 1) float32 stack via the default
@@ -222,19 +256,41 @@ class DiffractionPatternIndexer:
     def _extract_latent_vectors_with_angles(
         self, progress: bool = True, dm: DPDataModule | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Batch-encode the dictionary loader (dp_indexer.py:254-297)."""
+        """Batch-encode the dictionary loader (dp_indexer.py:254-297).
+
+        Dispatch is two-phase with a bounded in-flight window (the pattern
+        pipeline.py / Trainer.test use): each batch's encode is enqueued
+        before the previous result is pulled to the host, so H2D transfer,
+        device compute, and D2H readback overlap instead of serializing —
+        on tunneled rigs the build runs at link speed, not link+compute.
+        The window bounds device-resident input buffers.
+        """
+        from collections import deque
+
         dm = dm if dm is not None else self._datamodule
         latent_vectors, orientations = [], []
+        inflight: deque[tuple[jax.Array, int, np.ndarray]] = deque()
+        window = 4
 
         iterator = dm.test_batches()
         total = dm.num_test_batches()
         bar = _maybe_progress(progress, total)
         with bar:
             task = bar.add_task("Processing patterns...", total=total)
-            for data, angles in iterator:
-                latent_vectors.append(self._encode_fixed(data))
-                orientations.append(np.asarray(angles))
+
+            def _drain_one():
+                mu, n, angles = inflight.popleft()
+                latent_vectors.append(np.asarray(mu)[:n])
+                orientations.append(angles)
                 bar.update(task, advance=1)
+
+            for data, angles in iterator:
+                mu, n = self._dispatch_encode(data)
+                inflight.append((mu, n, np.asarray(angles)))
+                if len(inflight) > window:
+                    _drain_one()
+            while inflight:
+                _drain_one()
 
         return np.concatenate(latent_vectors, 0), np.concatenate(orientations, 0)
 
