@@ -56,6 +56,12 @@ def main() -> None:
     p.add_argument("--threshold", type=float, default=3.0)
     p.add_argument("--min-matches", type=int, default=18)
     p.add_argument(
+        "--engine", default="exact", choices=("exact", "approx", "int8"),
+        help="candidate-search engine; approx/int8 trade ~2-6%% recall@10 "
+        "for speed/residency at very large dictionaries, and compose with "
+        "--shard-dictionary (per-shard engine + all_gather merge)",
+    )
+    p.add_argument(
         "--shard-dictionary", action="store_true",
         help="shard the dictionary over all attached devices (1-D mesh; "
         "per-shard top-k merged with a k-row all_gather over ICI)",
@@ -107,6 +113,7 @@ def main() -> None:
         param_loader=param_loader,
         checkpoint_root=checkpoint_root,
         max_body_bytes=args.max_body_mb << 20,
+        engine=args.engine,
     )
     warm_s = service.warmup()
     server = make_server(service, args.host, args.port)

@@ -74,6 +74,8 @@ class IndexService:
         max_body_bytes: request bodies above this are refused with 413
             before being read (default 1 GiB — a full 65k-pixel uint8 scan
             with 15x headroom).
+        engine: candidate-search engine ("exact" | "approx" | "int8");
+            composes with ``mesh`` — see `IndexPipeline`.
     """
 
     def __init__(
@@ -90,6 +92,7 @@ class IndexService:
         param_loader: Any = None,
         checkpoint_root: str | None = None,
         max_body_bytes: int = 1 << 30,
+        engine: str = "exact",
     ) -> None:
         import jax
 
@@ -111,6 +114,7 @@ class IndexService:
             min_required_matches=min_required_matches,
             batch_size=batch_size,
             mesh=mesh,
+            engine=engine,
             **phase_kw,
         )
         self._param_loader = param_loader

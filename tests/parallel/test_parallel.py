@@ -87,6 +87,77 @@ class TestShardedKNN:
         np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref), atol=1e-6)
 
 
+class TestShardedEngines:
+    """Engine x mesh composition (VERDICT r2 #4): int8 and approx per-shard
+    search behind the same all_gather merge, so >HBM dictionaries can also
+    be quantized/approx-selected."""
+
+    def _setup(self, n=1000, q_count=16, d_dim=16):
+        d = RNG.normal(size=(n, d_dim)).astype(np.float32)
+        dn = np.asarray(l2_normalize(jnp.asarray(d)))
+        # Queries near dictionary rows so recall is meaningful.
+        q = dn[:q_count] + RNG.normal(size=(q_count, d_dim)).astype(np.float32) * 0.05
+        return dn, q
+
+    @staticmethod
+    def _recall(i_got, i_ref):
+        got, ref = np.asarray(i_got), np.asarray(i_ref)
+        return np.mean(
+            [len(set(g) & set(r)) / len(r) for g, r in zip(got, ref)]
+        )
+
+    def test_int8_sharded_recall(self, mesh):
+        from latice_tpu.index import quantize_dictionary_int8
+
+        dn, q = self._setup()
+        _, i_ref = cosine_topk(jnp.asarray(q), jnp.asarray(dn), 10)
+        dict_q, _ = quantize_dictionary_int8(dn)
+        d_sharded = shard_dictionary(dict_q, mesh)
+        assert d_sharded.dtype == jnp.int8
+        s_got, i_got = sharded_cosine_topk(
+            jnp.asarray(q), d_sharded, 10, mesh, n_valid=len(dn), engine="int8"
+        )
+        assert self._recall(i_got, i_ref) >= 0.9
+        # int8 scores carry ~0.5% quantization error, not more.
+        np.testing.assert_allclose(
+            np.asarray(s_got)[:, 0], 1.0, atol=0.1
+        )
+
+    def test_approx_sharded_recall(self, mesh):
+        dn, q = self._setup()
+        _, i_ref = cosine_topk(jnp.asarray(q), jnp.asarray(dn), 10)
+        d_sharded = shard_dictionary(jnp.asarray(dn), mesh)
+        _, i_got = sharded_cosine_topk(
+            jnp.asarray(q), d_sharded, 10, mesh, n_valid=len(dn),
+            engine="approx", recall_target=0.95,
+        )
+        assert self._recall(i_got, i_ref) >= 0.9
+
+    def test_int8_sharded_matches_int8_unsharded(self, mesh):
+        """Same quantized math, partitioned: identical candidate sets."""
+        from latice_tpu.index import cosine_topk_int8, quantize_dictionary_int8
+
+        dn, q = self._setup(n=1024)
+        dict_q, _ = quantize_dictionary_int8(dn)
+        s_ref, i_ref = cosine_topk_int8(jnp.asarray(q), dict_q, 10)
+        d_sharded = shard_dictionary(dict_q, mesh)
+        s_got, i_got = sharded_cosine_topk(
+            jnp.asarray(q), d_sharded, 10, mesh, engine="int8"
+        )
+        np.testing.assert_array_equal(np.asarray(i_got), np.asarray(i_ref))
+        np.testing.assert_allclose(
+            np.asarray(s_got), np.asarray(s_ref), atol=1e-6
+        )
+
+    def test_unknown_engine_raises(self, mesh):
+        dn, q = self._setup(n=64, q_count=2)
+        d_sharded = shard_dictionary(jnp.asarray(dn), mesh)
+        with pytest.raises(ValueError, match="unknown sharded engine"):
+            sharded_cosine_topk(
+                jnp.asarray(q), d_sharded, 5, mesh, engine="hnsw"
+            )
+
+
 class TestDataParallelTraining:
     def test_dp_step_matches_single_device(self, mesh):
         """One DP step over 8 devices must equal the single-device step."""
@@ -185,3 +256,57 @@ class TestShardedPipeline:
         np.testing.assert_allclose(
             sharded.best_orientation, single.best_orientation, atol=1e-3
         )
+
+    def test_engine_mesh_matrix(self, mesh):
+        """Every engine composes with the mesh: recall@10 >= 0.9 vs the
+        exact unsharded pipeline on self-queries (VERDICT r2 #4)."""
+        import jax.numpy as jnp
+        from latice_tpu.index import IndexPipeline
+
+        rng = np.random.default_rng(4)
+        model = VariationalAutoEncoderRawData(inplanes=2, latent_dim=16)
+        params = model.init(
+            {"params": jax.random.key(0)},
+            jnp.zeros((1, 128, 128, 1)),
+            jax.random.key(1),
+        )["params"]
+        # Encode the dictionary so self-queries have a well-defined top-1.
+        patterns = rng.uniform(size=(24, 128, 128)).astype(np.float32)
+        enc = jax.jit(
+            lambda p, x: model.apply({"params": p}, x, method="encode")[0]
+        )
+        lat = np.asarray(enc(params, jnp.asarray(patterns[..., None])))
+        dv = lat / np.linalg.norm(lat, axis=1, keepdims=True)
+        do = rng.uniform([0, 20, 0], [340, 140, 340], size=(len(dv), 3))
+
+        kw = dict(top_n=5, orientation_threshold=3.0, min_required_matches=1,
+                  batch_size=8)
+        ref = IndexPipeline(model, params, dv, do, **kw)(patterns)
+        for engine in ("exact", "approx", "int8"):
+            for m in (None, mesh):
+                got = IndexPipeline(
+                    model, params, dv, do, mesh=m, engine=engine, **kw
+                )(patterns)
+                recall = np.mean(
+                    [
+                        len(set(g) & set(r)) / len(r)
+                        for g, r in zip(got.indices, ref.indices)
+                    ]
+                )
+                tag = f"{engine}/mesh={m is not None}"
+                assert recall >= 0.9, (tag, recall)
+                # Self-match must survive every engine: top-1 is the query.
+                np.testing.assert_array_equal(
+                    got.indices[:, 0], np.arange(len(dv)), err_msg=tag
+                )
+                assert got.success.all(), tag
+
+    def test_pipeline_unknown_engine_raises(self):
+        from latice_tpu.index import IndexPipeline
+
+        model = VariationalAutoEncoderRawData(inplanes=2, latent_dim=16)
+        with pytest.raises(ValueError, match="unknown engine"):
+            IndexPipeline(
+                model, {}, np.zeros((4, 16), np.float32), np.zeros((4, 3)),
+                engine="faiss",
+            )
