@@ -2,6 +2,7 @@
 
 from latice_tpu.parallel.mesh import (
     data_parallel_sharding,
+    dp_dispatch_plan,
     make_mesh,
     replicate,
     replicate_state,
@@ -15,6 +16,7 @@ from latice_tpu.parallel.sharded_knn import (
 
 __all__ = [
     "data_parallel_sharding",
+    "dp_dispatch_plan",
     "make_mesh",
     "replicate",
     "replicate_state",

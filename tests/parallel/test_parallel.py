@@ -25,6 +25,43 @@ def mesh():
     return make_mesh(8)
 
 
+class TestDispatchPlan:
+    """Code anchors for the ROADMAP multi-chip scaling model (VERDICT r2
+    #8): the per-device padded-batch arithmetic at n_devices in {2, 8}."""
+
+    @pytest.mark.parametrize("n_dev", [2, 8])
+    def test_plan_matches_padded_batch_math(self, n_dev):
+        from latice_tpu.parallel import dp_dispatch_plan
+
+        # The dryrun's build scenario: 4n+3 items at batch 2n.
+        n_items = 4 * n_dev + 3
+        plan = dp_dispatch_plan(n_items, 2 * n_dev, n_dev)
+        assert plan["n_batches"] == 3
+        assert plan["rows_per_device"] == 2
+        assert plan["padded_items"] == 6 * n_dev
+        assert plan["tail_pad"] == 6 * n_dev - n_items
+        assert plan["parallel_efficiency_ppm"] == int(
+            round(1e6 * n_items / (6 * n_dev))
+        )
+
+    @pytest.mark.parametrize("n_dev", [2, 8])
+    def test_plan_full_map_scan(self, n_dev):
+        """65k-pixel map at the production batch: near-zero padding waste."""
+        from latice_tpu.parallel import dp_dispatch_plan
+
+        plan = dp_dispatch_plan(65_536, 1024, n_dev)
+        assert plan["n_batches"] == 64
+        assert plan["rows_per_device"] == 1024 // n_dev
+        assert plan["tail_pad"] == 0
+        assert plan["parallel_efficiency_ppm"] == 1_000_000
+
+    def test_plan_rejects_indivisible(self):
+        from latice_tpu.parallel import dp_dispatch_plan
+
+        with pytest.raises(ValueError, match="divide"):
+            dp_dispatch_plan(100, 10, 3)
+
+
 class TestMesh:
     def test_make_mesh_size(self, mesh):
         assert mesh.devices.size == 8
