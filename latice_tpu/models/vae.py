@@ -58,9 +58,14 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from latice_tpu.ops.lane_stats import spatial_moments
+
         x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-        var = jnp.var(x32, axis=(1, 2), keepdims=True)
+        # One-pass E[x]/E[x^2] statistics (ops/lane_stats.py): both
+        # reductions fuse into the producer, avoiding jnp.var's second
+        # full read of the activation.
+        mean, ex2 = spatial_moments(x32)
+        var = jnp.maximum(ex2 - mean * mean, 0.0)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
         return y.astype(self.dtype)
 

@@ -1,8 +1,10 @@
 """Analytic-VJP InstanceNorm+LeakyReLU (plain XLA): value + gradient parity.
 
-The op is the model's default norm path (vae._norm_act); its forward must be
-bitwise-identical to the unfused composition and its closed-form backward
-must match autodiff.
+The op is the model's default norm path (vae._norm_act); its forward must
+match the unfused composition to f32 roundoff (the one-pass variance of
+ops/lane_stats.py computes E[x^2]-E[x]^2 where jnp.var re-reads for
+E[(x-mean)^2] — bitwise equality holds at bf16 output precision) and its
+closed-form backward must match autodiff.
 """
 
 import jax
@@ -25,12 +27,40 @@ def reference_impl(x, eps=1e-5, slope=0.02):
 
 class TestNormVjpXla:
     @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-    def test_forward_bitwise(self, dtype):
+    def test_forward_matches_reference(self, dtype):
         x = jnp.asarray(RNG.normal(size=(4, 16, 16, 8)) * 3 + 1, dtype)
         got = jax.jit(instance_norm_leaky_relu_xla)(x)
         want = jax.jit(reference_impl)(x)
         assert got.dtype == want.dtype
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        if dtype == jnp.bfloat16:
+            # f32-roundoff reorder differences vanish at bf16 precision.
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        else:
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=5e-6
+            )
+
+    def test_one_pass_moments_match_plain(self):
+        """spatial_moments == plain mean/E[x^2], and the one-pass variance
+        matches jnp.var to f32 roundoff at realistic activation scales."""
+        from latice_tpu.ops.lane_stats import spatial_moments
+
+        for c in (8, 32, 64, 128):
+            x = jnp.asarray(
+                RNG.normal(size=(3, 16, 8, c)) * 2 + 0.5, jnp.float32
+            )
+            mean, ex2 = jax.jit(spatial_moments)(x)
+            np.testing.assert_allclose(
+                np.asarray(mean),
+                np.asarray(jnp.mean(x, axis=(1, 2), keepdims=True)),
+                atol=2e-6, err_msg=f"C={c}",
+            )
+            var = np.maximum(np.asarray(ex2 - mean * mean), 0.0)
+            np.testing.assert_allclose(
+                var,
+                np.asarray(jnp.var(x, axis=(1, 2), keepdims=True)),
+                atol=2e-5, err_msg=f"C={c}",
+            )
 
     def test_gradient_matches_autodiff_f32(self):
         x = jnp.asarray(RNG.normal(size=(3, 8, 8, 4)), jnp.float32)
