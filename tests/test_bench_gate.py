@@ -25,24 +25,24 @@ import pytest
 
 REPO = Path(__file__).resolve().parents[1]
 
-# Floors ~8% under the best recorded values (r1: 35.7k patterns/s, 23.7
-# steps/s r2; scaled flagship r2: 17.4k encode, 10.0 steps/s), so real
+# Floors ~8% under the best recorded values (r3: one-pass InstanceNorm
+# statistics lifted every number — see BENCH_HISTORY.jsonl), so real
 # regressions trip while run-to-run tunnel noise does not.
 FLOORS = {
-    "value": 33_000.0,  # headline patterns/sec/chip
-    "train_steps_per_sec_b256": 21.5,
-    "scaled_encode_patterns_per_sec": 16_000.0,
-    "scaled_train_steps_per_sec": 9.2,
-    "vs_baseline": 3.9,
+    "value": 39_500.0,  # headline patterns/sec/chip
+    "train_steps_per_sec_b256": 22.9,
+    "scaled_encode_patterns_per_sec": 20_000.0,
+    "scaled_train_steps_per_sec": 9.9,
+    "vs_baseline": 4.7,
 }
 
 # Best recorded values (update when a round sets a new record).
 RECORD = {
-    "value": 35_692.0,
-    "train_steps_per_sec_b256": 23.69,
-    "scaled_encode_patterns_per_sec": 17_400.0,
-    "scaled_train_steps_per_sec": 10.0,
-    "vs_baseline": 4.25,
+    "value": 43_033.2,
+    "train_steps_per_sec_b256": 24.93,
+    "scaled_encode_patterns_per_sec": 21_906.5,
+    "scaled_train_steps_per_sec": 10.74,
+    "vs_baseline": 5.164,
 }
 
 
