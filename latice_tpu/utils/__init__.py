@@ -11,6 +11,11 @@ from latice_tpu.utils.loggers import (
 )
 from latice_tpu.utils.polefigure import compute_pole_figure, plot_pole_figure
 from latice_tpu.utils.profiling import PhaseTimer, device_sync, trace
+from latice_tpu.utils.xla_trace import (
+    TraceSummary,
+    format_summary,
+    summarize_trace,
+)
 from latice_tpu.utils.viz import (
     figure_to_array,
     get_color_key,
@@ -38,4 +43,7 @@ __all__ = [
     "plot_detection",
     "plot_latent",
     "trace",
+    "TraceSummary",
+    "format_summary",
+    "summarize_trace",
 ]
