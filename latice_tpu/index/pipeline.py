@@ -79,9 +79,13 @@ class IndexPipeline:
             (sub-grid refinement; measured -1.8% median off-grid error at
             p=256, see ROADMAP). None (default) keeps the reference's
             uniform mean (faiss_db.py:326-330).
-        mesh: optional jax.sharding.Mesh — the dictionary rows shard over its
-            first axis (per-shard top-k + a k-row all_gather merge over ICI),
-            for dictionaries beyond one chip's HBM; params/queries replicate.
+        mesh: optional jax.sharding.Mesh — full data-parallel execution:
+            the pattern batch shards over the mesh's first axis for the
+            encode (params replicated; compute 1/n per chip), the resulting
+            latents all_gather (B x D x 4 bytes — tiny) and the dictionary
+            rows shard for the k-NN (per-shard top-k + a k-row all_gather
+            merge over ICI), serving dictionaries beyond one chip's HBM.
+            ``batch_size`` must divide by the mesh size.
         engine: candidate-search engine — "exact" (default; lax.top_k over
             the full score matrix), "approx" (lax.approx_max_k selection,
             ~4x faster at 1M+ entries, ~0.98 recall@10), or "int8"
@@ -154,6 +158,11 @@ class IndexPipeline:
         if mesh is not None:
             from latice_tpu.parallel import replicate, shard_dictionary
 
+            if batch_size % mesh.devices.size:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by mesh size "
+                    f"{mesh.devices.size}"
+                )
             dict_dev = shard_dictionary(dict_host, mesh)
             params = replicate(params, mesh)
         else:
@@ -179,7 +188,6 @@ class IndexPipeline:
                 axis=1,
             )
 
-        @jax.jit
         def _run(p, patterns):
             if jnp.issubdtype(patterns.dtype, jnp.integer):
                 # uint8 input path: patterns ship over the host link in their
@@ -190,10 +198,20 @@ class IndexPipeline:
                 patterns = patterns.astype(jnp.float32) / 255.0
             mu, _ = model.apply({"params": p}, patterns, method="encode")
             if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
                 from latice_tpu.parallel.sharded_knn import (
                     sharded_cosine_topk_inner,
                 )
 
+                # The batch arrives sharded (in_shardings below), so the
+                # encode ran data-parallel; replicate the tiny (B, D)
+                # latents (GSPMD inserts one all_gather over ICI) before
+                # the dictionary-sharded search, which wants every query
+                # on every shard.
+                mu = jax.lax.with_sharding_constraint(
+                    mu, NamedSharding(mesh, PartitionSpec())
+                )
                 scores, indices = sharded_cosine_topk_inner(
                     mu, dict_dev, k, mesh, n_valid=self._n,
                     engine=engine, recall_target=recall_target,
@@ -284,7 +302,19 @@ class IndexPipeline:
                 )
             return out
 
-        self._run = _run
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis = mesh.axis_names[0]
+            self._run = jax.jit(
+                _run,
+                in_shardings=(
+                    NamedSharding(mesh, PartitionSpec()),       # params
+                    NamedSharding(mesh, PartitionSpec(axis)),   # batch
+                ),
+            )
+        else:
+            self._run = jax.jit(_run)
         self._params = params
 
     def __call__(self, patterns: np.ndarray) -> DenseIndexResult:
