@@ -135,7 +135,19 @@ class IndexService:
                 x = x.astype(jnp.float32)
             return model.apply({"params": p}, x, method="encode")[0]
 
-        self._encode = jax.jit(_encode_impl)
+        if mesh is not None:
+            # /encode scales like /index: batch sharded over the data
+            # axis, params replicated (chunks are padded to batch_size,
+            # which IndexPipeline validates divides the mesh).
+            from latice_tpu.parallel import data_parallel_sharding
+
+            batch_sh, replicated = data_parallel_sharding(mesh)
+            self._encode = jax.jit(
+                _encode_impl, in_shardings=(replicated, batch_sh),
+                out_shardings=batch_sh,
+            )
+        else:
+            self._encode = jax.jit(_encode_impl)
         self.started = time.time()
         self.requests = 0
         self.patterns_indexed = 0

@@ -224,6 +224,13 @@ class TestShardedServe:
             )
             assert sharded["success"] == plain["success"]
             assert sharded["phase"] == plain["phase"]
+            # /encode also runs batch-sharded on the mesh; latents match
+            # the unsharded service to float roundoff.
+            enc_s = _post(f"{murl}/encode", _npy_bytes(patterns[:8]))
+            enc_p = _post(f"{url}/encode", _npy_bytes(patterns[:8]))
+            np.testing.assert_allclose(
+                enc_s["latents"], enc_p["latents"], atol=1e-5
+            )
         finally:
             server.shutdown()
             db.delete_persistence()
