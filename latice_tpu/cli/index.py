@@ -160,6 +160,20 @@ def cmd_query(args) -> None:
             dictionary_phases=db._phases,
             phase_symmetries=db.config.phase_symmetries,
         )
+    mesh = None
+    if getattr(args, "devices", None) and args.devices > 1:
+        import jax
+
+        from latice_tpu.parallel import make_mesh
+
+        if jax.local_device_count() >= args.devices:
+            mesh = make_mesh(args.devices)
+            logger.info(f"sharding pipeline over {mesh.size} devices")
+        else:
+            logger.warning(
+                f"--devices {args.devices} ignored: only "
+                f"{jax.local_device_count()} attached"
+            )
     pipe = IndexPipeline(
         model,
         params,
@@ -169,6 +183,8 @@ def cmd_query(args) -> None:
         orientation_threshold=args.threshold,
         min_required_matches=args.min_matches,
         batch_size=args.batch_size,
+        mesh=mesh,
+        engine=getattr(args, "engine", "exact"),
         **phase_kw,
     )
     t0 = time.time()
@@ -357,6 +373,16 @@ def main() -> None:
     q.add_argument("--top-n", type=int, default=20)
     q.add_argument("--threshold", type=float, default=3.0)
     q.add_argument("--min-matches", type=int, default=18)
+    q.add_argument(
+        "--engine", default="exact", choices=("exact", "approx", "int8"),
+        help="candidate-search engine (approx/int8 trade ~2-6%% recall@10 "
+        "for speed/residency at very large dictionaries)",
+    )
+    q.add_argument(
+        "--devices", type=int, default=None,
+        help="run the pipeline data-parallel over N devices: batch-sharded "
+        "encode + row-sharded dictionary search (default: single device)",
+    )
     q.set_defaults(fn=cmd_query)
 
     a = sub.add_parser(

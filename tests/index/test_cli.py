@@ -58,6 +58,36 @@ class TestCLI:
         assert "phase_out" not in summary
         assert np.load(out).shape == (24, 3)
 
+    def test_build_and_query_over_mesh_match_single_device(
+        self, tmp_path, monkeypatch, capsys
+    ):
+        """--devices 8 on build and query: same dictionary, same
+        orientations as the single-device flow (engine matrix included)."""
+        ppath, apath, patterns = _write_phase(tmp_path, "dict", 24, seed=3)
+        db1 = str(tmp_path / "one.npz")
+        db8 = str(tmp_path / "mesh.npz")
+        _run(["build", "--patterns", str(ppath), "--angles", str(apath),
+              "--db", db1] + SMALL, monkeypatch, capsys)
+        _run(["build", "--patterns", str(ppath), "--angles", str(apath),
+              "--db", db8, "--devices", "8"] + SMALL, monkeypatch, capsys)
+        lat1 = np.load(db1)["vectors"]
+        lat8 = np.load(db8)["vectors"]
+        np.testing.assert_allclose(lat1, lat8, atol=1e-5)
+
+        out1 = str(tmp_path / "o1.npy")
+        out8 = str(tmp_path / "o8.npy")
+        base = ["query", "--patterns", str(ppath), "--db", db1,
+                "--top-n", "5", "--min-matches", "1"] + SMALL
+        _run(base + ["--out", out1], monkeypatch, capsys)
+        stdout = _run(
+            base + ["--out", out8, "--devices", "8", "--engine", "int8"],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(stdout.strip().splitlines()[-1])
+        assert summary["success_rate"] == 1.0
+        # int8 quantization cannot disturb self-match consensus here.
+        np.testing.assert_allclose(np.load(out1), np.load(out8), atol=1e-3)
+
     def test_build_query_multiphase(self, tmp_path, monkeypatch, capsys):
         p0, a0, pat0 = _write_phase(tmp_path, "fcc", 16, seed=1)
         p1, a1, pat1 = _write_phase(tmp_path, "hcp", 16, seed=2)
