@@ -347,3 +347,13 @@ class TestShardedPipeline:
                 model, {}, np.zeros((4, 16), np.float32), np.zeros((4, 3)),
                 engine="faiss",
             )
+
+    def test_pipeline_mesh_batch_must_divide(self, mesh):
+        from latice_tpu.index import IndexPipeline
+
+        model = VariationalAutoEncoderRawData(inplanes=2, latent_dim=16)
+        with pytest.raises(ValueError, match="divide"):
+            IndexPipeline(
+                model, {}, np.zeros((4, 16), np.float32), np.zeros((4, 3)),
+                batch_size=6, mesh=mesh,
+            )
