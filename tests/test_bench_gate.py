@@ -30,19 +30,19 @@ REPO = Path(__file__).resolve().parents[1]
 # regressions trip while run-to-run tunnel noise does not.
 FLOORS = {
     "value": 39_500.0,  # headline patterns/sec/chip
-    "train_steps_per_sec_b256": 22.9,
+    "train_steps_per_sec_b256": 26.1,
     "scaled_encode_patterns_per_sec": 20_000.0,
-    "scaled_train_steps_per_sec": 9.9,
+    "scaled_train_steps_per_sec": 11.5,
     "vs_baseline": 4.7,
 }
 
 # Best recorded values (update when a round sets a new record).
 RECORD = {
-    "value": 43_033.2,
-    "train_steps_per_sec_b256": 24.93,
-    "scaled_encode_patterns_per_sec": 21_906.5,
-    "scaled_train_steps_per_sec": 10.74,
-    "vs_baseline": 5.164,
+    "value": 43_040.6,
+    "train_steps_per_sec_b256": 28.41,
+    "scaled_encode_patterns_per_sec": 21_931.2,
+    "scaled_train_steps_per_sec": 12.53,
+    "vs_baseline": 5.165,
 }
 
 
