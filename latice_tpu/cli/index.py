@@ -374,7 +374,7 @@ def main() -> None:
     q.add_argument("--threshold", type=float, default=3.0)
     q.add_argument("--min-matches", type=int, default=18)
     q.add_argument(
-        "--engine", default="exact", choices=("exact", "approx", "int8"),
+        "--engine", default="exact", choices=("exact", "fused", "approx", "int8"),
         help="candidate-search engine (approx/int8 trade ~2-6%% recall@10 "
         "for speed/residency at very large dictionaries)",
     )

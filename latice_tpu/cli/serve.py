@@ -56,7 +56,7 @@ def main() -> None:
     p.add_argument("--threshold", type=float, default=3.0)
     p.add_argument("--min-matches", type=int, default=18)
     p.add_argument(
-        "--engine", default="exact", choices=("exact", "approx", "int8"),
+        "--engine", default="exact", choices=("exact", "fused", "approx", "int8"),
         help="candidate-search engine; approx/int8 trade ~2-6%% recall@10 "
         "for speed/residency at very large dictionaries, and compose with "
         "--shard-dictionary (per-shard engine + all_gather merge)",

@@ -197,6 +197,9 @@ class LatentVectorDatabaseConfig:
         device_batch_size: Max queries evaluated per device dispatch in the
             batch APIs.
         engine: "device" runs the k-NN matmul on the JAX backend (default);
+            "fused" runs the Pallas matmul+top-k (exact lax.top_k parity
+            with the score matrix held in VMEM — ~1.5x at 100k and 2x at
+            1M entries, ops/topk_fused.py);
             "approx" selects with lax.approx_max_k (~4x faster top-k at
             1M+ entries, ~0.98 recall@10);
             "int8" quantizes the dictionary to int8 on device (4x smaller
@@ -390,6 +393,14 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
         if self.config.engine == "approx":
             vectors, _ = self._device_arrays()
             scores, indices = cosine_topk_approx(jnp.asarray(queries), vectors, k)
+            return np.asarray(scores, dtype=np.float64), np.asarray(
+                indices, dtype=np.int64
+            )
+        if self.config.engine == "fused":
+            from latice_tpu.ops.topk_fused import cosine_topk_fused
+
+            vectors, _ = self._device_arrays()
+            scores, indices = cosine_topk_fused(jnp.asarray(queries), vectors, k)
             return np.asarray(scores, dtype=np.float64), np.asarray(
                 indices, dtype=np.int64
             )

@@ -7,7 +7,9 @@ MXU-friendly matmul: normalize, ``scores = Q @ Dᵀ``, ``lax.top_k`` — at a
 16-d latent width even million-entry dictionaries are compute-trivial, so the
 TPU-native design is *exact* search everywhere (no approximate index needed).
 
-For dictionaries sharded across a mesh see latice_tpu.parallel.sharded_knn.
+For dictionaries sharded across a mesh see latice_tpu.parallel.sharded_knn;
+for the Pallas fused matmul+top-k (exact, scores never materialized in HBM —
+the fastest exact engine at 100k+ rows) see latice_tpu.ops.topk_fused.
 """
 
 from __future__ import annotations

@@ -65,8 +65,10 @@ def sharded_cosine_topk(
             are padding from `shard_dictionary` and are masked to -inf.
             Defaults to all rows.
         engine: per-shard selection engine — "exact" (lax.top_k), "approx"
-            (lax.approx_max_k, ~4x faster selection at 1M+ rows/shard), or
-            "int8" (int8 MXU matmul against a quantized shard). Composes the
+            (lax.approx_max_k, ~4x faster selection at 1M+ rows/shard),
+            "int8" (int8 MXU matmul against a quantized shard), or "fused"
+            (Pallas matmul+top-k, exact, scores stay in VMEM — ~2x exact
+            selection at 1M rows/shard, ops/topk_fused.py). Composes the
             scale engines with mesh sharding, so >HBM *and* >10M-entry
             dictionaries can use both (VERDICT r2 #4). The k-row all_gather
             merge is identical for every engine.
@@ -100,7 +102,7 @@ def sharded_cosine_topk_inner(
     ``queries`` must already be replicated over the mesh (or inside a jit
     where sharding propagation replicates them).
     """
-    if engine not in ("exact", "approx", "int8"):
+    if engine not in ("exact", "approx", "int8", "fused"):
         raise ValueError(f"unknown sharded engine {engine!r}")
     axis = mesh.axis_names[0]
     n_total = dictionary_sharded.shape[0]
@@ -119,6 +121,30 @@ def sharded_cosine_topk_inner(
     )
     def _local_then_merge(q, dict_shard):
         q = l2_normalize(q)
+        shard_id = jax.lax.axis_index(axis)
+        if engine == "fused":
+            # Pallas matmul+top-k: the (B, shard_rows) score block never
+            # leaves VMEM (ops/topk_fused.py — exact, ~1.4-2x the XLA
+            # matmul+top_k at 100k-1M rows). Padded rows mask via the
+            # kernel's n_valid bias; this shard holds rows
+            # [shard_id*shard_rows, (shard_id+1)*shard_rows).
+            from latice_tpu.ops.topk_fused import cosine_topk_fused
+
+            nv_local = jnp.clip(
+                n_valid - shard_id * shard_rows, 0, shard_rows
+            )
+            local_s, local_i = cosine_topk_fused(
+                q, dict_shard, k_local, n_valid=nv_local
+            )
+            local_i = local_i + shard_id * shard_rows
+            all_s = jax.lax.all_gather(local_s, axis)
+            all_i = jax.lax.all_gather(local_i, axis)
+            b = q.shape[0]
+            merged_s = jnp.moveaxis(all_s, 0, 1).reshape(b, n_dev * k_local)
+            merged_i = jnp.moveaxis(all_i, 0, 1).reshape(b, n_dev * k_local)
+            best_s, sel = jax.lax.top_k(merged_s, k)
+            best_i = jnp.take_along_axis(merged_i, sel, axis=1)
+            return best_s, best_i
         if engine == "int8":
             # Same math as knn.cosine_topk_int8, against the local shard:
             # int8 x int8 -> int32 on the MXU's double-rate path.
@@ -135,7 +161,6 @@ def sharded_cosine_topk_inner(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-        shard_id = jax.lax.axis_index(axis)
         global_col = shard_id * shard_rows + jnp.arange(shard_rows)
         # Mask padded rows (index >= n_valid) before selection: their zero
         # rows would score 0 and outrank genuine negative-similarity matches.

@@ -74,7 +74,7 @@ class IndexService:
         max_body_bytes: request bodies above this are refused with 413
             before being read (default 1 GiB — a full 65k-pixel uint8 scan
             with 15x headroom).
-        engine: candidate-search engine ("exact" | "approx" | "int8");
+        engine: candidate-search engine ("exact" | "fused" | "approx" | "int8");
             composes with ``mesh`` — see `IndexPipeline`.
     """
 

@@ -219,7 +219,7 @@ class TestEngineMatrix:
     """add/save/load/query across every top-k engine — pins the stale-cache
     class of bug (device + int8 caches must invalidate on load/delete)."""
 
-    ENGINES = ["device", "approx", "int8", "native"]
+    ENGINES = ["device", "fused", "approx", "int8", "native"]
 
     def _make_db(self, tmp_path, engine, name):
         if engine == "native":

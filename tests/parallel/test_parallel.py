@@ -143,6 +143,26 @@ class TestShardedEngines:
             [len(set(g) & set(r)) / len(r) for g, r in zip(got, ref)]
         )
 
+    def test_fused_sharded_exact_parity(self, mesh):
+        """The Pallas fused engine is exact: sharded results must bit-match
+        unsharded lax.top_k, including per-shard n_valid masking of the
+        pad rows (1001 rows over 8 shards leaves zero padding on the last
+        shard) and all-negative genuine scores."""
+        base = RNG.normal(size=16).astype(np.float32)
+        q = base + RNG.normal(size=(5, 16)).astype(np.float32) * 0.05
+        d = -base + RNG.normal(size=(1001, 16)).astype(np.float32) * 0.05
+        dn = np.asarray(l2_normalize(jnp.asarray(d)))
+        s_ref, i_ref = cosine_topk(jnp.asarray(q), jnp.asarray(dn), 7)
+        assert np.all(np.asarray(s_ref) < 0)
+        d_sharded = shard_dictionary(jnp.asarray(dn), mesh)
+        s_got, i_got = sharded_cosine_topk(
+            jnp.asarray(q), d_sharded, 7, mesh, n_valid=1001, engine="fused"
+        )
+        np.testing.assert_array_equal(np.asarray(i_got), np.asarray(i_ref))
+        np.testing.assert_allclose(
+            np.asarray(s_got), np.asarray(s_ref), atol=1e-6
+        )
+
     def test_int8_sharded_recall(self, mesh):
         from latice_tpu.index import quantize_dictionary_int8
 
@@ -319,7 +339,7 @@ class TestShardedPipeline:
         kw = dict(top_n=5, orientation_threshold=3.0, min_required_matches=1,
                   batch_size=8)
         ref = IndexPipeline(model, params, dv, do, **kw)(patterns)
-        for engine in ("exact", "approx", "int8"):
+        for engine in ("exact", "fused", "approx", "int8"):
             for m in (None, mesh):
                 got = IndexPipeline(
                     model, params, dv, do, mesh=m, engine=engine, **kw
