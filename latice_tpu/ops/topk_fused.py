@@ -89,27 +89,35 @@ def _topk_kernel(q_ref, dt_ref, bias_ref, out_v_ref, out_i_ref, sc, new_v,
     new_i[:] = jnp.full((tb, k), _INT_MAX, jnp.int32)
     cont[0] = 1
 
-    # Candidates at or below the running k-th value can never enter the
-    # merge: tiles arrive in ascending global-index order, so an exact tie
-    # always loses to the already-kept lower index (the `lax.top_k` stable
-    # order). Once a round's per-row maxima all fall to that bar, the
-    # remaining rounds of this tile are provably dead — skip them.
-    t_bar = jnp.where(j > 0, run_v[:, k - 1 : k], _NEG_INF)
+    def _round(r):
+        s = sc[:]
+        m = jnp.max(s, axis=1, keepdims=True)
+        is_m = s == m
+        sel = jnp.min(
+            jnp.where(is_m, gidx, _INT_MAX), axis=1, keepdims=True
+        )
+        new_v[:, r : r + 1] = m
+        new_i[:, r : r + 1] = sel
+        sc[:] = jnp.where(gidx == sel, _NEG_INF, s)
+        return m
 
-    for r in range(k):
-        @pl.when(cont[0] == 1)
-        def _(r=r):
-            s = sc[:]
-            m = jnp.max(s, axis=1, keepdims=True)
-            is_m = s == m
-            sel = jnp.min(
-                jnp.where(is_m, gidx, _INT_MAX), axis=1, keepdims=True
-            )
-            new_v[:, r : r + 1] = m
-            new_i[:, r : r + 1] = sel
-            sc[:] = jnp.where(gidx == sel, _NEG_INF, s)
-            if early_exit:
+    if early_exit:
+        # Candidates at or below the running k-th value can never enter the
+        # merge: tiles arrive in ascending global-index order, so an exact
+        # tie always loses to the already-kept lower index (the `lax.top_k`
+        # stable order). Once a round's per-row maxima all fall to that
+        # bar, the remaining rounds of this tile are provably dead — skip
+        # them. (Measured SLOWER than just running all k rounds — see the
+        # early_exit docstring — kept as the A/B arm.)
+        t_bar = jnp.where(j > 0, run_v[:, k - 1 : k], _NEG_INF)
+        for r in range(k):
+            @pl.when(cont[0] == 1)
+            def _(r=r):
+                m = _round(r)
                 cont[0] = jnp.any(m > t_bar).astype(jnp.int32)
+    else:
+        for r in range(k):
+            _round(r)
 
     @pl.when(j == 0)
     def _():

@@ -187,6 +187,39 @@ class TestServe:
         assert after["patterns_indexed"] == before["patterns_indexed"] + 2
 
 
+class TestFusedEngineServe:
+    def test_fused_engine_service_matches_exact(self, served):
+        """engine="fused" (Pallas matmul+top-k) behind the HTTP plane gives
+        identical indexing results to the exact service — it is exact."""
+        url, patterns, orientations, params, model, _ = served
+
+        enc = jax.jit(lambda p, x: model.apply({"params": p}, x, method="encode")[0])
+        latents = np.asarray(enc(params, patterns[..., None]))
+        db = TpuLatentVectorDatabase(
+            LatentVectorDatabaseConfig(npz_path="/tmp/serve_fused.npz", dimension=8)
+        )
+        db.add_vectors(latents, orientations, phases=np.repeat([0, 1], 12))
+        service = IndexService(
+            model, params, db, top_n=5, orientation_threshold=3.0,
+            min_required_matches=1, batch_size=16, engine="fused",
+        )
+        server = make_server(service, "127.0.0.1", 0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        furl = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            fused = _post(f"{furl}/index", _npy_bytes(patterns[:8]))
+            plain = _post(f"{url}/index", _npy_bytes(patterns[:8]))
+            np.testing.assert_allclose(
+                fused["orientations"], plain["orientations"], atol=1e-4
+            )
+            assert fused["success"] == plain["success"]
+            assert fused["phase"] == plain["phase"]
+        finally:
+            server.shutdown()
+            db.delete_persistence()
+
+
 class TestShardedServe:
     def test_mesh_sharded_service_matches_unsharded(self, served):
         """Same dictionary behind an 8-device sharded pipeline returns the
