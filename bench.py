@@ -157,7 +157,29 @@ def bench_scaled_train(batch_size: int = 256) -> float:
     return 1.0 / ((time.time() - t0) / n_iter)
 
 
+def bench_dispatch_overhead() -> float:
+    """Per-dispatch overhead of the host<->device link, ms.
+
+    The rig reaches the chip through a tunnel whose latency varies with
+    tenancy; a healthy link sits well under 1 ms per dispatch while a
+    congested one has been observed at 5-11 ms — enough to corrupt every
+    throughput number above. Recording it makes a degraded-rig bench row
+    self-describing instead of looking like a code regression.
+    """
+    x = jnp.zeros((8, 128), jnp.float32)
+    f = jax.jit(lambda a: a + 1.0)
+    y = f(x)
+    float(y.sum())  # warm + sync
+    n_iter = 50
+    t0 = time.time()
+    for _ in range(n_iter):
+        y = f(y)
+    float(y.sum())
+    return (time.time() - t0) / n_iter * 1e3
+
+
 def main() -> None:
+    dispatch_ms = bench_dispatch_overhead()
     patterns_per_sec = bench_index_throughput()
     steps_per_sec = bench_train_steps()
     scaled_encode = bench_scaled_encode()
@@ -171,6 +193,7 @@ def main() -> None:
         "patterns_per_min": round(patterns_per_sec * 60),
         "scaled_encode_patterns_per_sec": round(scaled_encode, 1),
         "scaled_train_steps_per_sec": round(scaled_steps, 2),
+        "dispatch_ms_per_iter": round(dispatch_ms, 3),
         "device": str(jax.devices()[0]),
     }
     # Append to the cross-round history so regressions are diffable
