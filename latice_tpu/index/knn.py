@@ -128,6 +128,9 @@ def cosine_topk_blocked(
     Streams dictionary blocks through a running top-k merge via ``lax.scan`` —
     HBM-bounded instead of O(B*N) memory. Use when ``B * N`` floats would not
     fit alongside the model (e.g. full-map indexing against >1e6 entries).
+    The Pallas `ops.topk_fused.cosine_topk_fused` solves the same problem
+    faster (its score tiles never leave VMEM, 2x at 1M rows); this XLA-only
+    variant remains as the kernel-free fallback.
     """
     n = dictionary.shape[0]
     num_blocks = -(-n // block_size)

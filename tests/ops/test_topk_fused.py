@@ -24,16 +24,17 @@ def _random_case(b, n, d=16):
 
 class TestFusedTopK:
     @pytest.mark.parametrize(
-        "b,n,tile_b,tile_n",
+        "b,n,tile_b,tile_n,d",
         [
-            (8, 256, 8, 128),     # exact tiling
-            (12, 300, 8, 128),    # B and N both ragged
-            (16, 100, 8, 256),    # single ragged N tile
-            (8, 129, 8, 128),     # N pad with one leftover column
+            (8, 256, 8, 128, 16),     # exact tiling
+            (12, 300, 8, 128, 16),    # B and N both ragged
+            (16, 100, 8, 256, 16),    # single ragged N tile
+            (8, 129, 8, 128, 16),     # N pad with one leftover column
+            (8, 256, 8, 128, 64),     # scaled-flagship latent width
         ],
     )
-    def test_matches_xla_exact(self, b, n, tile_b, tile_n):
-        q, dic = _random_case(b, n)
+    def test_matches_xla_exact(self, b, n, tile_b, tile_n, d):
+        q, dic = _random_case(b, n, d=d)
         want_s, want_i = cosine_topk(q, dic, k=10)
         got_s, got_i = cosine_topk_fused(
             q, dic, k=10, tile_b=tile_b, tile_n=tile_n, interpret=True
