@@ -187,6 +187,12 @@ def cosine_topk_fused(
     n = dictionary.shape[0]
     if k > n:
         raise ValueError(f"k={k} exceeds dictionary size {n}")
+    if k > 64:
+        raise ValueError(
+            f"k={k}: the fused kernel unrolls k extraction rounds per tile "
+            "and is built for the product's k <= ~32 candidate counts; use "
+            "knn.cosine_topk (exact) or cosine_topk_approx for large k"
+        )
 
     q = l2_normalize(queries.astype(jnp.float32))
     dt = dictionary.astype(jnp.float32).T  # (D, N): lanes along N

@@ -80,6 +80,11 @@ class TestFusedTopK:
         with pytest.raises(ValueError, match="exceeds dictionary"):
             cosine_topk_fused(q, dic, k=16, interpret=True)
 
+    def test_oversized_k_raises_with_guidance(self):
+        q, dic = _random_case(4, 200)
+        with pytest.raises(ValueError, match="k <= ~32"):
+            cosine_topk_fused(q, dic, k=100, interpret=True)
+
     def test_early_exit_variants_identical(self):
         q, dic = _random_case(16, 700)
         a = cosine_topk_fused(
