@@ -62,6 +62,12 @@ def main() -> None:
         "--shard-dictionary (per-shard engine + all_gather merge)",
     )
     p.add_argument(
+        "--preprocess", default=None, metavar="SPEC",
+        help="on-device pattern correction fused into /index and /encode, "
+        "e.g. 'hotpixels=5,static=bg.npy,dynamic=auto' (see "
+        "data.parse_preprocess_spec for the key grammar)",
+    )
+    p.add_argument(
         "--shard-dictionary", action="store_true",
         help="shard the dictionary over all attached devices (1-D mesh; "
         "per-shard top-k merged with a k-row all_gather over ICI)",
@@ -91,6 +97,12 @@ def main() -> None:
         else:
             logger.warning("--shard-dictionary ignored: one device attached")
 
+    preprocess = None
+    if args.preprocess:
+        from latice_tpu.data import parse_preprocess_spec
+
+        preprocess = parse_preprocess_spec(args.preprocess)
+
     def param_loader(checkpoint: str):
         _, new_params = _load_model(checkpoint, args.inplanes, args.latent_dim)
         return new_params
@@ -114,6 +126,7 @@ def main() -> None:
         checkpoint_root=checkpoint_root,
         max_body_bytes=args.max_body_mb << 20,
         engine=args.engine,
+        preprocess=preprocess,
     )
     warm_s = service.warmup()
     server = make_server(service, args.host, args.port)

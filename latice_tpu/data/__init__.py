@@ -9,7 +9,21 @@ from latice_tpu.data.h5io import (
     load_patterns,
 )
 from latice_tpu.data.dataset import DPdataset, parse_angle_file
+from latice_tpu.data.nlpar import estimate_noise_sigma, nlpar_denoise
 from latice_tpu.data.prefetch import prefetch_to_device
+from latice_tpu.data.preprocess import (
+    PreprocessConfig,
+    bin_patterns,
+    equalize_histogram,
+    estimate_static_background,
+    fix_hot_pixels,
+    gaussian_blur,
+    make_preprocess_fn,
+    normalize_patterns,
+    parse_preprocess_spec,
+    remove_dynamic_background,
+    remove_static_background,
+)
 from latice_tpu.data.transforms import (
     center_crop,
     prepare_patterns,
@@ -21,9 +35,22 @@ from latice_tpu.data.transforms import (
 __all__ = [
     "DPDataModule",
     "DPdataset",
+    "PreprocessConfig",
     "batch_iterator",
+    "bin_patterns",
     "center_crop",
+    "equalize_histogram",
+    "estimate_noise_sigma",
+    "estimate_static_background",
+    "fix_hot_pixels",
+    "gaussian_blur",
+    "make_preprocess_fn",
+    "nlpar_denoise",
+    "normalize_patterns",
+    "parse_preprocess_spec",
     "prepare_patterns",
+    "remove_dynamic_background",
+    "remove_static_background",
     "HDF5_EXTENSIONS",
     "write_ang",
     "write_ctf",

@@ -96,6 +96,16 @@ class IndexPipeline:
             with ``mesh``: a sharded dictionary uses the chosen engine per
             shard (VERDICT r2 #4).
         recall_target: lax.approx_max_k knob (engine="approx" only).
+        preprocess: optional on-device pattern correction applied between
+            the input normalization and the encode — either a jittable
+            ``(B, H, W, C) -> (B, H', W', C)`` pure function or a
+            `data.PreprocessConfig` (compiled via `data.make_preprocess_fn`:
+            hot-pixel repair, static/dynamic background correction,
+            histogram equalization, binning). Fuses into the pipeline's
+            single XLA program, so raw detector stacks index directly and
+            uint8 inputs keep the 4x host-link win. The reference has no
+            preprocessing stage (its transform is resize/scale only,
+            reference data_module.py:17-33).
         dictionary_phases: optional ``(N,)`` int phase id per dictionary entry
             (multi-phase dictionaries, BASELINE config 5). Consensus then
             only counts same-phase candidates as matches and the result
@@ -123,6 +133,7 @@ class IndexPipeline:
         consensus_weight_power: float | None = None,
         engine: str = "exact",
         recall_target: float = 0.95,
+        preprocess: Any = None,
     ) -> None:
         from latice_tpu.crystal import from_euler_zxz_deg, stack_symmetry_tables
 
@@ -132,6 +143,19 @@ class IndexPipeline:
         self._n = len(dictionary_vectors)
         self.mesh = mesh
         self.engine = engine
+        if preprocess is not None and not callable(preprocess):
+            from latice_tpu.data.preprocess import (
+                PreprocessConfig,
+                make_preprocess_fn,
+            )
+
+            if not isinstance(preprocess, PreprocessConfig):
+                raise TypeError(
+                    "preprocess must be a callable or a data.PreprocessConfig,"
+                    f" got {type(preprocess).__name__}"
+                )
+            preprocess = make_preprocess_fn(preprocess)
+        self.preprocess = preprocess
         k = min(top_n, self._n)
         self._k = k
 
@@ -199,6 +223,8 @@ class IndexPipeline:
                 # device with torchvision-ToTensor semantics (/255, matching
                 # data/transforms.py and reference data_module.py:91).
                 patterns = patterns.astype(jnp.float32) / 255.0
+            if preprocess is not None:
+                patterns = preprocess(patterns)
             mu, _ = model.apply({"params": p}, patterns, method="encode")
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec

@@ -76,6 +76,10 @@ class IndexService:
             with 15x headroom).
         engine: candidate-search engine ("exact" | "fused" | "approx" | "int8");
             composes with ``mesh`` — see `IndexPipeline`.
+        preprocess: optional on-device pattern correction (a jittable
+            callable or a `data.PreprocessConfig`) fused into both the
+            ``/index`` pipeline and the ``/encode`` program, so raw detector
+            stacks can be POSTed directly — see `IndexPipeline`.
     """
 
     def __init__(
@@ -93,8 +97,14 @@ class IndexService:
         checkpoint_root: str | None = None,
         max_body_bytes: int = 1 << 30,
         engine: str = "exact",
+        preprocess: Any = None,
     ) -> None:
         import jax
+
+        if preprocess is not None and not callable(preprocess):
+            from latice_tpu.data.preprocess import make_preprocess_fn
+
+            preprocess = make_preprocess_fn(preprocess)
 
         self.image_size = tuple(image_size)
         self._lock = threading.Lock()
@@ -115,6 +125,7 @@ class IndexService:
             batch_size=batch_size,
             mesh=mesh,
             engine=engine,
+            preprocess=preprocess,
             **phase_kw,
         )
         self._param_loader = param_loader
@@ -133,6 +144,10 @@ class IndexService:
                 x = x.astype(jnp.float32) / 255.0
             else:
                 x = x.astype(jnp.float32)
+            if preprocess is not None:
+                # Same correction the /index pipeline applies, so latents
+                # from /encode match what /index searches with.
+                x = preprocess(x)
             return model.apply({"params": p}, x, method="encode")[0]
 
         if mesh is not None:

@@ -220,6 +220,48 @@ class TestFusedEngineServe:
             db.delete_persistence()
 
 
+class TestPreprocessServe:
+    def test_preprocess_applies_to_index_and_encode(self, served):
+        """A service with preprocess= corrects both planes consistently:
+        /encode latents equal the model applied to manually-preprocessed
+        patterns, and /index still self-matches the dictionary (which was
+        encoded from preprocessed patterns)."""
+        url, patterns, orientations, params, model, _ = served
+        from latice_tpu.data import PreprocessConfig, make_preprocess_fn
+
+        cfg = PreprocessConfig(normalize="minmax")
+        fn = jax.jit(make_preprocess_fn(cfg))
+        pre = np.asarray(fn(jnp.asarray(patterns[..., None])))
+
+        enc = jax.jit(lambda p, x: model.apply({"params": p}, x, method="encode")[0])
+        latents = np.asarray(enc(params, pre))
+        db = TpuLatentVectorDatabase(
+            LatentVectorDatabaseConfig(npz_path="/tmp/serve_pre.npz", dimension=8)
+        )
+        db.add_vectors(latents, orientations)
+        service = IndexService(
+            model, params, db, top_n=5, orientation_threshold=3.0,
+            min_required_matches=1, batch_size=16, preprocess=cfg,
+        )
+        server = make_server(service, "127.0.0.1", 0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        purl = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            out = _post(f"{purl}/encode", _npy_bytes(patterns[:4]))
+            np.testing.assert_allclose(
+                np.asarray(out["latents"], np.float32), latents[:4], atol=2e-5
+            )
+            idx = _post(f"{purl}/index", _npy_bytes(patterns[:6]))
+            assert all(idx["success"])
+            np.testing.assert_allclose(
+                np.asarray(idx["orientations"])[0], orientations[0], atol=1e-3
+            )
+        finally:
+            server.shutdown()
+            db.delete_persistence()
+
+
 class TestShardedServe:
     def test_mesh_sharded_service_matches_unsharded(self, served):
         """Same dictionary behind an 8-device sharded pipeline returns the
