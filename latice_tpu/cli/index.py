@@ -174,6 +174,11 @@ def cmd_query(args) -> None:
                 f"--devices {args.devices} ignored: only "
                 f"{jax.local_device_count()} attached"
             )
+    preprocess = None
+    if getattr(args, "preprocess", None):
+        from latice_tpu.data import parse_preprocess_spec
+
+        preprocess = parse_preprocess_spec(args.preprocess)
     pipe = IndexPipeline(
         model,
         params,
@@ -185,8 +190,27 @@ def cmd_query(args) -> None:
         batch_size=args.batch_size,
         mesh=mesh,
         engine=getattr(args, "engine", "exact"),
+        preprocess=preprocess,
         **phase_kw,
     )
+    def _nlpar(x):
+        """Optional NLPAR neighborhood denoising over the scan grid."""
+        if not getattr(args, "nlpar", None):
+            return x
+        if not args.scan_grid:
+            raise SystemExit("--nlpar needs --scan-grid ROWS COLS")
+        from latice_tpu.data import nlpar_denoise
+
+        rows, cols = args.scan_grid
+        if len(x) != rows * cols:
+            raise SystemExit(
+                f"--scan-grid {rows}x{cols} does not match {len(x)} patterns"
+            )
+        x = np.asarray(x, np.float32)  # leaves the uint8 link fast path
+        scan = x.reshape(rows, cols, *x.shape[1:])
+        out = nlpar_denoise(scan, search_radius=args.nlpar_radius, h=args.nlpar)
+        return out.reshape(len(x), *x.shape[1:])
+
     t0 = time.time()
     if args.patterns.lower().endswith(HDF5_EXTENSIONS):
         # HDF5 scan (vendor acquisition container): stream slabs off disk so
@@ -195,15 +219,23 @@ def cmd_query(args) -> None:
 
         f, dset = find_pattern_dataset(args.patterns, args.h5_dataset)
         try:
-            result = concat_dense_results(
-                pipe(prepare_patterns(slab))
-                for slab in iter_pattern_batches(dset, args.h5_chunk)
-            )
+            if getattr(args, "nlpar", None):
+                # NLPAR averages across scan rows, so the map must
+                # materialize once; it then streams through the denoiser's
+                # own row slabs.
+                logger.info("NLPAR: materializing the HDF5 scan on host")
+                x = _nlpar(prepare_patterns(dset[...]))
+                result = pipe(x)
+            else:
+                result = concat_dense_results(
+                    pipe(prepare_patterns(slab))
+                    for slab in iter_pattern_batches(dset, args.h5_chunk)
+                )
         finally:
             f.close()
         n = len(result.success)
     else:
-        x = prepare_patterns(np.load(args.patterns))
+        x = _nlpar(prepare_patterns(np.load(args.patterns)))
         result = pipe(x)
         n = len(x)
     dt = time.time() - t0
@@ -240,6 +272,36 @@ def cmd_query(args) -> None:
         write_ctf(args.ctf, result, grid=grid, step=args.step, phase_groups=db_groups)
         summary["ctf_out"] = args.ctf
     print(json.dumps(summary))
+
+
+def cmd_sample(args) -> None:
+    """Generate a dictionary orientation grid over a fundamental zone.
+
+    Writes a reference-format anglefile consumable by `build --angles`
+    (the reference ships only a premade 625-row grid,
+    data/anglefile_sample.txt, with no generator).
+    """
+    from scipy.spatial.transform import Rotation as R
+
+    from latice_tpu.crystal import sample_fundamental_zone, write_anglefile
+
+    quats = sample_fundamental_zone(args.group, args.resolution)
+    # Host-side zxz conversion (scipy parity is what crystal.quaternion is
+    # pinned to); a one-shot CLI should not pay a device compile.
+    eulers = R.from_quat(np.roll(quats, -1, axis=1)).as_euler(
+        "zxz", degrees=True
+    )
+    write_anglefile(args.out, eulers)
+    print(
+        json.dumps(
+            {
+                "n_orientations": len(eulers),
+                "group": args.group,
+                "resolution_deg": args.resolution,
+                "out": args.out,
+            }
+        )
+    )
 
 
 def cmd_analyze(args) -> None:
@@ -383,6 +445,23 @@ def main() -> None:
         help="run the pipeline data-parallel over N devices: batch-sharded "
         "encode + row-sharded dictionary search (default: single device)",
     )
+    q.add_argument(
+        "--nlpar", type=float, default=None, metavar="H",
+        help="NLPAR neighborhood denoising before indexing (needs "
+        "--scan-grid); H is the smoothing strength in noise sigmas "
+        "(1.0 conservative, 2-3 aggressive)",
+    )
+    q.add_argument(
+        "--nlpar-radius", type=int, default=1,
+        help="NLPAR search-window half-width (default 1 = 3x3)",
+    )
+    q.add_argument(
+        "--preprocess", default=None, metavar="SPEC",
+        help="on-device pattern correction fused into the pipeline, e.g. "
+        "'hotpixels=5,static=bg.npy,dynamic=auto,bin=2' (keys: hotpixels, "
+        "static, static-mode, dynamic, dynamic-mode, equalize, normalize, "
+        "clip, bin — see data.parse_preprocess_spec)",
+    )
     q.set_defaults(fn=cmd_query)
 
     a = sub.add_parser(
@@ -419,6 +498,21 @@ def main() -> None:
         metavar=("H", "K", "L"), help="pole for --pole-figure",
     )
     a.set_defaults(fn=cmd_analyze)
+
+    s = sub.add_parser(
+        "sample", help="generate a dictionary orientation grid (anglefile)"
+    )
+    s.add_argument(
+        "--group", default="432",
+        help="proper point group of the phase (crystal.ROTATION_GROUPS key)",
+    )
+    s.add_argument(
+        "--resolution", type=float, default=2.0,
+        help="target mean nearest-neighbour misorientation between grid "
+        "points, degrees (default: %(default)s)",
+    )
+    s.add_argument("--out", default="anglefile.txt")
+    s.set_defaults(fn=cmd_sample)
 
     args = parser.parse_args()
     args.fn(args)

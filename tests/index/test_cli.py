@@ -88,6 +88,65 @@ class TestCLI:
         # int8 quantization cannot disturb self-match consensus here.
         np.testing.assert_allclose(np.load(out1), np.load(out8), atol=1e-3)
 
+    def test_query_preprocess_and_nlpar(self, tmp_path, monkeypatch, capsys):
+        """--preprocess and --nlpar run end to end and keep self-queries
+        indexable (the corrections are shared by dictionary and queries
+        only in spirit here — min-matches 1 tolerates the perturbation)."""
+        ppath, apath, _ = _write_phase(tmp_path, "dict", 24, seed=5)
+        db = str(tmp_path / "idx.npz")
+        _run(
+            ["build", "--patterns", str(ppath), "--angles", str(apath), "--db", db]
+            + SMALL,
+            monkeypatch, capsys,
+        )
+        out = str(tmp_path / "o.npy")
+        stdout = _run(
+            ["query", "--patterns", str(ppath), "--db", db, "--out", out,
+             "--top-n", "5", "--min-matches", "1",
+             "--preprocess", "normalize=minmax",
+             "--nlpar", "2.0", "--scan-grid", "4", "6"] + SMALL,
+            monkeypatch, capsys,
+        )
+        summary = json.loads(stdout.strip().splitlines()[-1])
+        assert summary["n_patterns"] == 24
+        assert np.load(out).shape == (24, 3)
+
+    def test_query_nlpar_needs_scan_grid(self, tmp_path, monkeypatch, capsys):
+        ppath, apath, _ = _write_phase(tmp_path, "dict", 8, seed=6)
+        db = str(tmp_path / "idx.npz")
+        _run(
+            ["build", "--patterns", str(ppath), "--angles", str(apath), "--db", db]
+            + SMALL,
+            monkeypatch, capsys,
+        )
+        with pytest.raises(SystemExit, match="scan-grid"):
+            _run(
+                ["query", "--patterns", str(ppath), "--db", db,
+                 "--nlpar", "1.0"] + SMALL,
+                monkeypatch, capsys,
+            )
+
+    def test_sample_to_build(self, tmp_path, monkeypatch, capsys):
+        """sample -> anglefile -> build consumes it (the generator loop)."""
+        angles = str(tmp_path / "fz.txt")
+        stdout = _run(
+            ["sample", "--group", "432", "--resolution", "14", "--out", angles],
+            monkeypatch, capsys,
+        )
+        info = json.loads(stdout.strip().splitlines()[-1])
+        n = info["n_orientations"]
+        assert n > 10
+        rng = np.random.default_rng(9)
+        ppath = tmp_path / "dict.npy"
+        np.save(ppath, rng.uniform(size=(n, 128, 128)).astype(np.float32))
+        db = str(tmp_path / "fz.npz")
+        _run(
+            ["build", "--patterns", str(ppath), "--angles", angles, "--db", db]
+            + SMALL,
+            monkeypatch, capsys,
+        )
+        assert np.load(db)["vectors"].shape[0] == n
+
     def test_build_query_multiphase(self, tmp_path, monkeypatch, capsys):
         p0, a0, pat0 = _write_phase(tmp_path, "fcc", 16, seed=1)
         p1, a1, pat1 = _write_phase(tmp_path, "hcp", 16, seed=2)
