@@ -208,7 +208,17 @@ def cmd_query(args) -> None:
             )
         x = np.asarray(x, np.float32)  # leaves the uint8 link fast path
         scan = x.reshape(rows, cols, *x.shape[1:])
-        out = nlpar_denoise(scan, search_radius=args.nlpar_radius, h=args.nlpar)
+        out = nlpar_denoise(
+            scan,
+            search_radius=args.nlpar_radius,
+            h=args.nlpar,
+            # Hot pixels must be repaired BEFORE averaging (they inflate the
+            # noise estimate and smear into the window); reuse the fused
+            # recipe's threshold when it has one.
+            hot_pixel_threshold=(
+                preprocess.hot_pixel_threshold if preprocess else None
+            ),
+        )
         return out.reshape(len(x), *x.shape[1:])
 
     t0 = time.time()

@@ -68,6 +68,16 @@ def main() -> None:
         "data.parse_preprocess_spec for the key grammar)",
     )
     p.add_argument(
+        "--nlpar", type=float, default=None, metavar="H",
+        help="treat 4-D (R, C, H, W) /index bodies as scans and NLPAR-"
+        "denoise them before indexing; H is the smoothing strength in "
+        "noise sigmas",
+    )
+    p.add_argument(
+        "--nlpar-radius", type=int, default=1,
+        help="NLPAR search-window half-width (default 1 = 3x3)",
+    )
+    p.add_argument(
         "--shard-dictionary", action="store_true",
         help="shard the dictionary over all attached devices (1-D mesh; "
         "per-shard top-k merged with a k-row all_gather over ICI)",
@@ -127,6 +137,8 @@ def main() -> None:
         max_body_bytes=args.max_body_mb << 20,
         engine=args.engine,
         preprocess=preprocess,
+        nlpar_h=args.nlpar,
+        nlpar_radius=args.nlpar_radius,
     )
     warm_s = service.warmup()
     server = make_server(service, args.host, args.port)

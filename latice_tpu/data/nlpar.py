@@ -150,6 +150,7 @@ def nlpar_denoise(
     search_radius: int = 1,
     h: float = 1.0,
     chunk_rows: int | None = None,
+    hot_pixel_threshold: float | None = None,
 ) -> np.ndarray:
     """Denoise a ``(R, C, H, W)`` scan by neighborhood pattern averaging.
 
@@ -164,6 +165,13 @@ def nlpar_denoise(
             2-3 trades orientation resolution for more noise reduction.
         chunk_rows: scan rows per jitted slab (default: sized so a slab is
             ~256 MB). The full float scan never materializes on device.
+        hot_pixel_threshold: optionally run `preprocess.fix_hot_pixels` on
+            each slab BEFORE averaging. Order matters: unrepaired hot
+            pixels inflate every pattern distance (so the noise estimate
+            reads high and cross-grain weights open up) and the averaging
+            smears the spike into the whole window — repairing after NLPAR
+            cannot undo that. Set this whenever the downstream preprocess
+            recipe repairs hot pixels.
 
     Returns:
         The denoised ``(R, C, H, W)`` float32 scan.
@@ -175,6 +183,20 @@ def nlpar_denoise(
         raise ValueError("search_radius must be >= 1")
     if h <= 0:
         raise ValueError("h must be positive")
+    if hot_pixel_threshold is not None:
+        from latice_tpu.data.preprocess import fix_hot_pixels
+
+        fix = jax.jit(
+            functools.partial(fix_hot_pixels, threshold=hot_pixel_threshold)
+        )
+        flat_rows = x.reshape(-1, *x.shape[2:])
+        # Slab through the same ~256 MB budget as the main passes.
+        step = max(1, int(256e6 / max(flat_rows[0].nbytes, 1)))
+        fixed = [
+            np.asarray(fix(jnp.asarray(flat_rows[i : i + step])))
+            for i in range(0, len(flat_rows), step)
+        ]
+        x = np.concatenate(fixed).reshape(x.shape)
     r_, c_, h_, w_ = x.shape
     n = h_ * w_
     rad = search_radius

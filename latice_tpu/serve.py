@@ -80,6 +80,12 @@ class IndexService:
             callable or a `data.PreprocessConfig`) fused into both the
             ``/index`` pipeline and the ``/encode`` program, so raw detector
             stacks can be POSTed directly — see `IndexPipeline`.
+        nlpar_h: optional NLPAR smoothing strength — a 4-D ``(R, C, H, W)``
+            body POSTed to ``/index`` is then treated as a scan and denoised
+            by neighborhood pattern averaging (`data.nlpar`) before
+            indexing (3-D bodies index unchanged). The first scan request
+            of a given shape pays the slab-kernel compile.
+        nlpar_radius: NLPAR search-window half-width (default 1 = 3x3).
     """
 
     def __init__(
@@ -98,9 +104,16 @@ class IndexService:
         max_body_bytes: int = 1 << 30,
         engine: str = "exact",
         preprocess: Any = None,
+        nlpar_h: float | None = None,
+        nlpar_radius: int = 1,
     ) -> None:
         import jax
 
+        # Captured before compiling the recipe: scan-mode NLPAR must repair
+        # hot pixels BEFORE averaging (see data.nlpar.nlpar_denoise).
+        self._nlpar_hot_threshold = getattr(
+            preprocess, "hot_pixel_threshold", None
+        )
         if preprocess is not None and not callable(preprocess):
             from latice_tpu.data.preprocess import make_preprocess_fn
 
@@ -129,6 +142,8 @@ class IndexService:
             **phase_kw,
         )
         self._param_loader = param_loader
+        self.nlpar_h = None if nlpar_h is None else float(nlpar_h)
+        self.nlpar_radius = int(nlpar_radius)
         self.checkpoint_root = checkpoint_root
         self.max_body_bytes = int(max_body_bytes)
         self.model_version = 0
@@ -257,7 +272,28 @@ class IndexService:
         return prepare_patterns(patterns, self.image_size)
 
     def index(self, patterns: np.ndarray) -> dict:
-        """Index a pattern stack; returns a JSON-ready dict."""
+        """Index a pattern stack; returns a JSON-ready dict.
+
+        With ``nlpar_h`` configured, a 4-D ``(R, C, H, W)`` body is treated
+        as a scan: NLPAR-denoised over the grid, then indexed row-major.
+        """
+        scan_grid = None
+        arr = np.asarray(patterns)
+        if (
+            self.nlpar_h is not None
+            and arr.ndim == 4
+            and arr.shape[-2:] == self.image_size
+        ):
+            from latice_tpu.data import nlpar_denoise
+
+            scan_grid = arr.shape[:2]
+            arr = nlpar_denoise(
+                arr.astype(np.float32),
+                search_radius=self.nlpar_radius,
+                h=self.nlpar_h,
+                hot_pixel_threshold=self._nlpar_hot_threshold,
+            ).reshape(-1, *self.image_size)
+            patterns = arr
         x = self._prepare(patterns)
         t0 = time.time()
         with self._lock:
@@ -282,6 +318,8 @@ class IndexService:
         }
         if res.phase is not None:
             out["phase"] = res.phase.tolist()
+        if scan_grid is not None:
+            out["scan_grid"] = [int(scan_grid[0]), int(scan_grid[1])]
         return out
 
     def encode(self, patterns: np.ndarray) -> dict:

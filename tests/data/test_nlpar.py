@@ -84,6 +84,23 @@ class TestDenoise:
         assert out.shape == noisy.shape
         assert np.isfinite(out).all()
 
+    def test_hot_pixels_repaired_before_averaging(self):
+        """hot_pixel_threshold= repairs spikes BEFORE the weighted average;
+        repairing after cannot work — the spike inflates the noise estimate
+        and smears into every window pattern."""
+        rng = np.random.default_rng(6)
+        truth, noisy = make_scan(rng, rows=4, cols=4, noise=0.03)
+        spiked = noisy.copy()
+        spiked[1, 1, 5, 5] = 50.0
+        out = nlpar_denoise(spiked, h=2.0, hot_pixel_threshold=6.0)
+        # The spike is gone from its own pattern...
+        assert abs(out[1, 1, 5, 5] - truth[1, 1, 5, 5]) < 0.2
+        # ...and did not smear into the neighbors' averages.
+        assert abs(out[1, 2, 5, 5] - truth[1, 2, 5, 5]) < 0.2
+        # Without the repair, the spike contaminates the neighborhood.
+        smeared = nlpar_denoise(spiked, h=2.0)
+        assert smeared[1, 1, 5, 5] > 1.0
+
     def test_validation(self):
         x = np.zeros((3, 3, 8, 8), np.float32)
         with pytest.raises(ValueError, match="search_radius"):

@@ -262,6 +262,43 @@ class TestPreprocessServe:
             db.delete_persistence()
 
 
+class TestNlparServe:
+    def test_4d_scan_body_is_denoised_then_indexed(self, served):
+        """--nlpar service: a (R, C, H, W) body indexes like manually
+        NLPAR-denoised patterns through the plain service; 3-D bodies are
+        untouched."""
+        url, patterns, orientations, params, model, service = served
+        from latice_tpu.data import nlpar_denoise
+
+        db = service._db
+        nl = IndexService(
+            model, params, db, top_n=5, orientation_threshold=3.0,
+            min_required_matches=1, batch_size=16, nlpar_h=2.0,
+        )
+        server = make_server(nl, "127.0.0.1", 0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        nurl = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            scan = patterns[:6].reshape(2, 3, 128, 128)
+            out = _post(f"{nurl}/index", _npy_bytes(scan))
+            assert out["n"] == 6
+            assert out["scan_grid"] == [2, 3]
+            manual = nlpar_denoise(scan, h=2.0).reshape(6, 128, 128)
+            ref = _post(f"{url}/index", _npy_bytes(manual))
+            np.testing.assert_allclose(
+                out["orientations"], ref["orientations"], atol=1e-4
+            )
+            flat = _post(f"{nurl}/index", _npy_bytes(patterns[:3]))
+            plain = _post(f"{url}/index", _npy_bytes(patterns[:3]))
+            assert "scan_grid" not in flat
+            np.testing.assert_allclose(
+                flat["orientations"], plain["orientations"], atol=1e-4
+            )
+        finally:
+            server.shutdown()
+
+
 class TestShardedServe:
     def test_mesh_sharded_service_matches_unsharded(self, served):
         """Same dictionary behind an 8-device sharded pipeline returns the

@@ -314,6 +314,36 @@ class TestShardedPipeline:
             sharded.best_orientation, single.best_orientation, atol=1e-3
         )
 
+    def test_mesh_composes_with_preprocess(self, mesh):
+        """preprocess= fuses into the batch-sharded encode: mesh results
+        equal the single-device pipeline with the same correction."""
+        import jax.numpy as jnp
+        from latice_tpu.data import PreprocessConfig
+        from latice_tpu.index import IndexPipeline
+
+        rng = np.random.default_rng(11)
+        model = VariationalAutoEncoderRawData(inplanes=2, latent_dim=16)
+        params = model.init(
+            {"params": jax.random.key(0)},
+            jnp.zeros((1, 128, 128, 1)),
+            jax.random.key(1),
+        )["params"]
+        N = 128
+        dv = rng.normal(size=(N, 16)).astype(np.float32)
+        dv /= np.linalg.norm(dv, axis=1, keepdims=True)
+        do = rng.uniform([0, 20, 0], [340, 140, 340], size=(N, 3))
+        patterns = rng.uniform(size=(8, 128, 128)).astype(np.float32)
+        cfg = PreprocessConfig(dynamic_sigma=16.0, clip_sigma=4.0)
+
+        kw = dict(top_n=5, min_required_matches=2, batch_size=8,
+                  preprocess=cfg)
+        single = IndexPipeline(model, params, dv, do, **kw)(patterns)
+        sharded = IndexPipeline(model, params, dv, do, mesh=mesh, **kw)(
+            patterns
+        )
+        np.testing.assert_array_equal(sharded.indices, single.indices)
+        np.testing.assert_allclose(sharded.scores, single.scores, atol=1e-5)
+
     def test_engine_mesh_matrix(self, mesh):
         """Every engine composes with the mesh: recall@10 >= 0.9 vs the
         exact unsharded pipeline on self-queries (VERDICT r2 #4)."""
