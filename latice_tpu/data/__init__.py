@@ -8,6 +8,7 @@ from latice_tpu.data.h5io import (
     iter_pattern_batches,
     load_patterns,
 )
+from latice_tpu.data.augment import AugmentConfig, make_augment_fn
 from latice_tpu.data.dataset import DPdataset, parse_angle_file
 from latice_tpu.data.nlpar import estimate_noise_sigma, nlpar_denoise
 from latice_tpu.data.prefetch import prefetch_to_device
@@ -33,6 +34,7 @@ from latice_tpu.data.transforms import (
 )
 
 __all__ = [
+    "AugmentConfig",
     "DPDataModule",
     "DPdataset",
     "PreprocessConfig",
@@ -44,6 +46,7 @@ __all__ = [
     "estimate_static_background",
     "fix_hot_pixels",
     "gaussian_blur",
+    "make_augment_fn",
     "make_preprocess_fn",
     "nlpar_denoise",
     "normalize_patterns",

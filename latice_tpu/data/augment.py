@@ -1,0 +1,107 @@
+"""Device-side training augmentation: photometric + translation jitter
+compiled into the train step.
+
+The reference trains on patterns exactly as loaded (its transform is
+deterministic resize/scale, reference data_module.py:17-33), so its encoder
+inherits every detector artifact of the training set. This module makes the
+robustness knob explicit: a jittable ``(key, batch) -> batch`` augmentation
+that `train.make_train_step` fuses into the step program (zero host cost,
+per-step PRNG derived from the step counter), optionally in *denoising*
+mode where the model reconstructs the clean batch from the augmented input
+— training the encoder to be invariant to exactly the perturbations raw
+scans carry.
+
+Deliberately absent: flips and rotations. A diffraction pattern's
+orientation IS the label — a flipped/rotated pattern belongs to a different
+crystal orientation, so geometric label-preserving tricks from natural
+images would corrupt the latent space here. Small translations are kept
+(they model detector/beam alignment drift, a few px on real rigs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["AugmentConfig", "make_augment_fn"]
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    """Declarative augmentation recipe for `make_augment_fn`.
+
+    All stages are optional and applied in order: translation → intensity
+    scale → offset → gamma → noise. Ranges are per-sample uniform draws.
+
+    Attributes:
+        noise_std: additive Gaussian noise, in input-intensity units.
+        intensity_range: multiplicative scale ``(lo, hi)``, e.g. (0.9, 1.1)
+            — detector gain / exposure jitter.
+        offset_range: additive offset ``(lo, hi)`` — dark-level drift.
+        gamma_range: per-sample ``x ** gamma`` with gamma in ``(lo, hi)``
+            (inputs clipped at 0) — phosphor/camera response jitter.
+        shift_px: maximum |translation| per axis in pixels, edge-padded —
+            beam/detector alignment drift. Integer shifts via dynamic
+            slicing (no resampling blur).
+    """
+
+    noise_std: float | None = None
+    intensity_range: tuple[float, float] | None = None
+    offset_range: tuple[float, float] | None = None
+    gamma_range: tuple[float, float] | None = None
+    shift_px: int | None = None
+
+
+def make_augment_fn(
+    config: AugmentConfig,
+) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """Compose an `AugmentConfig` into one jittable ``(key, batch) -> batch``
+    pure function over NHWC batches, suitable for
+    ``make_train_step(augment=...)`` / ``Trainer(augment=...)``."""
+    cfg = config
+    for name in ("intensity_range", "offset_range", "gamma_range"):
+        rng_ = getattr(cfg, name)
+        if rng_ is not None and not (len(rng_) == 2 and rng_[0] <= rng_[1]):
+            raise ValueError(f"{name} must be (lo, hi) with lo <= hi, got {rng_}")
+    if cfg.shift_px is not None and cfg.shift_px < 0:
+        raise ValueError("shift_px must be >= 0")
+
+    def augment(key: jax.Array, x: jax.Array) -> jax.Array:
+        b = x.shape[0]
+        k_shift, k_scale, k_off, k_gamma, k_noise = jax.random.split(key, 5)
+        per = lambda v: v.reshape((b,) + (1,) * (x.ndim - 1))  # noqa: E731
+
+        if cfg.shift_px:
+            # Per-sample integer translation as batched one-hot selection
+            # matmuls (iota comparisons — no gathers): a vmap'd
+            # dynamic_slice crop measures 12.3 ms at b256 on v5e while this
+            # MXU form measures 2.4 ms with bit-identical output.
+            s = cfg.shift_px
+            h, w = x.shape[1], x.shape[2]
+            xp = jnp.pad(x, ((0, 0), (s, s), (s, s), (0, 0)), mode="edge")
+            off = jax.random.randint(k_shift, (b, 2), 0, 2 * s + 1)
+            sel = lambda n, o: (  # noqa: E731 — (B, n+2s, n) one-hot bands
+                jnp.arange(n + 2 * s)[None, :, None]
+                == jnp.arange(n)[None, None, :] + o[:, None, None]
+            ).astype(x.dtype)
+            hi = jax.lax.Precision.HIGHEST
+            x = jnp.einsum("bhwc,bhg->bgwc", xp, sel(h, off[:, 0]), precision=hi)
+            x = jnp.einsum("bhwc,bwv->bhvc", x, sel(w, off[:, 1]), precision=hi)
+        if cfg.intensity_range is not None:
+            lo, hi = cfg.intensity_range
+            x = x * per(jax.random.uniform(k_scale, (b,), minval=lo, maxval=hi))
+        if cfg.offset_range is not None:
+            lo, hi = cfg.offset_range
+            x = x + per(jax.random.uniform(k_off, (b,), minval=lo, maxval=hi))
+        if cfg.gamma_range is not None:
+            lo, hi = cfg.gamma_range
+            g = per(jax.random.uniform(k_gamma, (b,), minval=lo, maxval=hi))
+            x = jnp.maximum(x, 0.0) ** g
+        if cfg.noise_std:
+            x = x + cfg.noise_std * jax.random.normal(k_noise, x.shape, x.dtype)
+        return x
+
+    return augment

@@ -24,6 +24,8 @@ def make_train_step(
     loss_fn: VAELoss,
     donate: bool = True,
     skip_nonfinite_updates: bool = False,
+    augment: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
+    denoising: bool = False,
 ) -> Callable[[TrainState, jax.Array, jax.Array], tuple[TrainState, Metrics]]:
     """Build the jitted training step.
 
@@ -45,6 +47,14 @@ def make_train_step(
             step counter still advances and metrics report the bad loss) —
             failure containment the reference had no analogue for
             (SURVEY §5: "failure detection: none").
+        augment: optional jittable ``(key, batch) -> batch`` perturbation
+            (see `data.augment.make_augment_fn`) fused into the step — the
+            per-step key derives from the step counter, so augmented runs
+            stay exactly reproducible. The reference trains unaugmented.
+        denoising: with ``augment``, reconstruct the ORIGINAL batch from the
+            augmented input (denoising-VAE objective — the encoder learns
+            invariance to the perturbations raw scans carry). Default False
+            reconstructs the augmented input (plain data augmentation).
     """
 
     def train_step(
@@ -54,10 +64,16 @@ def make_train_step(
         mask: jax.Array | None = None,
     ) -> tuple[TrainState, Metrics]:
         step_rng = jax.random.fold_in(rng, state.step)
+        if augment is not None:
+            aug_rng, step_rng = jax.random.split(step_rng)
+            model_in = augment(aug_rng, batch)
+            target = batch if denoising else model_in
+        else:
+            model_in, target = batch, batch
 
         def loss_of(params):
-            z, x_hat, mu, std = state.apply_fn({"params": params}, batch, step_rng)
-            losses = loss_fn(z, x_hat, mu, std, batch, mask)
+            z, x_hat, mu, std = state.apply_fn({"params": params}, model_in, step_rng)
+            losses = loss_fn(z, x_hat, mu, std, target, mask)
             return losses["loss"], losses
 
         (_, losses), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)

@@ -55,6 +55,12 @@ class Trainer:
             available — the RichProgressBar analogue,
             reference conf/trainer/default.yaml:9).
         recon_figure: Log the original-vs-reconstruction grid each epoch.
+        augment: Optional training-time perturbation — a jittable
+            ``(key, batch) -> batch`` callable or a `data.AugmentConfig` —
+            fused into the train step (see `data.augment`). Validation stays
+            unaugmented, so ``Epoch_val_*`` remain comparable across runs.
+        denoising: With ``augment``, train the denoising-VAE objective
+            (reconstruct the clean batch from the augmented input).
 
     Every batch (including epoch tails) is padded to the datamodule's
     ``batch_size`` with masked rows, so each step function compiles exactly
@@ -75,7 +81,20 @@ class Trainer:
         seed: int = 42,
         enable_progress_bar: bool = True,
         recon_figure: bool = True,
+        augment: Any | None = None,
+        denoising: bool = False,
     ) -> None:
+        if augment is not None and not callable(augment):
+            from latice_tpu.data.augment import AugmentConfig, make_augment_fn
+
+            if not isinstance(augment, AugmentConfig):
+                raise TypeError(
+                    "augment must be a callable or a data.AugmentConfig, "
+                    f"got {type(augment).__name__}"
+                )
+            augment = make_augment_fn(augment)
+        self.augment = augment
+        self.denoising = denoising
         self.max_epochs = max_epochs
         self.precision = precision
         self.logger = logger
@@ -166,7 +185,9 @@ class Trainer:
 
             state = replicate_state(state, self.mesh)
 
-        train_step = make_train_step(module.loss_fn)
+        train_step = make_train_step(
+            module.loss_fn, augment=self.augment, denoising=self.denoising
+        )
         eval_step = make_eval_step(module.loss_fn, return_recon=self.recon_figure)
         # Exposed for compile-count assertions (pad-never-recompile tests).
         self._train_step, self._eval_step = train_step, eval_step
