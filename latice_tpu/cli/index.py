@@ -179,6 +179,41 @@ def cmd_query(args) -> None:
         from latice_tpu.data import parse_preprocess_spec
 
         preprocess = parse_preprocess_spec(args.preprocess)
+        if isinstance(preprocess.static_background, str):
+            # static=auto: the detector response estimate is the scan mean
+            # (streamed for HDF5 — the map never materializes on host).
+            import dataclasses
+
+            from latice_tpu.data import estimate_static_background
+
+            def _model_units(s):
+                # Match the scale/crop the fused preprocess will see: the
+                # pipeline divides uint8 inputs by 255 BEFORE the recipe.
+                s = prepare_patterns(s)
+                if s.dtype == np.uint8:
+                    s = s.astype(np.float32) / 255.0
+                return s
+
+            if args.patterns.lower().endswith(HDF5_EXTENSIONS):
+                from latice_tpu.data import (
+                    find_pattern_dataset,
+                    iter_pattern_batches,
+                )
+
+                f, dset = find_pattern_dataset(args.patterns, args.h5_dataset)
+                try:
+                    bg = estimate_static_background(
+                        _model_units(s)
+                        for s in iter_pattern_batches(dset, args.h5_chunk)
+                    )
+                finally:
+                    f.close()
+            else:
+                bg = estimate_static_background(_model_units(np.load(args.patterns)))
+            logger.info("static=auto: using the scan-mean background")
+            preprocess = dataclasses.replace(
+                preprocess, static_background=bg
+            )
     pipe = IndexPipeline(
         model,
         params,

@@ -112,6 +112,13 @@ def main() -> None:
         from latice_tpu.data import parse_preprocess_spec
 
         preprocess = parse_preprocess_spec(args.preprocess)
+        if isinstance(preprocess.static_background, str):
+            raise SystemExit(
+                "--preprocess static=auto needs the full scan upfront; a "
+                "server has none. Estimate the frame once (index.py query "
+                "computes it, or data.estimate_static_background) and pass "
+                "static=<frame.npy>."
+            )
 
     def param_loader(checkpoint: str):
         _, new_params = _load_model(checkpoint, args.inplanes, args.latent_dim)

@@ -381,7 +381,10 @@ def parse_preprocess_spec(spec: str) -> PreprocessConfig:
     ``"hotpixels=5,static=bg.npy,dynamic=auto,clip=4,bin=2"``. Keys:
 
     - ``hotpixels=<threshold>`` — `fix_hot_pixels`
-    - ``static=<frame.npy>`` — `remove_static_background` (the .npy loads here)
+    - ``static=<frame.npy>`` — `remove_static_background` (the .npy loads
+      here); ``static=auto`` defers to the caller, which must replace the
+      placeholder with `estimate_static_background` of the scan (the query
+      CLI does; contexts without the full scan upfront reject it)
     - ``static-mode=divide|subtract`` (default divide)
     - ``dynamic=auto|<sigma>`` — `remove_dynamic_background`
     - ``dynamic-mode=divide|subtract`` (default divide)
@@ -402,7 +405,7 @@ def parse_preprocess_spec(spec: str) -> PreprocessConfig:
             if key == "hotpixels":
                 kw["hot_pixel_threshold"] = float(val)
             elif key == "static":
-                kw["static_background"] = np.load(val)
+                kw["static_background"] = "auto" if val == "auto" else np.load(val)
             elif key == "static-mode":
                 kw["static_mode"] = val
             elif key == "dynamic":
@@ -426,8 +429,17 @@ def parse_preprocess_spec(spec: str) -> PreprocessConfig:
                 f"bad value for preprocess key {key!r}: {val!r}"
             ) from e
     cfg = PreprocessConfig(**kw)
-    make_preprocess_fn(cfg)  # validate modes eagerly, at parse time
+    _validate_config(cfg)  # catch bad modes at parse time
     return cfg
+
+
+def _validate_config(cfg: PreprocessConfig) -> None:
+    if cfg.static_mode not in ("divide", "subtract"):
+        raise ValueError(f"bad static_mode {cfg.static_mode!r}")
+    if cfg.dynamic_mode not in ("divide", "subtract"):
+        raise ValueError(f"bad dynamic_mode {cfg.dynamic_mode!r}")
+    if cfg.normalize not in (None, "minmax", "zscore"):
+        raise ValueError(f"bad normalize {cfg.normalize!r}")
 
 
 def make_preprocess_fn(
@@ -437,12 +449,13 @@ def make_preprocess_fn(
     pure function, suitable for ``IndexPipeline(preprocess=...)`` (where it
     fuses into the encode program) or standalone ``jax.jit`` use."""
     cfg = config
-    if cfg.static_mode not in ("divide", "subtract"):
-        raise ValueError(f"bad static_mode {cfg.static_mode!r}")
-    if cfg.dynamic_mode not in ("divide", "subtract"):
-        raise ValueError(f"bad dynamic_mode {cfg.dynamic_mode!r}")
-    if cfg.normalize not in (None, "minmax", "zscore"):
-        raise ValueError(f"bad normalize {cfg.normalize!r}")
+    _validate_config(cfg)
+    if isinstance(cfg.static_background, str):
+        raise ValueError(
+            "static_background='auto' is a placeholder: resolve it with "
+            "data.estimate_static_background(scan) before compiling (the "
+            "query CLI does this; serving has no scan to estimate from)"
+        )
     static_bg = (
         None
         if cfg.static_background is None

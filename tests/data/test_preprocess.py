@@ -256,6 +256,13 @@ class TestSpecParser:
         with pytest.raises(ValueError, match="static_mode"):
             parse_preprocess_spec("static-mode=mul")
 
+    def test_static_auto_placeholder(self):
+        cfg = parse_preprocess_spec("static=auto")
+        assert cfg.static_background == "auto"
+        # Compiling an unresolved placeholder is an error with guidance.
+        with pytest.raises(ValueError, match="estimate_static_background"):
+            make_preprocess_fn(cfg)
+
 
 class TestPipelineFusion:
     """IndexPipeline(preprocess=...) == manual preprocess + plain pipeline."""

@@ -111,6 +111,25 @@ class TestCLI:
         assert summary["n_patterns"] == 24
         assert np.load(out).shape == (24, 3)
 
+    def test_query_static_auto_background(self, tmp_path, monkeypatch, capsys):
+        """static=auto estimates the detector frame from the scan mean."""
+        ppath, apath, _ = _write_phase(tmp_path, "dict", 16, seed=8)
+        db = str(tmp_path / "idx.npz")
+        _run(
+            ["build", "--patterns", str(ppath), "--angles", str(apath), "--db", db]
+            + SMALL,
+            monkeypatch, capsys,
+        )
+        out = str(tmp_path / "o.npy")
+        stdout = _run(
+            ["query", "--patterns", str(ppath), "--db", db, "--out", out,
+             "--top-n", "5", "--min-matches", "1",
+             "--preprocess", "static=auto"] + SMALL,
+            monkeypatch, capsys,
+        )
+        summary = json.loads(stdout.strip().splitlines()[-1])
+        assert summary["n_patterns"] == 16
+
     def test_query_nlpar_needs_scan_grid(self, tmp_path, monkeypatch, capsys):
         ppath, apath, _ = _write_phase(tmp_path, "dict", 8, seed=6)
         db = str(tmp_path / "idx.npz")
