@@ -349,6 +349,50 @@ def cmd_sample(args) -> None:
     )
 
 
+def cmd_simulate(args) -> None:
+    """Render a kinematical dictionary pattern stack from an anglefile.
+
+    With `sample` and `build`, closes the dictionary loop natively:
+    sample orientations -> simulate patterns -> build -> query. The
+    reference assumed externally-simulated stacks (data_module.py:70-78).
+    """
+    from latice_tpu.data import parse_angle_file
+    from latice_tpu.sim import (
+        DetectorGeometry,
+        cubic_reflectors,
+        simulate_patterns,
+    )
+
+    eulers = parse_angle_file(args.angles)
+    geometry = DetectorGeometry(
+        shape=(args.size, args.size), pcx=args.pc[0], pcy=args.pc[1],
+        dd=args.pc[2],
+    )
+    reflectors = cubic_reflectors(
+        args.structure, a=args.lattice, kv=args.kv, max_hkl=args.max_hkl,
+        min_d=args.min_d,
+    )
+    t0 = time.time()
+    patterns = simulate_patterns(
+        eulers, geometry, reflectors,
+        dtype=np.uint8 if args.uint8 else np.float32,
+    )
+    dt = time.time() - t0
+    np.save(args.out, patterns)
+    print(
+        json.dumps(
+            {
+                "n_patterns": len(patterns),
+                "shape": list(patterns.shape[1:]),
+                "n_reflectors": len(reflectors),
+                "structure": args.structure,
+                "seconds": round(dt, 2),
+                "out": args.out,
+            }
+        )
+    )
+
+
 def cmd_analyze(args) -> None:
     """Grain analysis of an indexed orientation map (crystal.maps)."""
     from latice_tpu.crystal import (
@@ -558,6 +602,39 @@ def main() -> None:
     )
     s.add_argument("--out", default="anglefile.txt")
     s.set_defaults(fn=cmd_sample)
+
+    m = sub.add_parser(
+        "simulate",
+        help="render a kinematical dictionary stack from an anglefile",
+    )
+    m.add_argument("--angles", required=True, help="anglefile (see 'sample')")
+    m.add_argument("--out", default="dict_patterns.npy")
+    m.add_argument(
+        "--structure", default="fcc", choices=("fcc", "bcc", "sc"),
+        help="cubic lattice centering",
+    )
+    m.add_argument(
+        "--lattice", type=float, default=3.52,
+        help="lattice parameter a, Angstrom (default: nickel)",
+    )
+    m.add_argument("--kv", type=float, default=20.0, help="beam kV")
+    m.add_argument("--size", type=int, default=128, help="detector px")
+    m.add_argument(
+        "--pc", type=float, nargs=3, default=(0.5, 0.5, 0.7),
+        metavar=("PCX", "PCY", "DD"),
+        help="pattern center + detector distance, detector-width units",
+    )
+    m.add_argument("--max-hkl", type=int, default=3)
+    m.add_argument(
+        "--min-d", type=float, default=0.8,
+        help="drop reflectors with d-spacing below this (Angstrom)",
+    )
+    m.add_argument(
+        "--uint8", action="store_true",
+        help="write detector-native 8-bit patterns (4x smaller, and the "
+        "index planes' uint8 fast-path format)",
+    )
+    m.set_defaults(fn=cmd_simulate)
 
     args = parser.parse_args()
     args.fn(args)

@@ -1,0 +1,26 @@
+"""Kinematical EBSD pattern simulation: dictionary generation on-device.
+
+The reference assumes dictionary patterns are simulated externally (its
+data path starts at a premade ``.npy`` stack, reference data_module.py:70-78);
+this package closes the loop natively: reflector tables from the crystal
+structure, detector geometry, and a batched kinematical Kikuchi-band
+renderer that runs as one XLA program — so `index.py sample` →
+`index.py simulate` → `build` → `query` needs no external tooling.
+"""
+
+from latice_tpu.sim.geometry import DetectorGeometry, pixel_directions
+from latice_tpu.sim.kinematical import (
+    Reflectors,
+    cubic_reflectors,
+    electron_wavelength,
+    simulate_patterns,
+)
+
+__all__ = [
+    "DetectorGeometry",
+    "Reflectors",
+    "cubic_reflectors",
+    "electron_wavelength",
+    "pixel_directions",
+    "simulate_patterns",
+]

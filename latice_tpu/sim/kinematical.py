@@ -1,0 +1,250 @@
+"""Kinematical Kikuchi-band renderer: reflector tables + batched XLA sim.
+
+Physics model (self-contained; the reference has no simulation stage):
+
+* Electron wavelength from the accelerating voltage with the relativistic
+  correction: ``λ[Å] = 12.2643 / sqrt(V · (1 + 0.97845e-6 · V))``.
+* Reflector list from the cubic structure: allowed ``{hkl}`` families by
+  the lattice centering's extinction rules (fcc: h,k,l all even or all
+  odd; bcc: h+k+l even; sc: all), expanded to every symmetry-equivalent
+  individual reflector so rendered patterns are exactly invariant under the
+  crystal's point group. Per-plane Bragg angle ``θ = asin(λ / 2d)`` with
+  ``d = a / |hkl|`` — band *positions and widths* are exact.
+* Band *intensities* are kinematically weighted with a single-element
+  Debye-Waller-style falloff ``I ∝ exp(-(s/s0)²)``, ``s = 1/(2d)`` — a
+  documented approximation standing in for atomic form factors (relative
+  band geometry, which drives dictionary indexing, does not depend on it).
+* A pixel with unit direction ``d`` sits inside the ``hkl`` band when its
+  angle from the plane is below the Bragg angle: ``|d · n| < sin θ``. The
+  band profile is a smooth top-hat between the two Kossel-cone traces with
+  a soft edge (fraction of the band half-width), the first-order shape of
+  an excess Kikuchi band.
+
+TPU design: for a batch of orientations the hot op is one MXU contraction
+``(P, 3) directions × (3, B·K) rotated normals`` followed by elementwise
+profiles and a weighted reduction over K — no gathers, no texture lookups
+(the master-pattern interpolation approach would be one big gather, the
+TPU landmine). Memory is bounded by chunking the orientation batch so the
+``(chunk, P, K)`` profile tensor stays ~100 MB.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latice_tpu.sim.geometry import DetectorGeometry, pixel_directions
+
+__all__ = [
+    "Reflectors",
+    "cubic_reflectors",
+    "electron_wavelength",
+    "simulate_patterns",
+]
+
+
+def electron_wavelength(kv: float) -> float:
+    """Relativistic electron wavelength in Angstrom for ``kv`` kilovolts."""
+    if kv <= 0:
+        raise ValueError("accelerating voltage must be positive")
+    v = kv * 1e3
+    return 12.2643 / math.sqrt(v * (1.0 + 0.97845e-6 * v))
+
+
+@dataclasses.dataclass(frozen=True)
+class Reflectors:
+    """Individual reflectors: unit plane normals (crystal frame), Bragg
+    sines, and kinematical weights. ``normals[k]`` and ``-normals[k]`` give
+    the same band, so only one hemisphere representative is kept."""
+
+    normals: np.ndarray  # (K, 3) float32, unit
+    sin_theta: np.ndarray  # (K,) float32
+    intensity: np.ndarray  # (K,) float32, max-normalized
+
+    def __len__(self) -> int:
+        return len(self.normals)
+
+
+_EXTINCTION = {
+    "fcc": lambda h, k, l: (h % 2 == k % 2) & (k % 2 == l % 2),
+    "bcc": lambda h, k, l: (h + k + l) % 2 == 0,
+    "sc": lambda h, k, l: np.ones_like(h, bool),
+}
+
+
+def cubic_reflectors(
+    structure: str = "fcc",
+    a: float = 3.52,
+    kv: float = 20.0,
+    max_hkl: int = 3,
+    min_d: float = 0.8,
+    s0: float = 0.6,
+) -> Reflectors:
+    """Reflector table for a cubic structure.
+
+    Args:
+        structure: "fcc" | "bcc" | "sc" lattice centering.
+        a: lattice parameter, Angstrom (default: nickel).
+        kv: accelerating voltage, kilovolts.
+        max_hkl: largest Miller index scanned.
+        min_d: drop reflectors with d-spacing below this (Angstrom) —
+            high-order bands too faint/thin to matter.
+        s0: kinematical falloff scale in 1/Angstrom (see module docstring).
+
+    Returns:
+        `Reflectors` with one hemisphere representative per band, every
+        point-group image of each allowed family included.
+    """
+    if structure not in _EXTINCTION:
+        raise ValueError(
+            f"unknown structure {structure!r}; choose from {sorted(_EXTINCTION)}"
+        )
+    lam = electron_wavelength(kv)
+    rng_idx = np.arange(-max_hkl, max_hkl + 1)
+    h, k, l = np.meshgrid(rng_idx, rng_idx, rng_idx, indexing="ij")
+    hkl = np.stack([h.ravel(), k.ravel(), l.ravel()], axis=1)
+    hkl = hkl[np.any(hkl != 0, axis=1)]
+    allowed = _EXTINCTION[structure](hkl[:, 0], hkl[:, 1], hkl[:, 2])
+    hkl = hkl[allowed]
+    # One representative per antipodal pair (n and -n are the same band):
+    # keep the lexicographically-positive one.
+    keep = (
+        (hkl[:, 0] > 0)
+        | ((hkl[:, 0] == 0) & (hkl[:, 1] > 0))
+        | ((hkl[:, 0] == 0) & (hkl[:, 1] == 0) & (hkl[:, 2] > 0))
+    )
+    hkl = hkl[keep]
+    norm = np.linalg.norm(hkl, axis=1)
+    d = a / norm
+    ok = d >= min_d
+    hkl, d, norm = hkl[ok], d[ok], norm[ok]
+    sin_theta = lam / (2.0 * d)
+    if np.any(sin_theta >= 1.0):
+        raise ValueError("Bragg condition unsatisfiable: raise min_d or kv")
+    s = 1.0 / (2.0 * d)
+    intensity = np.exp(-((s / s0) ** 2))
+    intensity = intensity / intensity.max()
+    return Reflectors(
+        normals=(hkl / norm[:, None]).astype(np.float32),
+        sin_theta=sin_theta.astype(np.float32),
+        intensity=intensity.astype(np.float32),
+    )
+
+
+def _quat_rotate(q: jax.Array, v: jax.Array) -> jax.Array:
+    """Rotate vectors ``v (K, 3)`` by quaternions ``q (B, 4)`` (scalar-first,
+    crystal→detector): returns ``(B, K, 3)``."""
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    # Rotation matrix rows from the quaternion (standard expansion).
+    r = jnp.stack(
+        [
+            1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    ).reshape(-1, 3, 3)
+    return jnp.einsum("bij,kj->bki", r, v)
+
+
+@functools.partial(jax.jit, static_argnames=("edge_frac", "out_uint8"))
+def _render_chunk(quats, dirs, normals, sin_theta, intensity, edge_frac,
+                  out_uint8):
+    """Render one orientation chunk: (B, 4) → (B, P) minmax-normalized."""
+    n_det = _quat_rotate(quats, normals)  # (B, K, 3)
+    # The MXU contraction: every pixel direction against every rotated
+    # plane normal. HIGHEST precision: band edges move visibly at bf16.
+    sines = jnp.einsum(
+        "pc,bkc->bpk", dirs, n_det, precision=jax.lax.Precision.HIGHEST
+    )
+    # Smooth top-hat between the Kossel cones: bright while |sin α| < sin θ,
+    # with a soft edge a fixed fraction of the band half-width.
+    half = sin_theta[None, None, :]
+    soft = jnp.maximum(half * edge_frac, 1e-6)
+    profile = jax.nn.sigmoid((half - jnp.abs(sines)) / soft)
+    x = jnp.einsum("bpk,k->bp", profile, intensity)
+    lo = jnp.min(x, axis=1, keepdims=True)
+    hi = jnp.max(x, axis=1, keepdims=True)
+    x = (x - lo) / jnp.maximum(hi - lo, 1e-8)
+    if out_uint8:
+        # Detector-native 8-bit: 4x less device->host traffic (the wall on
+        # tunneled rigs) and the build/index planes' uint8 fast-path format.
+        x = jnp.round(x * 255.0).astype(jnp.uint8)
+    return x
+
+
+def simulate_patterns(
+    orientations: np.ndarray,
+    geometry: DetectorGeometry | None = None,
+    reflectors: Reflectors | None = None,
+    edge_frac: float = 0.25,
+    chunk: int = 64,
+    angles_in_degrees: bool = False,
+    dtype: type = np.float32,
+) -> np.ndarray:
+    """Render kinematical Kikuchi patterns for a batch of orientations.
+
+    Args:
+        orientations: ``(B, 4)`` scalar-first quaternions (crystal→detector),
+            or ``(B, 3)`` zxz Euler *degrees* with ``angles_in_degrees=True``
+            (the anglefile convention).
+        geometry: detector description (default `DetectorGeometry()`).
+        reflectors: reflector table (default `cubic_reflectors()` — fcc Ni
+            at 20 kV).
+        edge_frac: band-edge softness as a fraction of the band half-width.
+        chunk: orientations per device dispatch (bounds the (chunk, P, K)
+            profile tensor).
+        angles_in_degrees: interpret ``orientations`` as zxz Euler degrees.
+        dtype: ``np.float32`` (default; [0, 1] minmax per pattern, the VAE
+            input contract) or ``np.uint8`` (detector-native 8-bit — 4x
+            less device→host traffic and the index planes' fast-path
+            format).
+
+    Returns:
+        ``(B, H, W)`` patterns, min-max normalized per pattern.
+    """
+    if dtype not in (np.float32, np.uint8):
+        raise ValueError("dtype must be np.float32 or np.uint8")
+    geometry = geometry or DetectorGeometry()
+    reflectors = reflectors or cubic_reflectors()
+    o = np.asarray(orientations, np.float32)
+    if angles_in_degrees or (o.ndim == 2 and o.shape[1] == 3):
+        from scipy.spatial.transform import Rotation as R
+
+        quats = np.roll(
+            R.from_euler("zxz", o, degrees=True).as_quat(), 1, axis=1
+        ).astype(np.float32)
+    elif o.ndim == 2 and o.shape[1] == 4:
+        quats = o / np.linalg.norm(o, axis=1, keepdims=True)
+    else:
+        raise ValueError(f"expected (B, 4) quats or (B, 3) Euler deg, got {o.shape}")
+
+    h, w = geometry.shape
+    dirs = jnp.asarray(pixel_directions(geometry).reshape(-1, 3))
+    normals = jnp.asarray(reflectors.normals)
+    sin_t = jnp.asarray(reflectors.sin_theta)
+    inten = jnp.asarray(reflectors.intensity)
+
+    b = len(quats)
+    out = np.empty((b, h * w), dtype)
+    pending = []
+    for start in range(0, b, chunk):
+        qc = quats[start : start + chunk]
+        n = len(qc)
+        if n < chunk:  # pad to the static compile shape
+            qc = np.concatenate([qc, np.tile(qc[-1:], (chunk - n, 1))])
+        # Two-phase dispatch: enqueue every chunk, then materialize — the
+        # transfers overlap compute instead of serializing per chunk.
+        pending.append(
+            (start, n,
+             _render_chunk(jnp.asarray(qc), dirs, normals, sin_t, inten,
+                           edge_frac, dtype == np.uint8))
+        )
+    for start, n, dev in pending:
+        out[start : start + n] = np.asarray(dev)[:n]
+    return out.reshape(b, h, w)

@@ -166,6 +166,43 @@ class TestCLI:
         )
         assert np.load(db)["vectors"].shape[0] == n
 
+    def test_sample_simulate_build_query_loop(self, tmp_path, monkeypatch, capsys):
+        """The fully-native dictionary loop: sample orientations, simulate
+        kinematical patterns, build the DB, index the simulated patterns
+        back — self-queries must recover their own stored orientations."""
+        angles = str(tmp_path / "fz.txt")
+        _run(["sample", "--group", "432", "--resolution", "16", "--out", angles],
+             monkeypatch, capsys)
+        pats = str(tmp_path / "sim.npy")
+        stdout = _run(
+            ["simulate", "--angles", angles, "--out", pats,
+             "--max-hkl", "2", "--min-d", "1.0"],
+            monkeypatch, capsys,
+        )
+        info = json.loads(stdout.strip().splitlines()[-1])
+        n = info["n_patterns"]
+        assert info["shape"] == [128, 128] and info["n_reflectors"] > 5
+        db = str(tmp_path / "sim.npz")
+        small = ["--inplanes", "2", "--latent-dim", "8", "--batch-size", "16"]
+        _run(["build", "--patterns", pats, "--angles", angles, "--db", db]
+             + small, monkeypatch, capsys)
+        out = str(tmp_path / "o.npy")
+        stdout = _run(
+            ["query", "--patterns", pats, "--db", db, "--out", out,
+             "--top-n", "3", "--min-matches", "1"] + small,
+            monkeypatch, capsys,
+        )
+        summary = json.loads(stdout.strip().splitlines()[-1])
+        assert summary["n_patterns"] == n
+        got = np.load(out)
+        from latice_tpu.data import parse_angle_file
+
+        want = parse_angle_file(angles)
+        # Self-queries: top-1 is the pattern itself, so the fallback/consensus
+        # orientation equals the stored angles (canonicalized ranges).
+        ok = np.isclose(np.abs(got), np.abs(want), atol=1e-2).all(axis=1)
+        assert ok.mean() > 0.9
+
     def test_build_query_multiphase(self, tmp_path, monkeypatch, capsys):
         p0, a0, pat0 = _write_phase(tmp_path, "fcc", 16, seed=1)
         p1, a1, pat1 = _write_phase(tmp_path, "hcp", 16, seed=2)

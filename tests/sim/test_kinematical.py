@@ -1,0 +1,152 @@
+"""Kinematical simulator: wavelength/extinction physics pins, geometric
+invariances, and renderer behavior. Ground truth is the documented physics
+(the reference has no simulation stage to compare against)."""
+
+import numpy as np
+import pytest
+
+from latice_tpu.crystal import ROTATION_GROUPS
+from latice_tpu.sim import (
+    DetectorGeometry,
+    cubic_reflectors,
+    electron_wavelength,
+    pixel_directions,
+    simulate_patterns,
+)
+
+
+class TestPhysics:
+    def test_wavelength_20kv(self):
+        # Relativistic formula: 0.02508 A at 200 kV, 0.0859 A at 20 kV.
+        assert electron_wavelength(20.0) == pytest.approx(0.08589, rel=1e-3)
+        assert electron_wavelength(200.0) == pytest.approx(0.02508, rel=1e-3)
+        with pytest.raises(ValueError):
+            electron_wavelength(0)
+
+    @staticmethod
+    def _norms(refl, a, kv):
+        """Recover |hkl| per reflector from its Bragg sine."""
+        return refl.sin_theta * 2 * a / electron_wavelength(kv)
+
+    def test_fcc_extinction(self):
+        a, kv = 3.52, 20.0
+        refl = cubic_reflectors("fcc", a=a, kv=kv, max_hkl=2, min_d=0.8)
+        norms = self._norms(refl, a, kv)
+        has = lambda n: np.isclose(norms, n, rtol=1e-4).any()  # noqa: E731
+        assert has(np.sqrt(3))       # {111} allowed
+        assert has(2.0)              # {200} allowed
+        assert not has(1.0)          # {100} forbidden
+        assert not has(np.sqrt(2))   # {110} forbidden
+
+    def test_bcc_extinction(self):
+        a, kv = 2.87, 20.0
+        refl = cubic_reflectors("bcc", a=a, kv=kv, max_hkl=2, min_d=0.8)
+        norms = self._norms(refl, a, kv)
+        has = lambda n: np.isclose(norms, n, rtol=1e-4).any()  # noqa: E731
+        assert has(np.sqrt(2))       # {110} allowed
+        assert not has(np.sqrt(3))   # {111} forbidden
+
+    def test_antipodal_reduction_and_weights(self):
+        refl = cubic_reflectors("fcc", max_hkl=2)
+        # No normal appears together with its negation.
+        n = np.round(refl.normals, 5)
+        as_set = {tuple(row) for row in n}
+        assert not any(tuple(-row) in as_set for row in n)
+        assert refl.intensity.max() == pytest.approx(1.0)
+        assert (refl.intensity > 0).all()
+
+    def test_unknown_structure(self):
+        with pytest.raises(ValueError, match="unknown structure"):
+            cubic_reflectors("hcp")
+
+
+class TestGeometry:
+    def test_pattern_center_points_forward(self):
+        g = DetectorGeometry(shape=(128, 128), pcx=0.5, pcy=0.5, dd=0.7)
+        d = pixel_directions(g)
+        assert d.shape == (128, 128, 3)
+        np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-6)
+        # The pixel at the pattern center looks straight at the sample.
+        np.testing.assert_allclose(d[63:65, 63:65] @ [0, 0, 1], 1.0, atol=1e-4)
+        # y grows upward: top rows have positive y.
+        assert d[0, 64, 1] > 0 > d[-1, 64, 1]
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="dd"):
+            DetectorGeometry(dd=0)
+
+
+class TestRenderer:
+    @pytest.fixture(scope="class")
+    def refl(self):
+        return cubic_reflectors("fcc", max_hkl=2, min_d=1.0)
+
+    @pytest.fixture(scope="class")
+    def geom(self):
+        return DetectorGeometry(shape=(64, 64))
+
+    def test_cubic_symmetry_invariance(self, refl, geom):
+        """Rotating the crystal by a point-group operator leaves the
+        pattern unchanged — the reflector table is group-closed."""
+        from latice_tpu.crystal import quat_mul
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        q = rng.normal(size=(1, 4)).astype(np.float32)
+        q /= np.linalg.norm(q)
+        base = simulate_patterns(q, geom, refl)
+        for g in np.asarray(ROTATION_GROUPS["432"], np.float32)[[3, 9, 17]]:
+            qg = np.asarray(quat_mul(jnp.asarray(q), jnp.asarray(g[None])))
+            out = simulate_patterns(qg, geom, refl)
+            np.testing.assert_allclose(out, base, atol=2e-4)
+
+    def test_orientation_sensitivity_is_monotone(self, refl, geom):
+        from scipy.spatial.transform import Rotation as R
+
+        base = R.identity()
+        quats = []
+        for deg in (0.0, 1.0, 10.0):
+            r = base * R.from_rotvec(np.radians([deg, 0, 0]))
+            quats.append(np.roll(r.as_quat(), 1))
+        pats = simulate_patterns(np.asarray(quats, np.float32), geom, refl)
+        d1 = np.mean((pats[1] - pats[0]) ** 2)
+        d10 = np.mean((pats[2] - pats[0]) ** 2)
+        assert 0 < d1 < d10
+
+    def test_chunking_matches_oneshot(self, refl, geom):
+        rng = np.random.default_rng(1)
+        q = rng.normal(size=(5, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        a = simulate_patterns(q, geom, refl, chunk=2)
+        b = simulate_patterns(q, geom, refl, chunk=8)
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_euler_input_matches_quats(self, refl, geom):
+        from scipy.spatial.transform import Rotation as R
+
+        eulers = np.asarray([[10.0, 40.0, 20.0], [100.0, 80.0, 5.0]])
+        quats = np.roll(R.from_euler("zxz", eulers, degrees=True).as_quat(), 1, axis=1)
+        a = simulate_patterns(eulers, geom, refl)
+        b = simulate_patterns(quats.astype(np.float32), geom, refl)
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_output_contract(self, refl, geom):
+        pats = simulate_patterns(np.asarray([[1.0, 0, 0, 0]]), geom, refl)
+        assert pats.shape == (1, 64, 64) and pats.dtype == np.float32
+        assert pats.min() == pytest.approx(0.0, abs=1e-6)
+        assert pats.max() == pytest.approx(1.0, abs=1e-5)
+        # Bands exist: a meaningful fraction of pixels is bright.
+        assert 0.02 < (pats > 0.5).mean() < 0.98
+
+    def test_uint8_output_quantizes_float_path(self, refl, geom):
+        q = np.asarray([[1.0, 0, 0, 0], [0.5, 0.5, 0.5, 0.5]], np.float32)
+        f = simulate_patterns(q, geom, refl)
+        u = simulate_patterns(q, geom, refl, dtype=np.uint8)
+        assert u.dtype == np.uint8
+        np.testing.assert_allclose(u / 255.0, f, atol=1.0 / 255.0)
+        with pytest.raises(ValueError, match="dtype"):
+            simulate_patterns(q, geom, refl, dtype=np.float64)
+
+    def test_bad_orientations(self, refl, geom):
+        with pytest.raises(ValueError, match="expected"):
+            simulate_patterns(np.zeros((2, 5)), geom, refl)
