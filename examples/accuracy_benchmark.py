@@ -19,10 +19,25 @@ import time
 import numpy as np, jax, jax.numpy as jnp
 from scipy.spatial.transform import Rotation as R
 
+_KINEMATICAL = False  # --kinematical: render real Kikuchi bands instead
+
+
 def render_patterns(angles_deg, noise=0.0, seed=0, freqs=(9.0, 14.0, 6.0)):
-    """Synthetic band patterns from orientations; ``freqs`` sets the band
-    frequencies per crystal axis (distinct tuples emulate distinct phases)."""
+    """Synthetic band patterns from orientations.
+
+    Default: the fast cosine toy (``freqs`` sets band frequencies per
+    crystal axis; distinct tuples emulate distinct phases). With
+    ``--kinematical``, renders physical Kikuchi bands via `latice_tpu.sim`
+    (fcc nickel at 20 kV) — same API, realistic band geometry.
+    """
     rng = np.random.default_rng(seed)
+    if _KINEMATICAL:
+        from latice_tpu.sim import simulate_patterns
+
+        out = simulate_patterns(np.asarray(angles_deg, np.float64), chunk=256)
+        if noise:
+            out = out + rng.normal(size=out.shape).astype(np.float32) * noise
+        return np.clip(out, 0, 1)
     mats = R.from_euler("zxz", angles_deg, degrees=True).as_matrix()
     h = w = 128
     yy, xx = np.meshgrid(np.linspace(-1, 1, h), np.linspace(-1, 1, w), indexing="ij")
@@ -136,4 +151,5 @@ def main(scaled: bool = False):
 if __name__ == "__main__":
     import sys
 
+    _KINEMATICAL = "--kinematical" in sys.argv
     main(scaled="--scaled" in sys.argv)

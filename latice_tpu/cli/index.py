@@ -241,7 +241,13 @@ def cmd_query(args) -> None:
             raise SystemExit(
                 f"--scan-grid {rows}x{cols} does not match {len(x)} patterns"
             )
-        x = np.asarray(x, np.float32)  # leaves the uint8 link fast path
+        # NLPAR output is float32, so the pipeline's integer-dtype /255
+        # branch will NOT fire downstream — normalize here to keep the
+        # model-unit contract (uint8 loses its link fast path under NLPAR;
+        # the averaging needs float math anyway).
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 255.0
+        x = np.asarray(x, np.float32)
         scan = x.reshape(rows, cols, *x.shape[1:])
         out = nlpar_denoise(
             scan,

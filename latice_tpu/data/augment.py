@@ -66,6 +66,10 @@ def make_augment_fn(
         rng_ = getattr(cfg, name)
         if rng_ is not None and not (len(rng_) == 2 and rng_[0] <= rng_[1]):
             raise ValueError(f"{name} must be (lo, hi) with lo <= hi, got {rng_}")
+    if cfg.gamma_range is not None and cfg.gamma_range[0] <= 0:
+        # gamma <= 0 degenerates: 0**0 == 1 maps whole patterns to constant
+        # and negative exponents blow up at the zeros maximum() creates.
+        raise ValueError(f"gamma_range must be positive, got {cfg.gamma_range}")
     if cfg.shift_px is not None and cfg.shift_px < 0:
         raise ValueError("shift_px must be >= 0")
 

@@ -343,8 +343,9 @@ class PreprocessConfig:
     """Declarative preprocessing recipe for `make_preprocess_fn`.
 
     Stages run in the fixed order: hot-pixel repair → static background →
-    dynamic background → histogram equalization → normalization → binning.
-    Every stage is optional; the default config is the identity.
+    dynamic background → robust clip (``clip_sigma``) → histogram
+    equalization → normalization → binning. Every stage is optional; the
+    default config is the identity.
 
     Attributes:
         hot_pixel_threshold: enable `fix_hot_pixels` at this threshold.
@@ -355,10 +356,13 @@ class PreprocessConfig:
         dynamic_mode: "divide" | "subtract".
         equalize: exact histogram equalization (implies [0, 1] output).
         normalize: "minmax" | "zscore" | None. Applied after the background
-            stages; defaults to "minmax" whenever a background stage or
-            clip_sigma is enabled and `equalize` is off, so the VAE's [0, 1]
-            input contract survives the correction arithmetic.
-        clip_sigma: robust contrast-stretch clip before normalization.
+            stages; defaults to "minmax" whenever a background stage is
+            enabled and neither `equalize` nor `clip_sigma` already maps the
+            output to [0, 1], so the VAE's input contract survives the
+            correction arithmetic.
+        clip_sigma: robust contrast-stretch clip (+ minmax rescale), run as
+            its own stage BEFORE equalization so outliers cannot skew the
+            histogram remap.
         bin_factor: average-pool the output by this factor (model image_size
             must match).
     """
@@ -462,12 +466,9 @@ def make_preprocess_fn(
         else np.asarray(cfg.static_background, np.float32)
     )
     normalize = cfg.normalize
-    corrected = (
-        static_bg is not None
-        or cfg.dynamic_sigma is not None
-        or cfg.clip_sigma is not None
-    )
-    if normalize is None and corrected and not cfg.equalize:
+    corrected = static_bg is not None or cfg.dynamic_sigma is not None
+    already_unit = cfg.equalize or cfg.clip_sigma is not None
+    if normalize is None and corrected and not already_unit:
         normalize = "minmax"
 
     def preprocess(x: jax.Array) -> jax.Array:
@@ -482,10 +483,15 @@ def make_preprocess_fn(
                 else float(cfg.dynamic_sigma)
             )
             x = remove_dynamic_background(x, sigma, cfg.dynamic_mode)
+        if cfg.clip_sigma is not None:
+            # An independent stage (not folded into the final normalize):
+            # it must run BEFORE equalization, and must run at all when
+            # equalize/normalize are configured differently.
+            x = normalize_patterns(x, "minmax", clip_sigma=cfg.clip_sigma)
         if cfg.equalize:
             x = equalize_histogram(x)
         if normalize is not None:
-            x = normalize_patterns(x, normalize, clip_sigma=cfg.clip_sigma)
+            x = normalize_patterns(x, normalize)
         if cfg.bin_factor is not None and cfg.bin_factor > 1:
             x = bin_patterns(x, cfg.bin_factor)
         return x

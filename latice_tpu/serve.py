@@ -279,16 +279,31 @@ class IndexService:
         """
         scan_grid = None
         arr = np.asarray(patterns)
-        if (
-            self.nlpar_h is not None
-            and arr.ndim == 4
-            and arr.shape[-2:] == self.image_size
-        ):
+        if arr.ndim == 4 and arr.shape[-1] not in (1, 3):
+            # 4-D = scan contract; diagnose misconfigurations explicitly
+            # instead of letting prepare_patterns raise a shape error that
+            # never mentions NLPAR.
+            if self.nlpar_h is None:
+                raise ValueError(
+                    "4-D (R, C, H, W) scan bodies need the server to run "
+                    "with --nlpar; POST a 3-D (N, H, W) stack instead"
+                )
+            if arr.shape[-2:] != self.image_size:
+                raise ValueError(
+                    f"scan patterns are {arr.shape[-2]}x{arr.shape[-1]} but "
+                    f"this server indexes {self.image_size[0]}x"
+                    f"{self.image_size[1]}"
+                )
             from latice_tpu.data import nlpar_denoise
 
             scan_grid = arr.shape[:2]
+            # NLPAR outputs float32, so the pipeline's integer /255 branch
+            # will not fire — normalize uint8 scans to model units here.
+            arr = arr.astype(np.float32)
+            if np.asarray(patterns).dtype == np.uint8:
+                arr /= 255.0
             arr = nlpar_denoise(
-                arr.astype(np.float32),
+                arr,
                 search_radius=self.nlpar_radius,
                 h=self.nlpar_h,
                 hot_pixel_threshold=self._nlpar_hot_threshold,

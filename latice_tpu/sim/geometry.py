@@ -4,14 +4,17 @@ Self-contained gnomonic model (conventions documented here rather than
 borrowed — the reference has no simulation stage at all): the detector is a
 ``(H, W)`` grid of square pixels; the *pattern center* is the point where
 the sample-normal through the beam spot pierces the detector plane, given in
-fractional detector coordinates ``(pcx, pcy)`` (TSL-style: x rightward along
-columns, y upward along rows, both in units of detector width), and ``dd``
-is the detector distance in the same units. A pixel's unit direction in the
-detector frame is then
+fractional detector coordinates ``(pcx, pcy)`` (TSL-style: x rightward from
+the left edge, y upward from the BOTTOM edge, both in units of detector
+width), and ``dd`` is the detector distance in the same units. A pixel's
+unit direction in the detector frame is then
 
-    d = normalize( (col_frac - pcx) , (pcy - row_frac·(H/W)) , dd )
+    d = normalize( (col_frac - pcx) , (H/W - row_frac·(H/W) - pcy) , dd )
 
-with z pointing from the sample into the detector. Crystal plane normals
+where ``row_frac`` grows downward from the top, so the y term is the
+pixel's distance from the bottom edge minus ``pcy`` — matching the code and
+the `DetectorGeometry` docstring exactly. z points from the sample into the
+detector. Crystal plane normals
 are rotated into this frame by the orientation quaternion, so band
 positions are exactly the gnomonic projections of the Kossel-cone traces.
 """

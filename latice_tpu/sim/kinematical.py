@@ -123,6 +123,12 @@ def cubic_reflectors(
     d = a / norm
     ok = d >= min_d
     hkl, d, norm = hkl[ok], d[ok], norm[ok]
+    if len(hkl) == 0:
+        raise ValueError(
+            f"no {structure} reflectors survive min_d={min_d} at "
+            f"max_hkl={max_hkl} (largest allowed d-spacing is below min_d) "
+            "— lower min_d or raise max_hkl"
+        )
     sin_theta = lam / (2.0 * d)
     if np.any(sin_theta >= 1.0):
         raise ValueError("Bragg condition unsatisfiable: raise min_d or kv")
@@ -232,19 +238,30 @@ def simulate_patterns(
 
     b = len(quats)
     out = np.empty((b, h * w), dtype)
-    pending = []
+    # Two-phase dispatch with a bounded in-flight window: a few queued
+    # chunks overlap transfers with compute, while materializing the oldest
+    # keeps device residency at O(window · chunk · P) — an unbounded queue
+    # would hold the ENTIRE stack in HBM (a 1°-resolution cubic dictionary
+    # is ~10 GB of patterns).
+    window = 4
+    pending: list[tuple[int, int, jax.Array]] = []
+
+    def _drain_one():
+        start, n, dev = pending.pop(0)
+        out[start : start + n] = np.asarray(dev)[:n]
+
     for start in range(0, b, chunk):
         qc = quats[start : start + chunk]
         n = len(qc)
         if n < chunk:  # pad to the static compile shape
             qc = np.concatenate([qc, np.tile(qc[-1:], (chunk - n, 1))])
-        # Two-phase dispatch: enqueue every chunk, then materialize — the
-        # transfers overlap compute instead of serializing per chunk.
         pending.append(
             (start, n,
              _render_chunk(jnp.asarray(qc), dirs, normals, sin_t, inten,
                            edge_frac, dtype == np.uint8))
         )
-    for start, n, dev in pending:
-        out[start : start + n] = np.asarray(dev)[:n]
+        if len(pending) > window:
+            _drain_one()
+    while pending:
+        _drain_one()
     return out.reshape(b, h, w)

@@ -64,6 +64,9 @@ class TestOps:
             make_augment_fn(AugmentConfig(intensity_range=(2.0, 1.0)))
         with pytest.raises(ValueError, match="shift_px"):
             make_augment_fn(AugmentConfig(shift_px=-1))
+        # gamma <= 0 degenerates (0**0 == 1; negative gammas inf at zeros).
+        with pytest.raises(ValueError, match="gamma_range must be positive"):
+            make_augment_fn(AugmentConfig(gamma_range=(0.0, 1.4)))
 
 
 class TestTrainStep:

@@ -216,6 +216,23 @@ class TestMakePreprocessFn:
         assert y.shape == (3, 16, 16, 1)
         assert np.isfinite(np.asarray(y)).all()
 
+    def test_clip_runs_before_equalize(self):
+        """clip_sigma is its own stage ahead of equalization: after clipping,
+        a huge spike ties with the clip bound and shares the top rank;
+        without the clip it strictly exceeds every other pixel."""
+        rng = np.random.default_rng(3)
+        x = rng.uniform(0.2, 0.8, size=(1, 16, 16)).astype(np.float32)
+        x[0, 3, 3] = 500.0
+        x[0, 8, 8] = 400.0
+        clipped = make_preprocess_fn(
+            PreprocessConfig(clip_sigma=2.0, equalize=True)
+        )(jnp.asarray(x))
+        plain = make_preprocess_fn(PreprocessConfig(equalize=True))(
+            jnp.asarray(x)
+        )
+        assert np.asarray(clipped)[0, 3, 3] == np.asarray(clipped)[0, 8, 8]
+        assert np.asarray(plain)[0, 3, 3] > np.asarray(plain)[0, 8, 8]
+
     def test_config_validation(self):
         with pytest.raises(ValueError, match="static_mode"):
             make_preprocess_fn(PreprocessConfig(static_mode="mul"))

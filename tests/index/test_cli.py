@@ -130,6 +130,33 @@ class TestCLI:
         summary = json.loads(stdout.strip().splitlines()[-1])
         assert summary["n_patterns"] == 16
 
+    def test_query_nlpar_uint8_matches_float(self, tmp_path, monkeypatch, capsys):
+        """uint8 scans through --nlpar must land in model units (/255): the
+        orientations must match the same scan queried as float [0, 1]."""
+        ppath, apath, patterns = _write_phase(tmp_path, "dict", 24, seed=7)
+        db = str(tmp_path / "idx.npz")
+        _run(
+            ["build", "--patterns", str(ppath), "--angles", str(apath), "--db", db]
+            + SMALL,
+            monkeypatch, capsys,
+        )
+        u8 = (np.clip(patterns, 0, 1) * 255).astype(np.uint8)
+        u8path = tmp_path / "scan_u8.npy"
+        fpath = tmp_path / "scan_f32.npy"
+        np.save(u8path, u8)
+        np.save(fpath, u8.astype(np.float32) / 255.0)
+        outs = {}
+        for tag, p in (("u8", u8path), ("f32", fpath)):
+            out = str(tmp_path / f"o_{tag}.npy")
+            _run(
+                ["query", "--patterns", str(p), "--db", db, "--out", out,
+                 "--top-n", "5", "--min-matches", "1",
+                 "--nlpar", "2.0", "--scan-grid", "4", "6"] + SMALL,
+                monkeypatch, capsys,
+            )
+            outs[tag] = np.load(out)
+        np.testing.assert_allclose(outs["u8"], outs["f32"], atol=1e-3)
+
     def test_query_nlpar_needs_scan_grid(self, tmp_path, monkeypatch, capsys):
         ppath, apath, _ = _write_phase(tmp_path, "dict", 8, seed=6)
         db = str(tmp_path / "idx.npz")

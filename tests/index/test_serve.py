@@ -26,6 +26,15 @@ def _post(url: str, body: bytes):
     return json.load(urllib.request.urlopen(url, data=body, timeout=30))
 
 
+def _post_error(url: str, body: bytes):
+    """POST expecting an HTTP error; returns (status, parsed body)."""
+    try:
+        _post(url, body)
+    except urllib.error.HTTPError as e:
+        return e.code, json.load(e)
+    raise AssertionError("expected an HTTP error")
+
+
 @pytest.fixture(scope="module")
 def served():
     """A live server over a 24-entry dictionary encoded by a tiny VAE."""
@@ -295,6 +304,20 @@ class TestNlparServe:
             np.testing.assert_allclose(
                 flat["orientations"], plain["orientations"], atol=1e-4
             )
+            # uint8 scans must land in model units (/255): same result as
+            # the float [0, 1] scan body.
+            u8 = (np.clip(scan, 0, 1) * 255).astype(np.uint8)
+            a = _post(f"{nurl}/index", _npy_bytes(u8))
+            b = _post(f"{nurl}/index", _npy_bytes(u8.astype(np.float32) / 255.0))
+            np.testing.assert_allclose(
+                a["orientations"], b["orientations"], atol=1e-3
+            )
+            # Size mismatches and nlpar-less servers diagnose explicitly.
+            bad = np.zeros((2, 2, 64, 64), np.float32)
+            err = _post_error(f"{nurl}/index", _npy_bytes(bad))
+            assert err[0] == 400 and "64x64" in err[1]["error"]
+            err = _post_error(f"{url}/index", _npy_bytes(scan))
+            assert err[0] == 400 and "--nlpar" in err[1]["error"]
         finally:
             server.shutdown()
 

@@ -59,6 +59,11 @@ class TestPhysics:
         with pytest.raises(ValueError, match="unknown structure"):
             cubic_reflectors("hcp")
 
+    def test_empty_table_is_actionable(self):
+        # fcc Ni: the largest allowed d-spacing is d(111) ~ 2.03 A.
+        with pytest.raises(ValueError, match="min_d"):
+            cubic_reflectors("fcc", a=3.52, min_d=2.1)
+
 
 class TestGeometry:
     def test_pattern_center_points_forward(self):
@@ -114,11 +119,13 @@ class TestRenderer:
         assert 0 < d1 < d10
 
     def test_chunking_matches_oneshot(self, refl, geom):
+        # 13 orientations at chunk=2 exceeds the bounded in-flight window,
+        # exercising the drain-while-enqueueing path.
         rng = np.random.default_rng(1)
-        q = rng.normal(size=(5, 4)).astype(np.float32)
+        q = rng.normal(size=(13, 4)).astype(np.float32)
         q /= np.linalg.norm(q, axis=1, keepdims=True)
         a = simulate_patterns(q, geom, refl, chunk=2)
-        b = simulate_patterns(q, geom, refl, chunk=8)
+        b = simulate_patterns(q, geom, refl, chunk=16)
         np.testing.assert_allclose(a, b, atol=1e-6)
 
     def test_euler_input_matches_quats(self, refl, geom):
