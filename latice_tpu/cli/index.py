@@ -366,6 +366,7 @@ def cmd_simulate(args) -> None:
     from latice_tpu.sim import (
         DetectorGeometry,
         cubic_reflectors,
+        hexagonal_reflectors,
         simulate_patterns,
     )
 
@@ -374,10 +375,18 @@ def cmd_simulate(args) -> None:
         shape=(args.size, args.size), pcx=args.pc[0], pcy=args.pc[1],
         dd=args.pc[2],
     )
-    reflectors = cubic_reflectors(
-        args.structure, a=args.lattice, kv=args.kv, max_hkl=args.max_hkl,
-        min_d=args.min_d,
-    )
+    if args.structure == "hcp":
+        # Ideal-ish c/a when not given; pairs with point group "622".
+        c = args.lattice_c if args.lattice_c else 1.587 * args.lattice
+        reflectors = hexagonal_reflectors(
+            a=args.lattice, c=c, kv=args.kv, max_hkl=args.max_hkl,
+            min_d=args.min_d,
+        )
+    else:
+        reflectors = cubic_reflectors(
+            args.structure, a=args.lattice, kv=args.kv, max_hkl=args.max_hkl,
+            min_d=args.min_d,
+        )
     t0 = time.time()
     patterns = simulate_patterns(
         eulers, geometry, reflectors,
@@ -616,12 +625,16 @@ def main() -> None:
     m.add_argument("--angles", required=True, help="anglefile (see 'sample')")
     m.add_argument("--out", default="dict_patterns.npy")
     m.add_argument(
-        "--structure", default="fcc", choices=("fcc", "bcc", "sc"),
-        help="cubic lattice centering",
+        "--structure", default="fcc", choices=("fcc", "bcc", "sc", "hcp"),
+        help="lattice/structure (hcp uses point group 622 at query time)",
     )
     m.add_argument(
         "--lattice", type=float, default=3.52,
         help="lattice parameter a, Angstrom (default: nickel)",
+    )
+    m.add_argument(
+        "--lattice-c", type=float, default=None,
+        help="hcp c parameter, Angstrom (default: 1.587*a)",
     )
     m.add_argument("--kv", type=float, default=20.0, help="beam kV")
     m.add_argument("--size", type=int, default=128, help="detector px")

@@ -13,6 +13,8 @@ from latice_tpu.sim.kinematical import (
     Reflectors,
     cubic_reflectors,
     electron_wavelength,
+    hexagonal_reflectors,
+    reflectors_from_cell,
     simulate_patterns,
 )
 
@@ -21,6 +23,8 @@ __all__ = [
     "Reflectors",
     "cubic_reflectors",
     "electron_wavelength",
+    "hexagonal_reflectors",
     "pixel_directions",
+    "reflectors_from_cell",
     "simulate_patterns",
 ]

@@ -44,6 +44,8 @@ __all__ = [
     "Reflectors",
     "cubic_reflectors",
     "electron_wavelength",
+    "hexagonal_reflectors",
+    "reflectors_from_cell",
     "simulate_patterns",
 ]
 
@@ -75,6 +77,138 @@ _EXTINCTION = {
     "bcc": lambda h, k, l: (h + k + l) % 2 == 0,
     "sc": lambda h, k, l: np.ones_like(h, bool),
 }
+
+
+def _direct_basis(a, b, c, alpha, beta, gamma):
+    """Cartesian direct-lattice vectors (rows), standard crystallographic
+    setting: a1 along x, a2 in the x-y plane."""
+    al, be, ga = np.radians([alpha, beta, gamma])
+    cx = c * math.cos(be)
+    cy = c * (math.cos(al) - math.cos(be) * math.cos(ga)) / math.sin(ga)
+    cz2 = c * c - cx * cx - cy * cy
+    if cz2 <= 0:
+        raise ValueError(
+            f"degenerate cell: ({a}, {b}, {c}, {alpha}, {beta}, {gamma})"
+        )
+    return np.array(
+        [
+            [a, 0.0, 0.0],
+            [b * math.cos(ga), b * math.sin(ga), 0.0],
+            [cx, cy, math.sqrt(cz2)],
+        ]
+    )
+
+
+def reflectors_from_cell(
+    a: float,
+    b: float | None = None,
+    c: float | None = None,
+    alpha: float = 90.0,
+    beta: float = 90.0,
+    gamma: float = 90.0,
+    basis=((0.0, 0.0, 0.0),),
+    kv: float = 20.0,
+    max_hkl: int = 3,
+    min_d: float = 0.8,
+    s0: float = 0.6,
+    min_rel_intensity: float = 1e-4,
+    hkl_filter=None,
+) -> Reflectors:
+    """Reflector table for an arbitrary cell with structure-factor
+    extinctions — the general engine behind `cubic_reflectors` /
+    `hexagonal_reflectors`.
+
+    Plane normals are the Cartesian reciprocal-lattice vectors (so non-cubic
+    normals are NOT parallel to the direct [hkl] — the metric is handled
+    exactly), d-spacings come from ``1/|g|``, and each reflector is weighted
+    by ``|F_hkl|² · exp(-(s/s0)²)`` with the geometric structure factor
+    ``F = Σ_j exp(2πi hkl·r_j)`` over the fractional ``basis`` positions
+    (equal scattering power per site — single-species kinematical
+    approximation; Friedel pairs are equal, so one hemisphere representative
+    suffices). Reflections with relative ``|F|²`` below
+    ``min_rel_intensity`` are extinct.
+
+    Args:
+        a / b / c: cell lengths, Angstrom (b, c default to a).
+        alpha / beta / gamma: cell angles, degrees.
+        basis: fractional atomic positions.
+        hkl_filter: optional ``(h, k, l) -> bool mask`` restricting the
+            swept index box — used to keep the table closed under the point
+            group when the cubic box is not (hexagonal: ``|h+k|`` can
+            exceed ``max_hkl`` under index permutations).
+        kv / max_hkl / min_d / s0: as in `cubic_reflectors`.
+    """
+    b = a if b is None else b
+    c = a if c is None else c
+    lam = electron_wavelength(kv)
+    direct = _direct_basis(a, b, c, alpha, beta, gamma)
+    recip = np.linalg.inv(direct).T  # rows: b1, b2, b3 (Cartesian, 1/A)
+
+    rng_idx = np.arange(-max_hkl, max_hkl + 1)
+    h, k, l = np.meshgrid(rng_idx, rng_idx, rng_idx, indexing="ij")
+    hkl = np.stack([h.ravel(), k.ravel(), l.ravel()], axis=1)
+    hkl = hkl[np.any(hkl != 0, axis=1)]
+    if hkl_filter is not None:
+        hkl = hkl[hkl_filter(hkl[:, 0], hkl[:, 1], hkl[:, 2])]
+    # One hemisphere representative per Friedel pair.
+    keep = (
+        (hkl[:, 0] > 0)
+        | ((hkl[:, 0] == 0) & (hkl[:, 1] > 0))
+        | ((hkl[:, 0] == 0) & (hkl[:, 1] == 0) & (hkl[:, 2] > 0))
+    )
+    hkl = hkl[keep]
+
+    g = hkl @ recip  # (N, 3) Cartesian reciprocal vectors
+    gnorm = np.linalg.norm(g, axis=1)
+    d = 1.0 / gnorm
+    ok = d >= min_d
+    hkl, g, gnorm, d = hkl[ok], g[ok], gnorm[ok], d[ok]
+
+    pos = np.asarray(basis, np.float64)
+    phase = 2.0 * np.pi * (hkl @ pos.T)  # (N, M)
+    f2 = np.cos(phase).sum(axis=1) ** 2 + np.sin(phase).sum(axis=1) ** 2
+    if f2.size:
+        f2 = f2 / max(f2.max(), 1e-30)
+    allowed = f2 > min_rel_intensity
+    hkl, g, gnorm, d, f2 = (
+        hkl[allowed], g[allowed], gnorm[allowed], d[allowed], f2[allowed]
+    )
+    if len(hkl) == 0:
+        raise ValueError(
+            f"no reflectors survive min_d={min_d} at max_hkl={max_hkl} for "
+            "this cell/basis — lower min_d or raise max_hkl"
+        )
+    sin_theta = lam / (2.0 * d)
+    if np.any(sin_theta >= 1.0):
+        raise ValueError("Bragg condition unsatisfiable: raise min_d or kv")
+    s = 1.0 / (2.0 * d)
+    intensity = f2 * np.exp(-((s / s0) ** 2))
+    intensity = intensity / intensity.max()
+    return Reflectors(
+        normals=(g / gnorm[:, None]).astype(np.float32),
+        sin_theta=sin_theta.astype(np.float32),
+        intensity=intensity.astype(np.float32),
+    )
+
+
+def hexagonal_reflectors(
+    a: float = 2.95,
+    c: float = 4.68,
+    kv: float = 20.0,
+    max_hkl: int = 3,
+    min_d: float = 0.8,
+    s0: float = 0.6,
+) -> Reflectors:
+    """hcp reflector table (default: alpha-titanium). The swept index box is
+    restricted to ``|h + k| <= max_hkl`` so the table stays exactly closed
+    under the 622 point group (index permutations map (h, k) → (k, -h-k)).
+    Pairs with the "622" symmetry group in multi-phase dictionaries."""
+    return reflectors_from_cell(
+        a, a, c, 90.0, 90.0, 120.0,
+        basis=((0.0, 0.0, 0.0), (1.0 / 3.0, 2.0 / 3.0, 0.5)),
+        kv=kv, max_hkl=max_hkl, min_d=min_d, s0=s0,
+        hkl_filter=lambda h, k, l: np.abs(h + k) <= max_hkl,
+    )
 
 
 def cubic_reflectors(

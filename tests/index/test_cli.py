@@ -230,6 +230,43 @@ class TestCLI:
         ok = np.isclose(np.abs(got), np.abs(want), atol=1e-2).all(axis=1)
         assert ok.mean() > 0.9
 
+    def test_native_two_phase_loop(self, tmp_path, monkeypatch, capsys):
+        """Fully-native TWO-PHASE loop: sample per-group orientations,
+        simulate fcc and hcp dictionaries, build with phase groups 432/622,
+        query — per-pixel phases must come back right."""
+        small = ["--inplanes", "2", "--latent-dim", "8", "--batch-size", "16"]
+        paths = {}
+        for phase, (group, structure) in enumerate(
+            [("432", "fcc"), ("622", "hcp")]
+        ):
+            ang = str(tmp_path / f"{structure}.txt")
+            _run(["sample", "--group", group, "--resolution", "20",
+                  "--out", ang], monkeypatch, capsys)
+            pat = str(tmp_path / f"{structure}.npy")
+            _run(["simulate", "--angles", ang, "--out", pat,
+                  "--structure", structure, "--max-hkl", "2",
+                  "--min-d", "1.0", "--uint8"], monkeypatch, capsys)
+            paths[structure] = (pat, ang)
+        db = str(tmp_path / "mp.npz")
+        _run(
+            ["build",
+             "--patterns", paths["fcc"][0], "--angles", paths["fcc"][1],
+             "--patterns", paths["hcp"][0], "--angles", paths["hcp"][1],
+             "--phase-groups", "432,622", "--db", db] + small,
+            monkeypatch, capsys,
+        )
+        out = str(tmp_path / "o.npy")
+        stdout = _run(
+            ["query", "--patterns", paths["hcp"][0], "--db", db, "--out", out,
+             "--top-n", "3", "--min-matches", "1"] + small,
+            monkeypatch, capsys,
+        )
+        summary = json.loads(stdout.strip().splitlines()[-1])
+        phases = np.load(out.replace(".npy", "") + "_phase.npy")
+        # hcp self-queries report phase 1 (band geometry separates phases).
+        assert (phases == 1).mean() > 0.9
+        assert summary["n_patterns"] == len(phases)
+
     def test_build_query_multiphase(self, tmp_path, monkeypatch, capsys):
         p0, a0, pat0 = _write_phase(tmp_path, "fcc", 16, seed=1)
         p1, a1, pat1 = _write_phase(tmp_path, "hcp", 16, seed=2)

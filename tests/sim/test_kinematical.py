@@ -65,6 +65,75 @@ class TestPhysics:
             cubic_reflectors("fcc", a=3.52, min_d=2.1)
 
 
+class TestGeneralCell:
+    def test_fcc_basis_matches_extinction_rules(self):
+        """Two independent formulations of the same physics: the 4-atom-basis
+        structure factor reproduces the fcc extinction-rule table exactly
+        (same Bragg sines, same normals, same normalized weights)."""
+        from latice_tpu.sim import reflectors_from_cell
+
+        a, kv = 3.52, 20.0
+        rule = cubic_reflectors("fcc", a=a, kv=kv, max_hkl=3, min_d=0.8)
+        cell = reflectors_from_cell(
+            a, kv=kv, max_hkl=3, min_d=0.8,
+            basis=((0, 0, 0), (0, 0.5, 0.5), (0.5, 0, 0.5), (0.5, 0.5, 0)),
+        )
+        assert len(rule) == len(cell)
+        order_r = np.lexsort(np.round(rule.normals, 5).T)
+        order_c = np.lexsort(np.round(cell.normals, 5).T)
+        np.testing.assert_allclose(
+            rule.normals[order_r], cell.normals[order_c], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            rule.sin_theta[order_r], cell.sin_theta[order_c], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            rule.intensity[order_r], cell.intensity[order_c], atol=1e-5
+        )
+
+    def test_hcp_extinctions_and_metric(self):
+        from latice_tpu.sim import hexagonal_reflectors
+
+        a, c, kv = 2.95, 4.68, 20.0
+        refl = hexagonal_reflectors(a=a, c=c, kv=kv, max_hkl=2, min_d=0.8)
+        lam = electron_wavelength(kv)
+        # (0002) allowed at d = c/2; (0001) forbidden (basis at z=1/2).
+        sines = refl.sin_theta
+        assert np.isclose(sines, lam / (2 * (c / 2)), rtol=1e-4).any()
+        assert not np.isclose(sines, lam / (2 * c), rtol=1e-4).any()
+        # Non-cubic metric: the (10-10) prism normal is perpendicular to c
+        # and its d-spacing is a*sqrt(3)/2, NOT a.
+        d_prism = a * np.sqrt(3) / 2
+        i = np.argmin(np.abs(sines - lam / (2 * d_prism)))
+        assert np.isclose(sines[i], lam / (2 * d_prism), rtol=1e-4)
+        assert abs(refl.normals[i, 2]) < 1e-6
+
+    def test_hcp_pattern_622_invariance(self):
+        """Rendered hcp patterns are invariant under the 622 point group —
+        pins both the reflector-table closure (the |h+k| box filter) and
+        the renderer."""
+        from latice_tpu.crystal import quat_mul
+        from latice_tpu.sim import hexagonal_reflectors
+        import jax.numpy as jnp
+
+        refl = hexagonal_reflectors(max_hkl=2, min_d=1.0)
+        geom = DetectorGeometry(shape=(64, 64))
+        rng = np.random.default_rng(2)
+        q = rng.normal(size=(1, 4)).astype(np.float32)
+        q /= np.linalg.norm(q)
+        base = simulate_patterns(q, geom, refl)
+        for g in np.asarray(ROTATION_GROUPS["622"], np.float32)[[1, 5, 8]]:
+            qg = np.asarray(quat_mul(jnp.asarray(q), jnp.asarray(g[None])))
+            out = simulate_patterns(qg, geom, refl)
+            np.testing.assert_allclose(out, base, atol=2e-4)
+
+    def test_degenerate_cell_rejected(self):
+        from latice_tpu.sim import reflectors_from_cell
+
+        with pytest.raises(ValueError, match="degenerate cell"):
+            reflectors_from_cell(3.0, alpha=10.0, beta=170.0)
+
+
 class TestGeometry:
     def test_pattern_center_points_forward(self):
         g = DetectorGeometry(shape=(128, 128), pcx=0.5, pcy=0.5, dd=0.7)
