@@ -373,7 +373,7 @@ def cmd_simulate(args) -> None:
     eulers = parse_angle_file(args.angles)
     geometry = DetectorGeometry(
         shape=(args.size, args.size), pcx=args.pc[0], pcy=args.pc[1],
-        dd=args.pc[2],
+        dd=args.pc[2], tilt=args.tilt,
     )
     if args.structure == "hcp":
         # Ideal-ish c/a when not given; pairs with point group "622".
@@ -642,6 +642,10 @@ def main() -> None:
         "--pc", type=float, nargs=3, default=(0.5, 0.5, 0.7),
         metavar=("PCX", "PCY", "DD"),
         help="pattern center + detector distance, detector-width units",
+    )
+    m.add_argument(
+        "--tilt", type=float, default=0.0,
+        help="detector tilt about the horizontal axis, degrees",
     )
     m.add_argument("--max-hkl", type=int, default=3)
     m.add_argument(

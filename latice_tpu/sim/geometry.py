@@ -22,6 +22,7 @@ positions are exactly the gnomonic projections of the Kossel-cone traces.
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import numpy as np
 
@@ -38,12 +39,18 @@ class DetectorGeometry:
             left edge / bottom edge (TSL-style).
         dd: sample→detector distance as a fraction of detector width.
             Smaller ``dd`` = wider angular capture (more bands).
+        tilt: detector tilt about the horizontal (x) axis, degrees —
+            positive tips the detector top away from the sample. Exactly
+            equivalent to pre-rotating every orientation by the inverse
+            tilt (pinned by test), provided so vendor geometries map
+            directly instead of being folded into orientation conventions.
     """
 
     shape: tuple[int, int] = (128, 128)
     pcx: float = 0.5
     pcy: float = 0.5
     dd: float = 0.7
+    tilt: float = 0.0
 
     def __post_init__(self):
         if self.dd <= 0:
@@ -64,4 +71,14 @@ def pixel_directions(geometry: DetectorGeometry) -> np.ndarray:
     y = np.broadcast_to(dist_bottom[:, None] - geometry.pcy, (h, w))
     z = np.full((h, w), geometry.dd)
     d = np.stack([x, y, z], axis=-1)
+    if geometry.tilt:
+        t = math.radians(geometry.tilt)
+        rot = np.array(
+            [
+                [1.0, 0.0, 0.0],
+                [0.0, math.cos(t), -math.sin(t)],
+                [0.0, math.sin(t), math.cos(t)],
+            ]
+        )
+        d = d @ rot.T
     return (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)

@@ -149,6 +149,28 @@ class TestGeometry:
         with pytest.raises(ValueError, match="dd"):
             DetectorGeometry(dd=0)
 
+    def test_tilt_equals_inverse_orientation_rotation(self):
+        """Tilting the detector by t about x is exactly pre-rotating the
+        orientation by R_x(-t): sin α = (R_x(t) d)·(R(q) n) = d·(R_x(-t)R(q) n)."""
+        from latice_tpu.crystal import from_axis_angle, quat_mul
+        import jax.numpy as jnp
+
+        refl = cubic_reflectors("fcc", max_hkl=2, min_d=1.0)
+        rng = np.random.default_rng(4)
+        q = rng.normal(size=(1, 4)).astype(np.float32)
+        q /= np.linalg.norm(q)
+        tilt = 10.0
+        tilted = simulate_patterns(
+            q, DetectorGeometry(shape=(64, 64), tilt=tilt), refl
+        )
+        qx = np.asarray(
+            from_axis_angle(jnp.asarray([1.0, 0.0, 0.0]),
+                            jnp.asarray(np.radians(-tilt)))
+        ).astype(np.float32)
+        q_eq = np.asarray(quat_mul(jnp.asarray(qx[None]), jnp.asarray(q)))
+        flat = simulate_patterns(q_eq, DetectorGeometry(shape=(64, 64)), refl)
+        np.testing.assert_allclose(tilted, flat, atol=2e-4)
+
 
 class TestRenderer:
     @pytest.fixture(scope="class")
