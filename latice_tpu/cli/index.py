@@ -24,6 +24,7 @@ import argparse
 import json
 import logging
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -116,6 +117,12 @@ def cmd_build(args) -> None:
         indexer.build_multiphase_dictionary(list(zip(args.patterns, args.angles)))
     else:
         indexer.build_dictionary()
+        # Carry `simulate` provenance into the npz (single-phase only —
+        # refinement needs one forward model per dictionary).
+        sidecar = Path(args.patterns[0] + ".simmeta.json")
+        if sidecar.exists():
+            db.sim_meta = json.loads(sidecar.read_text())
+            logger.info("Persisting simulation provenance for query --refine")
     db.save()
     logger.info(
         f"Built dictionary of {db.get_count()} vectors"
@@ -262,6 +269,13 @@ def cmd_query(args) -> None:
         )
         return out.reshape(len(x), *x.shape[1:])
 
+    refine_steps = getattr(args, "refine", None)
+    if refine_steps and db.sim_meta is None:
+        raise SystemExit(
+            "--refine needs a dictionary with simulation provenance (built "
+            "from 'index.py simulate' output); this npz has none"
+        )
+
     t0 = time.time()
     if args.patterns.lower().endswith(HDF5_EXTENSIONS):
         # HDF5 scan (vendor acquisition container): stream slabs off disk so
@@ -270,11 +284,10 @@ def cmd_query(args) -> None:
 
         f, dset = find_pattern_dataset(args.patterns, args.h5_dataset)
         try:
-            if getattr(args, "nlpar", None):
-                # NLPAR averages across scan rows, so the map must
-                # materialize once; it then streams through the denoiser's
-                # own row slabs.
-                logger.info("NLPAR: materializing the HDF5 scan on host")
+            if getattr(args, "nlpar", None) or refine_steps:
+                # NLPAR averages across scan rows and --refine re-reads the
+                # patterns after indexing, so the map must materialize once.
+                logger.info("materializing the HDF5 scan on host")
                 x = _nlpar(prepare_patterns(dset[...]))
                 result = pipe(x)
             else:
@@ -282,6 +295,7 @@ def cmd_query(args) -> None:
                     pipe(prepare_patterns(slab))
                     for slab in iter_pattern_batches(dset, args.h5_chunk)
                 )
+                x = None
         finally:
             f.close()
         n = len(result.success)
@@ -294,13 +308,18 @@ def cmd_query(args) -> None:
         f"Indexed {n} patterns in {dt:.2f}s ({n/dt:,.0f}/s); "
         f"success rate {result.success.mean():.1%}"
     )
-    np.save(args.out, result.best_orientation)
     summary = {
         "n_patterns": n,
         "success_rate": float(result.success.mean()),
         "seconds": dt,
         "out": args.out,
     }
+    if refine_steps:
+        result, refine_summary = _refine_result(
+            args, db.sim_meta, x, result, refine_steps
+        )
+        summary.update(refine_summary)
+    np.save(args.out, result.best_orientation)
     if result.phase is not None:
         phase_out = args.out.replace(".npy", "") + "_phase.npy"
         np.save(phase_out, result.phase)
@@ -355,6 +374,60 @@ def cmd_sample(args) -> None:
     )
 
 
+def _reflectors_from_meta(meta):
+    """Rebuild the simulate-time reflector table from npz provenance."""
+    from latice_tpu.sim import cubic_reflectors, hexagonal_reflectors
+
+    if meta["structure"] == "hcp":
+        c = meta.get("lattice_c") or 1.587 * meta["lattice"]
+        return hexagonal_reflectors(
+            a=meta["lattice"], c=c, kv=meta["kv"],
+            max_hkl=meta["max_hkl"], min_d=meta["min_d"],
+        )
+    return cubic_reflectors(
+        meta["structure"], a=meta["lattice"], kv=meta["kv"],
+        max_hkl=meta["max_hkl"], min_d=meta["min_d"],
+    )
+
+
+def _refine_result(args, meta, patterns, result, steps):
+    """Autodiff orientation refinement against the dictionary's own forward
+    model (sim.refine): sub-grid accuracy from the dictionary-indexed
+    initialization."""
+    import jax.numpy as jnp
+
+    from latice_tpu.crystal import from_euler_zxz_deg, to_euler_zxz_deg
+    from latice_tpu.sim import DetectorGeometry, refine_orientations
+
+    geometry = DetectorGeometry(
+        shape=(meta["size"], meta["size"]), pcx=meta["pc"][0],
+        pcy=meta["pc"][1], dd=meta["pc"][2], tilt=meta.get("tilt", 0.0),
+    )
+    x = np.asarray(patterns)
+    if x.dtype == np.uint8:
+        x = x.astype(np.float32) / 255.0
+    init_q = np.asarray(
+        from_euler_zxz_deg(
+            jnp.asarray(result.best_orientation, jnp.float32)
+        )
+    )
+    t0 = time.time()
+    refined_q, ncc = refine_orientations(
+        x, init_q, geometry, _reflectors_from_meta(meta), steps=steps,
+    )
+    refined = np.asarray(
+        to_euler_zxz_deg(jnp.asarray(refined_q))
+    ).astype(np.float64)
+    logger.info(
+        f"Refined {len(x)} orientations in {time.time()-t0:.1f}s; "
+        f"median NCC {np.median(ncc):.3f}"
+    )
+    return result._replace(best_orientation=refined), {
+        "refine_steps": steps,
+        "refine_ncc_median": round(float(np.median(ncc)), 4),
+    }
+
+
 def cmd_simulate(args) -> None:
     """Render a kinematical dictionary pattern stack from an anglefile.
 
@@ -394,6 +467,21 @@ def cmd_simulate(args) -> None:
     )
     dt = time.time() - t0
     np.save(args.out, patterns)
+    # Simulation provenance sidecar: `build` copies it into the npz so
+    # `query --refine` can rebuild the exact forward model.
+    meta = {
+        "structure": args.structure,
+        "lattice": args.lattice,
+        "lattice_c": args.lattice_c,
+        "kv": args.kv,
+        "size": args.size,
+        "pc": list(args.pc),
+        "tilt": args.tilt,
+        "max_hkl": args.max_hkl,
+        "min_d": args.min_d,
+    }
+    with open(args.out + ".simmeta.json", "w") as f:
+        json.dump(meta, f)
     print(
         json.dumps(
             {
@@ -548,6 +636,13 @@ def main() -> None:
         "--devices", type=int, default=None,
         help="run the pipeline data-parallel over N devices: batch-sharded "
         "encode + row-sharded dictionary search (default: single device)",
+    )
+    q.add_argument(
+        "--refine", type=int, default=None, metavar="STEPS",
+        help="autodiff orientation refinement against the dictionary's "
+        "simulation model (needs a db built from 'simulate' output): "
+        "N Adam steps through the differentiable renderer push accuracy "
+        "below the dictionary grid spacing (try 40)",
     )
     q.add_argument(
         "--nlpar", type=float, default=None, metavar="H",

@@ -238,6 +238,7 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
         self._orientations = np.zeros((0, 3), dtype=np.float64)
         self._phases = np.zeros((0,), dtype=np.int32)
         self._has_phases = False
+        self.sim_meta: dict | None = None
         self._dev_cache: tuple[jnp.ndarray, jnp.ndarray] | None = None
         self._int8_cache: jnp.ndarray | None = None
         self._sym_tables_cache: jnp.ndarray | None = None
@@ -659,6 +660,13 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
                 extra["phase_groups"] = np.asarray(
                     list(self.config.phase_symmetries), dtype=np.str_
                 )
+        if self.sim_meta is not None:
+            # Simulation provenance (geometry + reflector args from
+            # `index.py simulate`) rides inside the npz so `query --refine`
+            # can rebuild the exact forward model the dictionary came from.
+            import json as _json
+
+            extra["sim_meta"] = np.asarray(_json.dumps(self.sim_meta))
         np.savez_compressed(
             str(path),
             vectors=self._vectors,
@@ -701,6 +709,10 @@ class TpuLatentVectorDatabase(LatentVectorDatabaseBase):
         )
         if "phase_groups" in data and self.config.phase_symmetries is None:
             self.config.phase_symmetries = [str(g) for g in data["phase_groups"]]
+        if "sim_meta" in data:
+            import json as _json
+
+            self.sim_meta = _json.loads(str(data["sim_meta"]))
         self.dimension = self._vectors.shape[1]
         self._dev_cache = None
         self._int8_cache = None

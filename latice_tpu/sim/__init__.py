@@ -9,6 +9,7 @@ renderer that runs as one XLA program — so `index.py sample` →
 """
 
 from latice_tpu.sim.geometry import DetectorGeometry, pixel_directions
+from latice_tpu.sim.refine import refine_orientations
 from latice_tpu.sim.kinematical import (
     Reflectors,
     cubic_reflectors,
@@ -26,5 +27,6 @@ __all__ = [
     "hexagonal_reflectors",
     "pixel_directions",
     "reflectors_from_cell",
+    "refine_orientations",
     "simulate_patterns",
 ]

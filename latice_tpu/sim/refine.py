@@ -1,0 +1,189 @@
+"""Gradient-based orientation refinement through the differentiable renderer.
+
+Dictionary indexing is resolution-bounded: the consensus orientation can
+never be better than the grid spacing (~the 2° median error the accuracy
+benchmark measures). This module pushes past that bound by refining each
+orientation against the *pattern itself*: the kinematical renderer
+(`sim.kinematical`) is a smooth function of the orientation quaternion
+(sigmoid band profiles), so the normalized cross-correlation between the
+simulated and observed pattern is differentiable end to end — ``jax.grad``
+through the physics gives the exact sensitivity of every band position to
+the orientation, and a few Adam steps on a tangent-space perturbation
+converge to sub-tenth-degree accuracy.
+
+This is the role EMsoft's ``EMFitOrientation`` plays after its dictionary
+pass, rebuilt on autodiff instead of derivative-free simplex search: no
+finite differences, no per-orientation Python loops — one jitted program
+refines the whole query batch in parallel on the MXU.
+
+Parameterization: the update lives in the tangent space at the current
+estimate, ``q = dq(v) ⊗ q0`` with ``dq(v) = (1, v/2)/|·|`` for a small
+rotation vector ``v`` (radians). Optimizing ``v`` instead of raw
+quaternion components keeps the iterate exactly on the unit sphere and
+makes the learning rate an angle scale.
+
+Attraction basin: a band moves off a pixel once the misorientation exceeds
+its half-width (~the Bragg angle, 1-3°), so initialization within the
+dictionary's grid spacing — exactly what `IndexPipeline` provides — sits
+inside the basin. ``lr`` defaults to a fraction of that.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latice_tpu.sim.geometry import DetectorGeometry, pixel_directions
+from latice_tpu.sim.kinematical import Reflectors, cubic_reflectors, _quat_rotate
+
+__all__ = ["refine_orientations"]
+
+
+def _simulate_flat(quats, dirs, normals, sin_theta, intensity, edge_frac):
+    """Differentiable core render: (B, 4) → (B, P), per-pattern standardized.
+
+    Mirrors `kinematical._render_chunk` but standardizes (zero mean / unit
+    norm) instead of minmax — min/max have zero gradient almost everywhere,
+    while the NCC objective below needs smooth normalization.
+    """
+    n_det = _quat_rotate(quats, normals)
+    sines = jnp.einsum(
+        "pc,bkc->bpk", dirs, n_det, precision=jax.lax.Precision.HIGHEST
+    )
+    half = sin_theta[None, None, :]
+    soft = jnp.maximum(half * edge_frac, 1e-6)
+    profile = jax.nn.sigmoid((half - jnp.abs(sines)) / soft)
+    x = jnp.einsum("bpk,k->bp", profile, intensity)
+    x = x - jnp.mean(x, axis=1, keepdims=True)
+    return x / (jnp.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
+
+
+def _apply_tangent(v, q0):
+    """q = dq(v) ⊗ q0 for small rotation vectors v (B, 3), radians."""
+    w = jnp.ones(v.shape[:-1] + (1,), v.dtype)
+    dq = jnp.concatenate([w, 0.5 * v], axis=-1)
+    dq = dq / jnp.linalg.norm(dq, axis=-1, keepdims=True)
+    a_w, a_xyz = dq[..., :1], dq[..., 1:]
+    b_w, b_xyz = q0[..., :1], q0[..., 1:]
+    return jnp.concatenate(
+        [
+            a_w * b_w - jnp.sum(a_xyz * b_xyz, axis=-1, keepdims=True),
+            a_w * b_xyz + b_w * a_xyz + jnp.cross(a_xyz, b_xyz),
+        ],
+        axis=-1,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("steps", "edge_frac")
+)
+def _refine_chunk(patterns, q0, dirs, normals, sin_theta, intensity,
+                  lr, *, steps, edge_frac):
+    """Adam on the tangent vector, all queries in parallel."""
+    p = patterns - jnp.mean(patterns, axis=1, keepdims=True)
+    p = p / (jnp.linalg.norm(p, axis=1, keepdims=True) + 1e-12)
+
+    def ncc_loss(v):
+        sim = _simulate_flat(
+            _apply_tangent(v, q0), dirs, normals, sin_theta, intensity,
+            edge_frac,
+        )
+        return -jnp.sum(sim * p, axis=1)  # per-query negative NCC
+
+    grad_fn = jax.grad(lambda v: jnp.sum(ncc_loss(v)))
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    # Exponential lr decay to lr/30: Adam's sign-normalized steps are
+    # ~lr-sized even at the optimum, so a constant rate leaves a random-walk
+    # floor of ~lr·sqrt(steps) (~0.14° measured); decaying polishes it away.
+    decay = (1.0 / 30.0) ** (1.0 / max(steps - 1, 1))
+
+    def body(carry, i):
+        v, m, s = carry
+        g = grad_fn(v)
+        m = b1 * m + (1 - b1) * g
+        s = b2 * s + (1 - b2) * g * g
+        mh = m / (1 - b1 ** (i + 1.0))
+        sh = s / (1 - b2 ** (i + 1.0))
+        v = v - lr * (decay ** i) * mh / (jnp.sqrt(sh) + eps)
+        return (v, m, s), None
+
+    v0 = jnp.zeros(q0.shape[:-1] + (3,), jnp.float32)
+    (v, _, _), _ = jax.lax.scan(
+        body, (v0, v0, v0), jnp.arange(steps, dtype=jnp.float32)
+    )
+    q = _apply_tangent(v, q0)
+    return q, -ncc_loss(v)
+
+
+def refine_orientations(
+    patterns: np.ndarray,
+    init_quats: np.ndarray,
+    geometry: DetectorGeometry | None = None,
+    reflectors: Reflectors | None = None,
+    steps: int = 40,
+    lr: float = 2e-3,
+    edge_frac: float = 0.25,
+    chunk: int = 64,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Refine orientations against observed patterns by autodiff.
+
+    Args:
+        patterns: ``(B, H, W)`` observed patterns (any intensity scale —
+            the NCC objective is affine-invariant).
+        init_quats: ``(B, 4)`` scalar-first initializations, typically
+            `IndexPipeline` output converted with `crystal.from_euler_zxz_deg`
+            — must sit within the attraction basin (~band width, a few deg).
+        geometry / reflectors: the simulation model — use the SAME values
+            the dictionary was simulated with.
+        steps: Adam iterations (each is one fused render+grad program).
+        lr: tangent step scale, radians (2e-3 ≈ 0.11° per unit-gradient
+            step; safe within a 2-3° basin).
+        chunk: queries per device dispatch.
+
+    Returns:
+        ``(refined_quats (B, 4), ncc (B,))`` — the final normalized
+        cross-correlation is a per-query fit-quality score in [-1, 1].
+    """
+    geometry = geometry or DetectorGeometry()
+    reflectors = reflectors or cubic_reflectors()
+    x = np.asarray(patterns, np.float32)
+    q0 = np.asarray(init_quats, np.float32)
+    if x.ndim != 3:
+        raise ValueError(f"expected (B, H, W) patterns, got {x.shape}")
+    if q0.shape != (len(x), 4):
+        raise ValueError(
+            f"init_quats must be ({len(x)}, 4), got {q0.shape}"
+        )
+    h, w = geometry.shape
+    if x.shape[1:] != (h, w):
+        raise ValueError(
+            f"patterns are {x.shape[1]}x{x.shape[2]} but the geometry "
+            f"renders {h}x{w}"
+        )
+    q0 = q0 / np.linalg.norm(q0, axis=1, keepdims=True)
+    dirs = jnp.asarray(pixel_directions(geometry).reshape(-1, 3))
+    normals = jnp.asarray(reflectors.normals)
+    sin_t = jnp.asarray(reflectors.sin_theta)
+    inten = jnp.asarray(reflectors.intensity)
+
+    b = len(x)
+    out_q = np.empty((b, 4), np.float32)
+    out_c = np.empty((b,), np.float32)
+    flat = x.reshape(b, -1)
+    for start in range(0, b, chunk):
+        xc = flat[start : start + chunk]
+        qc = q0[start : start + chunk]
+        n = len(xc)
+        if n < chunk:
+            xc = np.concatenate([xc, np.tile(xc[-1:], (chunk - n, 1))])
+            qc = np.concatenate([qc, np.tile(qc[-1:], (chunk - n, 1))])
+        q, c = _refine_chunk(
+            jnp.asarray(xc), jnp.asarray(qc), dirs, normals, sin_t, inten,
+            jnp.float32(lr), steps=steps, edge_frac=edge_frac,
+        )
+        out_q[start : start + n] = np.asarray(q)[:n]
+        out_c[start : start + n] = np.asarray(c)[:n]
+    return out_q, out_c

@@ -230,6 +230,58 @@ class TestCLI:
         ok = np.isclose(np.abs(got), np.abs(want), atol=1e-2).all(axis=1)
         assert ok.mean() > 0.9
 
+    def test_query_refine_plumbing(self, tmp_path, monkeypatch, capsys):
+        """--refine rebuilds the dictionary's forward model from the npz
+        provenance and refines against it. Self-queries pin the plumbing:
+        the init is exact, so the refined orientations stay on the stored
+        angles with near-perfect NCC. (Sub-grid convergence from perturbed
+        inits is pinned at the library level, tests/sim/test_refine.py —
+        this random-weights CLI encoder can't index off-grid patterns.)"""
+        small = ["--inplanes", "2", "--latent-dim", "8", "--batch-size", "16"]
+        ang = str(tmp_path / "fz.txt")
+        _run(["sample", "--group", "432", "--resolution", "16", "--out", ang],
+             monkeypatch, capsys)
+        pats = str(tmp_path / "dict.npy")
+        _run(["simulate", "--angles", ang, "--out", pats,
+              "--max-hkl", "2", "--min-d", "1.0"], monkeypatch, capsys)
+        db = str(tmp_path / "sim.npz")
+        _run(["build", "--patterns", pats, "--angles", ang, "--db", db]
+             + small, monkeypatch, capsys)
+
+        out = str(tmp_path / "refined.npy")
+        stdout = _run(
+            ["query", "--patterns", pats, "--db", db, "--out", out,
+             "--top-n", "3", "--min-matches", "1", "--refine", "20"] + small,
+            monkeypatch, capsys,
+        )
+        summary = json.loads(stdout.strip().splitlines()[-1])
+        assert summary["refine_steps"] == 20
+        assert summary["refine_ncc_median"] > 0.95
+
+        from latice_tpu.crystal import (
+            from_euler_zxz_deg,
+            symmetry_reduced_misorientation,
+        )
+        from latice_tpu.data import parse_angle_file
+        import jax.numpy as jnp
+
+        got = np.load(out)
+        truth = parse_angle_file(ang)
+        err = np.degrees(np.asarray(symmetry_reduced_misorientation(
+            from_euler_zxz_deg(jnp.asarray(got, jnp.float32)),
+            from_euler_zxz_deg(jnp.asarray(truth, jnp.float32)),
+        )))
+        assert np.median(err) < 0.2
+
+    def test_refine_without_provenance_rejected(self, tmp_path, monkeypatch, capsys):
+        ppath, apath, _ = _write_phase(tmp_path, "dict", 8, seed=10)
+        db = str(tmp_path / "plain.npz")
+        _run(["build", "--patterns", str(ppath), "--angles", str(apath),
+              "--db", db] + SMALL, monkeypatch, capsys)
+        with pytest.raises(SystemExit, match="provenance"):
+            _run(["query", "--patterns", str(ppath), "--db", db,
+                  "--refine", "10"] + SMALL, monkeypatch, capsys)
+
     def test_native_two_phase_loop(self, tmp_path, monkeypatch, capsys):
         """Fully-native TWO-PHASE loop: sample per-group orientations,
         simulate fcc and hcp dictionaries, build with phase groups 432/622,
