@@ -9,6 +9,7 @@ renderer that runs as one XLA program — so `index.py sample` →
 """
 
 from latice_tpu.sim.geometry import DetectorGeometry, pixel_directions
+from latice_tpu.sim.calibrate import calibrate_geometry
 from latice_tpu.sim.refine import refine_orientations
 from latice_tpu.sim.kinematical import (
     Reflectors,
@@ -21,6 +22,7 @@ from latice_tpu.sim.kinematical import (
 
 __all__ = [
     "DetectorGeometry",
+    "calibrate_geometry",
     "Reflectors",
     "cubic_reflectors",
     "electron_wavelength",
