@@ -38,6 +38,13 @@ def render_patterns(angles_deg, noise=0.0, seed=0, freqs=(9.0, 14.0, 6.0)):
     """
     rng = np.random.default_rng(seed)
     if _KINEMATICAL:
+        if freqs != (9.0, 14.0, 6.0):
+            # The cosine toy emulates phases by frequency tuples; the
+            # kinematical renderer is single-phase fcc Ni here.
+            raise ValueError(
+                "--kinematical renders one fcc-Ni phase; per-phase freqs "
+                "are a cosine-toy feature"
+            )
         from latice_tpu.sim import simulate_patterns
 
         out = simulate_patterns(np.asarray(angles_deg, np.float64), chunk=256)
@@ -89,15 +96,16 @@ def main(scaled: bool = False):
         lat = np.concatenate([np.asarray(enc(params, xd[i:i+512])) for i in range(0, N, 512)])
         return lat / np.linalg.norm(lat, axis=1, keepdims=True)
 
-    def eval_pipe(pipe, q_angles, q, tag):
-        res = pipe(q.astype(np.float32))
+    def eval_pipe(pipe, q_angles, q, tag, res=None):
+        if res is None:
+            res = pipe(q.astype(np.float32))
         got = R.from_euler("zxz", np.where(res.success[:,None], res.best_orientation, 0), degrees=True)
         want = R.from_euler("zxz", q_angles, degrees=True)
         err = np.degrees((got.inv() * want).magnitude())
         err = np.where(res.success, err, np.nan)
         print(f"{tag}: success={res.success.mean():.1%} median_err={np.nanmedian(err):.3f} deg "
               f"p90={np.nanpercentile(err, 90):.2f}")
-        return np.nanmedian(err)
+        return res
 
     def build_and_eval(params, tag):
         vecs = encode_dictionary(params)
@@ -152,9 +160,7 @@ def main(scaled: bool = False):
         pipe = IndexPipeline(model, state.params, vecs, dict_angles, top_n=10,
                              orientation_threshold=5.0, min_required_matches=3,
                              batch_size=512, consensus_weight_power=power)
-        res = pipe(q.astype(np.float32))
-        eval_pipe(pipe, q_angles, q, f"off-grid power={power}")
-        last_res = res
+        last_res = eval_pipe(pipe, q_angles, q, f"off-grid power={power}")
 
     if _KINEMATICAL:
         # Autodiff refinement through the renderer: the dictionary-indexed

@@ -117,8 +117,13 @@ def cmd_build(args) -> None:
         indexer.build_multiphase_dictionary(list(zip(args.patterns, args.angles)))
     else:
         indexer.build_dictionary()
-        # Carry `simulate` provenance into the npz (single-phase only —
-        # refinement needs one forward model per dictionary).
+    # Simulation provenance: always RESET from this build's inputs — a
+    # rebuilt npz must not keep a previous build's forward model (stale
+    # provenance would let --refine run against unrelated physics). Gated
+    # on the pattern-file count, not the multiphase flag, so a single-phase
+    # hcp build (--phase-groups 622) still carries its provenance.
+    db.sim_meta = None
+    if len(args.patterns) == 1:
         sidecar = Path(args.patterns[0] + ".simmeta.json")
         if sidecar.exists():
             db.sim_meta = json.loads(sidecar.read_text())
@@ -314,12 +319,16 @@ def cmd_query(args) -> None:
         "seconds": dt,
         "out": args.out,
     }
+    # Persist the dictionary-indexed result BEFORE refinement: a refine
+    # failure (shape mismatch, OOM) must not discard a potentially
+    # hours-long indexing run. Refinement overwrites the file on success.
+    np.save(args.out, result.best_orientation)
     if refine_steps:
         result, refine_summary = _refine_result(
             args, db.sim_meta, x, result, refine_steps
         )
         summary.update(refine_summary)
-    np.save(args.out, result.best_orientation)
+        np.save(args.out, result.best_orientation)
     if result.phase is not None:
         phase_out = args.out.replace(".npy", "") + "_phase.npy"
         np.save(phase_out, result.phase)
@@ -466,7 +475,10 @@ def cmd_simulate(args) -> None:
         dtype=np.uint8 if args.uint8 else np.float32,
     )
     dt = time.time() - t0
-    np.save(args.out, patterns)
+    # np.save appends .npy when missing; mirror that so the sidecar always
+    # sits next to the actual pattern file.
+    out_path = args.out if args.out.endswith(".npy") else args.out + ".npy"
+    np.save(out_path, patterns)
     # Simulation provenance sidecar: `build` copies it into the npz so
     # `query --refine` can rebuild the exact forward model.
     meta = {
@@ -480,7 +492,7 @@ def cmd_simulate(args) -> None:
         "max_hkl": args.max_hkl,
         "min_d": args.min_d,
     }
-    with open(args.out + ".simmeta.json", "w") as f:
+    with open(out_path + ".simmeta.json", "w") as f:
         json.dump(meta, f)
     print(
         json.dumps(

@@ -298,10 +298,15 @@ class IndexService:
 
             scan_grid = arr.shape[:2]
             # NLPAR outputs float32, so the pipeline's integer /255 branch
-            # will not fire — normalize uint8 scans to model units here.
+            # will not fire — normalize integer scans to model units here
+            # with the same per-dtype scale prepare_patterns uses (1/255
+            # for uint8, 1/65535 for uint16 vendor detectors, ...).
+            from latice_tpu.data.transforms import _int_scale
+
+            src_dtype = arr.dtype
             arr = arr.astype(np.float32)
-            if np.asarray(patterns).dtype == np.uint8:
-                arr /= 255.0
+            if np.issubdtype(src_dtype, np.integer):
+                arr *= _int_scale(src_dtype)
             arr = nlpar_denoise(
                 arr,
                 search_radius=self.nlpar_radius,

@@ -33,8 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from latice_tpu.sim.geometry import DetectorGeometry
-from latice_tpu.sim.kinematical import Reflectors, cubic_reflectors, _quat_rotate
-from latice_tpu.sim.refine import _apply_tangent
+from latice_tpu.sim.kinematical import Reflectors, cubic_reflectors
+from latice_tpu.sim.refine import _apply_tangent, _simulate_flat
 
 __all__ = ["calibrate_geometry"]
 
@@ -71,17 +71,13 @@ def _calibrate(patterns, q0, pc0, tilt_rad, normals, sin_theta, intensity,
 
     def loss(params):
         pc, v = params
+        # Same differentiable render as sim.refine, with the pixel
+        # directions themselves now a function of the geometry parameters.
         dirs = _pixel_directions_jax(shape, pc[0], pc[1], pc[2], tilt_rad)
-        n_det = _quat_rotate(_apply_tangent(v, q0), normals)
-        sines = jnp.einsum(
-            "pc,bkc->bpk", dirs, n_det, precision=jax.lax.Precision.HIGHEST
+        x = _simulate_flat(
+            _apply_tangent(v, q0), dirs, normals, sin_theta, intensity,
+            edge_frac,
         )
-        half = sin_theta[None, None, :]
-        soft = jnp.maximum(half * edge_frac, 1e-6)
-        profile = jax.nn.sigmoid((half - jnp.abs(sines)) / soft)
-        x = jnp.einsum("bpk,k->bp", profile, intensity)
-        x = x - jnp.mean(x, axis=1, keepdims=True)
-        x = x / (jnp.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
         return -jnp.sum(x * p)
 
     grad_fn = jax.grad(loss)

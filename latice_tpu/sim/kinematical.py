@@ -72,10 +72,15 @@ class Reflectors:
         return len(self.normals)
 
 
-_EXTINCTION = {
-    "fcc": lambda h, k, l: (h % 2 == k % 2) & (k % 2 == l % 2),
-    "bcc": lambda h, k, l: (h + k + l) % 2 == 0,
-    "sc": lambda h, k, l: np.ones_like(h, bool),
+# Conventional atomic bases per cubic centering; their structure factors
+# reproduce the classical extinction rules exactly (fcc: all-even/all-odd;
+# bcc: h+k+l even), pinned by the test-side rule oracle.
+_BASES = {
+    "fcc": (
+        (0.0, 0.0, 0.0), (0.0, 0.5, 0.5), (0.5, 0.0, 0.5), (0.5, 0.5, 0.0),
+    ),
+    "bcc": ((0.0, 0.0, 0.0), (0.5, 0.5, 0.5)),
+    "sc": ((0.0, 0.0, 0.0),),
 }
 
 
@@ -167,8 +172,11 @@ def reflectors_from_cell(
     pos = np.asarray(basis, np.float64)
     phase = 2.0 * np.pi * (hkl @ pos.T)  # (N, M)
     f2 = np.cos(phase).sum(axis=1) ** 2 + np.sin(phase).sum(axis=1) ** 2
-    if f2.size:
-        f2 = f2 / max(f2.max(), 1e-30)
+    # Normalize by the ABSOLUTE maximum |F|^2 = M^2 (all atoms in phase),
+    # not by the surviving set's max: relative normalization would rescale
+    # an all-extinct selection's numerical noise to 1.0 and let forbidden
+    # reflections through (caught when min_d left only the {100} family).
+    f2 = f2 / float(len(pos)) ** 2
     allowed = f2 > min_rel_intensity
     hkl, g, gnorm, d, f2 = (
         hkl[allowed], g[allowed], gnorm[allowed], d[allowed], f2[allowed]
@@ -233,47 +241,30 @@ def cubic_reflectors(
     Returns:
         `Reflectors` with one hemisphere representative per band, every
         point-group image of each allowed family included.
+
+    One engine, two formulations: the centering's conventional atomic basis
+    drives `reflectors_from_cell`, whose structure factor reproduces the
+    classical extinction rules exactly (all-even/all-odd for fcc, h+k+l
+    even for bcc) — the rule formulation lives on as the independent test
+    oracle (tests/sim/test_kinematical.py) rather than as a second
+    production code path.
     """
-    if structure not in _EXTINCTION:
+    if structure not in _BASES:
         raise ValueError(
-            f"unknown structure {structure!r}; choose from {sorted(_EXTINCTION)}"
+            f"unknown structure {structure!r}; choose from {sorted(_BASES)}"
         )
-    lam = electron_wavelength(kv)
-    rng_idx = np.arange(-max_hkl, max_hkl + 1)
-    h, k, l = np.meshgrid(rng_idx, rng_idx, rng_idx, indexing="ij")
-    hkl = np.stack([h.ravel(), k.ravel(), l.ravel()], axis=1)
-    hkl = hkl[np.any(hkl != 0, axis=1)]
-    allowed = _EXTINCTION[structure](hkl[:, 0], hkl[:, 1], hkl[:, 2])
-    hkl = hkl[allowed]
-    # One representative per antipodal pair (n and -n are the same band):
-    # keep the lexicographically-positive one.
-    keep = (
-        (hkl[:, 0] > 0)
-        | ((hkl[:, 0] == 0) & (hkl[:, 1] > 0))
-        | ((hkl[:, 0] == 0) & (hkl[:, 1] == 0) & (hkl[:, 2] > 0))
-    )
-    hkl = hkl[keep]
-    norm = np.linalg.norm(hkl, axis=1)
-    d = a / norm
-    ok = d >= min_d
-    hkl, d, norm = hkl[ok], d[ok], norm[ok]
-    if len(hkl) == 0:
-        raise ValueError(
-            f"no {structure} reflectors survive min_d={min_d} at "
-            f"max_hkl={max_hkl} (largest allowed d-spacing is below min_d) "
-            "— lower min_d or raise max_hkl"
+    try:
+        return reflectors_from_cell(
+            a, kv=kv, max_hkl=max_hkl, min_d=min_d, s0=s0,
+            basis=_BASES[structure],
         )
-    sin_theta = lam / (2.0 * d)
-    if np.any(sin_theta >= 1.0):
-        raise ValueError("Bragg condition unsatisfiable: raise min_d or kv")
-    s = 1.0 / (2.0 * d)
-    intensity = np.exp(-((s / s0) ** 2))
-    intensity = intensity / intensity.max()
-    return Reflectors(
-        normals=(hkl / norm[:, None]).astype(np.float32),
-        sin_theta=sin_theta.astype(np.float32),
-        intensity=intensity.astype(np.float32),
-    )
+    except ValueError as e:
+        if "no reflectors survive" in str(e):
+            raise ValueError(
+                f"no {structure} reflectors survive min_d={min_d} at "
+                f"max_hkl={max_hkl} — lower min_d or raise max_hkl"
+            ) from None
+        raise
 
 
 def _quat_rotate(q: jax.Array, v: jax.Array) -> jax.Array:

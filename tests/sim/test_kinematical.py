@@ -65,31 +65,54 @@ class TestPhysics:
             cubic_reflectors("fcc", a=3.52, min_d=2.1)
 
 
-class TestGeneralCell:
-    def test_fcc_basis_matches_extinction_rules(self):
-        """Two independent formulations of the same physics: the 4-atom-basis
-        structure factor reproduces the fcc extinction-rule table exactly
-        (same Bragg sines, same normals, same normalized weights)."""
-        from latice_tpu.sim import reflectors_from_cell
+def _rule_oracle(structure, a, kv, max_hkl, min_d, s0=0.6):
+    """Independent extinction-RULE formulation of the cubic table — the
+    production path derives extinctions from structure factors over the
+    conventional basis; this literal rule sweep is the test oracle."""
+    rules = {
+        "fcc": lambda h, k, l: (h % 2 == k % 2) & (k % 2 == l % 2),
+        "bcc": lambda h, k, l: (h + k + l) % 2 == 0,
+        "sc": lambda h, k, l: np.ones_like(h, bool),
+    }
+    lam = electron_wavelength(kv)
+    r = np.arange(-max_hkl, max_hkl + 1)
+    h, k, l = np.meshgrid(r, r, r, indexing="ij")
+    hkl = np.stack([h.ravel(), k.ravel(), l.ravel()], 1)
+    hkl = hkl[np.any(hkl != 0, axis=1)]
+    hkl = hkl[rules[structure](hkl[:, 0], hkl[:, 1], hkl[:, 2])]
+    keep = (
+        (hkl[:, 0] > 0)
+        | ((hkl[:, 0] == 0) & (hkl[:, 1] > 0))
+        | ((hkl[:, 0] == 0) & (hkl[:, 1] == 0) & (hkl[:, 2] > 0))
+    )
+    hkl = hkl[keep]
+    norm = np.linalg.norm(hkl, axis=1)
+    d = a / norm
+    hkl, d, norm = hkl[d >= min_d], d[d >= min_d], norm[d >= min_d]
+    s = 1.0 / (2.0 * d)
+    inten = np.exp(-((s / s0) ** 2))
+    return (
+        hkl / norm[:, None],
+        lam / (2.0 * d),
+        inten / inten.max(),
+    )
 
+
+class TestGeneralCell:
+    @pytest.mark.parametrize("structure", ["fcc", "bcc", "sc"])
+    def test_engine_matches_rule_oracle(self, structure):
+        """The structure-factor engine reproduces the classical extinction
+        rules exactly: same normals, Bragg sines and normalized weights as
+        the literal rule sweep."""
         a, kv = 3.52, 20.0
-        rule = cubic_reflectors("fcc", a=a, kv=kv, max_hkl=3, min_d=0.8)
-        cell = reflectors_from_cell(
-            a, kv=kv, max_hkl=3, min_d=0.8,
-            basis=((0, 0, 0), (0, 0.5, 0.5), (0.5, 0, 0.5), (0.5, 0.5, 0)),
-        )
-        assert len(rule) == len(cell)
-        order_r = np.lexsort(np.round(rule.normals, 5).T)
-        order_c = np.lexsort(np.round(cell.normals, 5).T)
-        np.testing.assert_allclose(
-            rule.normals[order_r], cell.normals[order_c], atol=1e-6
-        )
-        np.testing.assert_allclose(
-            rule.sin_theta[order_r], cell.sin_theta[order_c], atol=1e-6
-        )
-        np.testing.assert_allclose(
-            rule.intensity[order_r], cell.intensity[order_c], atol=1e-5
-        )
+        eng = cubic_reflectors(structure, a=a, kv=kv, max_hkl=3, min_d=0.8)
+        normals, sines, inten = _rule_oracle(structure, a, kv, 3, 0.8)
+        assert len(eng) == len(normals)
+        oe = np.lexsort(np.round(eng.normals, 5).T)
+        oo = np.lexsort(np.round(normals, 5).T)
+        np.testing.assert_allclose(eng.normals[oe], normals[oo], atol=1e-6)
+        np.testing.assert_allclose(eng.sin_theta[oe], sines[oo], atol=1e-6)
+        np.testing.assert_allclose(eng.intensity[oe], inten[oo], atol=1e-5)
 
     def test_hcp_extinctions_and_metric(self):
         from latice_tpu.sim import hexagonal_reflectors
