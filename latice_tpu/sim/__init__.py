@@ -10,6 +10,12 @@ renderer that runs as one XLA program — so `index.py sample` →
 
 from latice_tpu.sim.geometry import DetectorGeometry, pixel_directions
 from latice_tpu.sim.calibrate import calibrate_geometry
+from latice_tpu.sim.master import (
+    directions_to_lambert,
+    lambert_to_directions,
+    make_kinematical_master,
+    render_from_master,
+)
 from latice_tpu.sim.refine import refine_orientations
 from latice_tpu.sim.kinematical import (
     Reflectors,
@@ -25,9 +31,13 @@ __all__ = [
     "calibrate_geometry",
     "Reflectors",
     "cubic_reflectors",
+    "directions_to_lambert",
     "electron_wavelength",
     "hexagonal_reflectors",
+    "lambert_to_directions",
+    "make_kinematical_master",
     "pixel_directions",
+    "render_from_master",
     "reflectors_from_cell",
     "refine_orientations",
     "simulate_patterns",

@@ -1,0 +1,166 @@
+"""Master-pattern rendering: dictionary patterns by texture lookup.
+
+The kinematical renderer (`sim.kinematical`) computes band geometry exactly
+but approximates intensities; full dynamical simulations (Bloch-wave codes
+like EMsoft) instead produce a *master pattern* — the diffraction intensity
+for every scattering direction, simulated once per phase/voltage — from
+which any detector pattern is a projection. This module renders dictionary
+patterns from such a master: rotate each pixel's scattering direction into
+the crystal frame and interpolate the master image there.
+
+Convention (self-contained, documented here): the master is a square image
+sampling the **north hemisphere** (z >= 0 in the crystal frame) through the
+azimuthal equal-area (Lambert) map
+
+    X = x * sqrt(2 / (1 + z)),   Y = y * sqrt(2 / (1 + z))
+
+scaled so the image's inscribed circle (radius ``(N-1)/2`` px) is the
+equator (|XY| = sqrt(2)); row index grows with -Y (image convention),
+column with +X. Southern directions use the antipode — correct whenever
+the phase's point group contains inversion or the master was made with
+Friedel symmetry (every Laue group; true for kinematical and standard
+dynamical masters). A master in another layout (e.g. EMsoft's square
+Lambert) must be resampled to this convention once, offline.
+
+Host-side on purpose: per-pixel texture interpolation is one giant gather
+— the slowest memory pattern on TPU (see the perf-ledger landmines) — and
+dictionary rendering is an offline, once-per-phase step. numpy + a
+vectorized bilinear lookup renders ~10^3 patterns/s/core; the TPU stays
+busy with the encode/index planes.
+
+`make_kinematical_master` builds a master from this package's own band
+model, giving a closed consistency loop: rendering through the master must
+reproduce the direct renderer (pinned by test) — so the lookup geometry is
+verified before a user trusts it with an external dynamical master.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from latice_tpu.sim.geometry import DetectorGeometry, pixel_directions
+from latice_tpu.sim.kinematical import Reflectors, cubic_reflectors
+
+__all__ = [
+    "directions_to_lambert",
+    "lambert_to_directions",
+    "make_kinematical_master",
+    "render_from_master",
+]
+
+
+def directions_to_lambert(d: np.ndarray) -> np.ndarray:
+    """Unit directions (..., 3) → equal-area coordinates (..., 2), using the
+    NORTH-hemisphere image of each direction (antipode for z < 0)."""
+    d = np.asarray(d, np.float64)
+    d = np.where(d[..., 2:3] < 0, -d, d)
+    a = np.sqrt(2.0 / np.clip(1.0 + d[..., 2], 1e-12, None))
+    return np.stack([d[..., 0] * a, d[..., 1] * a], axis=-1)
+
+
+def lambert_to_directions(xy: np.ndarray) -> np.ndarray:
+    """Equal-area coordinates (..., 2) → north-hemisphere unit directions."""
+    xy = np.asarray(xy, np.float64)
+    r2 = np.sum(xy * xy, axis=-1)
+    # |XY|^2 = 2(1-z) <= 2 on the hemisphere; clip for edge pixels.
+    z = 1.0 - 0.5 * np.clip(r2, 0.0, 2.0)
+    f = np.sqrt(np.clip(1.0 - r2 / 4.0, 0.0, None))
+    return np.stack(
+        [xy[..., 0] * f, xy[..., 1] * f, z], axis=-1
+    )
+
+
+def make_kinematical_master(
+    size: int = 513, reflectors: Reflectors | None = None,
+    edge_frac: float = 0.25,
+) -> np.ndarray:
+    """Render this package's band model onto the master grid — the
+    consistency anchor for `render_from_master` (and a usable master when
+    no dynamical simulation is available)."""
+    reflectors = reflectors or cubic_reflectors()
+    half = (size - 1) / 2.0
+    ij = (np.arange(size, dtype=np.float64) - half) / half  # [-1, 1]
+    X, Y = np.meshgrid(ij, -ij, indexing="xy")  # row grows with -Y
+    xy = np.stack([X, Y], axis=-1) * np.sqrt(2.0)
+    d = lambert_to_directions(xy)
+    sines = d @ reflectors.normals.astype(np.float64).T  # (N, N, K)
+    halfw = reflectors.sin_theta.astype(np.float64)
+    soft = np.maximum(halfw * edge_frac, 1e-6)
+    profile = 1.0 / (1.0 + np.exp(-(halfw - np.abs(sines)) / soft))
+    img = profile @ reflectors.intensity.astype(np.float64)
+    return img.astype(np.float32)
+
+
+def _quat_to_matrix(q: np.ndarray) -> np.ndarray:
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return np.stack(
+        [
+            1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    ).reshape(-1, 3, 3)
+
+
+def render_from_master(
+    master: np.ndarray,
+    orientations: np.ndarray,
+    geometry: DetectorGeometry | None = None,
+    normalize: bool = True,
+) -> np.ndarray:
+    """Render detector patterns by bilinear lookup into a master pattern.
+
+    Args:
+        master: ``(N, N)`` north-hemisphere master image in the module's
+            equal-area convention (see module docstring).
+        orientations: ``(B, 4)`` scalar-first quaternions (crystal→detector)
+            — the same convention as `simulate_patterns`.
+        geometry: detector description.
+        normalize: min-max normalize each pattern to [0, 1] (the VAE input
+            contract).
+
+    Returns:
+        ``(B, H, W)`` float32 patterns.
+    """
+    m = np.asarray(master, np.float64)
+    if m.ndim != 2 or m.shape[0] != m.shape[1] or m.shape[0] < 3:
+        raise ValueError(f"master must be square (N, N), N >= 3; got {m.shape}")
+    q = np.asarray(orientations, np.float64)
+    if q.ndim != 2 or q.shape[1] != 4:
+        raise ValueError(f"expected (B, 4) quaternions, got {q.shape}")
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    geometry = geometry or DetectorGeometry()
+    h, w = geometry.shape
+    dirs = pixel_directions(geometry).reshape(-1, 3).astype(np.float64)
+
+    # Detector directions -> crystal frame: d_c = R(q)^T d (the renderer
+    # rotates crystal normals INTO the detector frame with R(q)).
+    rot = _quat_to_matrix(q)  # (B, 3, 3)
+    d_c = np.einsum("bji,pj->bpi", rot, dirs)  # transpose contraction
+    xy = directions_to_lambert(d_c)  # (B, P, 2), |xy| <= sqrt(2)
+
+    n = m.shape[0]
+    half = (n - 1) / 2.0
+    col = xy[..., 0] / np.sqrt(2.0) * half + half
+    row = -xy[..., 1] / np.sqrt(2.0) * half + half
+    col = np.clip(col, 0.0, n - 1.0)
+    row = np.clip(row, 0.0, n - 1.0)
+    r0 = np.floor(row).astype(np.int64)
+    c0 = np.floor(col).astype(np.int64)
+    r1 = np.minimum(r0 + 1, n - 1)
+    c1 = np.minimum(c0 + 1, n - 1)
+    fr = row - r0
+    fc = col - c0
+    out = (
+        m[r0, c0] * (1 - fr) * (1 - fc)
+        + m[r0, c1] * (1 - fr) * fc
+        + m[r1, c0] * fr * (1 - fc)
+        + m[r1, c1] * fr * fc
+    )
+    out = out.reshape(len(q), h, w).astype(np.float32)
+    if normalize:
+        lo = out.min(axis=(1, 2), keepdims=True)
+        hi = out.max(axis=(1, 2), keepdims=True)
+        out = (out - lo) / np.maximum(hi - lo, 1e-8)
+    return out
