@@ -457,6 +457,37 @@ def cmd_simulate(args) -> None:
         shape=(args.size, args.size), pcx=args.pc[0], pcy=args.pc[1],
         dd=args.pc[2], tilt=args.tilt,
     )
+    if args.master:
+        # Lookup rendering from an external (e.g. dynamical) master image in
+        # sim.master's documented equal-area convention. No provenance
+        # sidecar: --refine needs the differentiable band model, which a
+        # pixel master does not provide.
+        from scipy.spatial.transform import Rotation as R
+
+        from latice_tpu.sim import render_from_master
+
+        quats = np.roll(
+            R.from_euler("zxz", eulers, degrees=True).as_quat(), 1, axis=1
+        )
+        t0 = time.time()
+        patterns = render_from_master(np.load(args.master), quats, geometry)
+        if args.uint8:
+            patterns = np.round(patterns * 255.0).astype(np.uint8)
+        dt = time.time() - t0
+        out_path = args.out if args.out.endswith(".npy") else args.out + ".npy"
+        np.save(out_path, patterns)
+        print(
+            json.dumps(
+                {
+                    "n_patterns": len(patterns),
+                    "shape": list(patterns.shape[1:]),
+                    "master": args.master,
+                    "seconds": round(dt, 2),
+                    "out": args.out,
+                }
+            )
+        )
+        return
     if args.structure == "hcp":
         # Ideal-ish c/a when not given; pairs with point group "622".
         c = args.lattice_c if args.lattice_c else 1.587 * args.lattice
@@ -763,6 +794,13 @@ def main() -> None:
         "--uint8", action="store_true",
         help="write detector-native 8-bit patterns (4x smaller, and the "
         "index planes' uint8 fast-path format)",
+    )
+    m.add_argument(
+        "--master", default=None, metavar="MASTER.npy",
+        help="render by lookup into a hemisphere master image (e.g. a "
+        "dynamical simulation resampled to sim.master's equal-area "
+        "convention) instead of the kinematical band model; structure/"
+        "lattice args are then ignored and --refine is unavailable",
     )
     m.set_defaults(fn=cmd_simulate)
 

@@ -273,6 +273,34 @@ class TestCLI:
         )))
         assert np.median(err) < 0.2
 
+    def test_simulate_from_master(self, tmp_path, monkeypatch, capsys):
+        """--master renders by lookup; the stack builds and self-queries,
+        and no provenance sidecar is written (refine needs the band model)."""
+        from latice_tpu.sim import make_kinematical_master
+
+        ang = str(tmp_path / "fz.txt")
+        _run(["sample", "--group", "432", "--resolution", "20", "--out", ang],
+             monkeypatch, capsys)
+        mpath = tmp_path / "master.npy"
+        np.save(mpath, make_kinematical_master(size=257))
+        pats = str(tmp_path / "m.npy")
+        stdout = _run(
+            ["simulate", "--angles", ang, "--master", str(mpath),
+             "--out", pats, "--uint8"],
+            monkeypatch, capsys,
+        )
+        info = json.loads(stdout.strip().splitlines()[-1])
+        assert info["master"] == str(mpath)
+        stack = np.load(pats)
+        assert stack.dtype == np.uint8 and stack.shape[1:] == (128, 128)
+        assert not Path(pats + ".simmeta.json").exists()
+        db = str(tmp_path / "m.npz")
+        _run(["build", "--patterns", pats, "--angles", ang, "--db", db]
+             + SMALL, monkeypatch, capsys)
+        with pytest.raises(SystemExit, match="provenance"):
+            _run(["query", "--patterns", pats, "--db", db,
+                  "--refine", "10"] + SMALL, monkeypatch, capsys)
+
     def test_refine_without_provenance_rejected(self, tmp_path, monkeypatch, capsys):
         ppath, apath, _ = _write_phase(tmp_path, "dict", 8, seed=10)
         db = str(tmp_path / "plain.npz")
