@@ -462,15 +462,10 @@ def cmd_simulate(args) -> None:
         # sim.master's documented equal-area convention. No provenance
         # sidecar: --refine needs the differentiable band model, which a
         # pixel master does not provide.
-        from scipy.spatial.transform import Rotation as R
-
         from latice_tpu.sim import render_from_master
 
-        quats = np.roll(
-            R.from_euler("zxz", eulers, degrees=True).as_quat(), 1, axis=1
-        )
         t0 = time.time()
-        patterns = render_from_master(np.load(args.master), quats, geometry)
+        patterns = render_from_master(np.load(args.master), eulers, geometry)
         if args.uint8:
             patterns = np.round(patterns * 255.0).astype(np.uint8)
         dt = time.time() - t0

@@ -91,23 +91,12 @@ def make_kinematical_master(
     return img.astype(np.float32)
 
 
-def _quat_to_matrix(q: np.ndarray) -> np.ndarray:
-    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
-    return np.stack(
-        [
-            1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
-            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
-            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
-        ],
-        axis=-1,
-    ).reshape(-1, 3, 3)
-
-
 def render_from_master(
     master: np.ndarray,
     orientations: np.ndarray,
     geometry: DetectorGeometry | None = None,
     normalize: bool = True,
+    chunk: int = 256,
 ) -> np.ndarray:
     """Render detector patterns by bilinear lookup into a master pattern.
 
@@ -115,50 +104,63 @@ def render_from_master(
         master: ``(N, N)`` north-hemisphere master image in the module's
             equal-area convention (see module docstring).
         orientations: ``(B, 4)`` scalar-first quaternions (crystal→detector)
-            — the same convention as `simulate_patterns`.
+            or ``(B, 3)`` zxz Euler degrees — the same input contract as
+            `simulate_patterns`.
         geometry: detector description.
         normalize: min-max normalize each pattern to [0, 1] (the VAE input
             contract).
+        chunk: orientations per host pass — bounds the ``(chunk, P)``
+            float32 intermediates (a 30k-orientation dictionary would
+            otherwise materialize tens of GB at once).
 
     Returns:
         ``(B, H, W)`` float32 patterns.
     """
-    m = np.asarray(master, np.float64)
+    from scipy.spatial.transform import Rotation as R
+
+    m = np.asarray(master, np.float32)
     if m.ndim != 2 or m.shape[0] != m.shape[1] or m.shape[0] < 3:
         raise ValueError(f"master must be square (N, N), N >= 3; got {m.shape}")
-    q = np.asarray(orientations, np.float64)
-    if q.ndim != 2 or q.shape[1] != 4:
-        raise ValueError(f"expected (B, 4) quaternions, got {q.shape}")
-    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    o = np.asarray(orientations, np.float64)
+    if o.ndim == 2 and o.shape[1] == 3:
+        rots = R.from_euler("zxz", o, degrees=True)
+    elif o.ndim == 2 and o.shape[1] == 4:
+        # scalar-first -> scipy's xyzw (normalizes internally)
+        rots = R.from_quat(np.roll(o, -1, axis=1))
+    else:
+        raise ValueError(
+            f"expected (B, 4) quaternions or (B, 3) Euler deg, got {o.shape}"
+        )
     geometry = geometry or DetectorGeometry()
     h, w = geometry.shape
-    dirs = pixel_directions(geometry).reshape(-1, 3).astype(np.float64)
-
-    # Detector directions -> crystal frame: d_c = R(q)^T d (the renderer
-    # rotates crystal normals INTO the detector frame with R(q)).
-    rot = _quat_to_matrix(q)  # (B, 3, 3)
-    d_c = np.einsum("bji,pj->bpi", rot, dirs)  # transpose contraction
-    xy = directions_to_lambert(d_c)  # (B, P, 2), |xy| <= sqrt(2)
+    dirs = pixel_directions(geometry).reshape(-1, 3).astype(np.float32)
+    rot = rots.as_matrix().astype(np.float32)  # (B, 3, 3)
 
     n = m.shape[0]
     half = (n - 1) / 2.0
-    col = xy[..., 0] / np.sqrt(2.0) * half + half
-    row = -xy[..., 1] / np.sqrt(2.0) * half + half
-    col = np.clip(col, 0.0, n - 1.0)
-    row = np.clip(row, 0.0, n - 1.0)
-    r0 = np.floor(row).astype(np.int64)
-    c0 = np.floor(col).astype(np.int64)
-    r1 = np.minimum(r0 + 1, n - 1)
-    c1 = np.minimum(c0 + 1, n - 1)
-    fr = row - r0
-    fc = col - c0
-    out = (
-        m[r0, c0] * (1 - fr) * (1 - fc)
-        + m[r0, c1] * (1 - fr) * fc
-        + m[r1, c0] * fr * (1 - fc)
-        + m[r1, c1] * fr * fc
-    )
-    out = out.reshape(len(q), h, w).astype(np.float32)
+    b = len(rot)
+    out = np.empty((b, h * w), np.float32)
+    for start in range(0, b, chunk):
+        rc = rot[start : start + chunk]
+        # Detector directions -> crystal frame: d_c = R(q)^T d (the band
+        # renderer rotates crystal normals INTO the detector frame).
+        d_c = np.einsum("bji,pj->bpi", rc, dirs)
+        xy = directions_to_lambert(d_c).astype(np.float32)
+        col = np.clip(xy[..., 0] / np.sqrt(2.0) * half + half, 0.0, n - 1.0)
+        row = np.clip(-xy[..., 1] / np.sqrt(2.0) * half + half, 0.0, n - 1.0)
+        r0 = np.floor(row).astype(np.int32)
+        c0 = np.floor(col).astype(np.int32)
+        r1 = np.minimum(r0 + 1, n - 1)
+        c1 = np.minimum(c0 + 1, n - 1)
+        fr = (row - r0).astype(np.float32)
+        fc = (col - c0).astype(np.float32)
+        out[start : start + len(rc)] = (
+            m[r0, c0] * (1 - fr) * (1 - fc)
+            + m[r0, c1] * (1 - fr) * fc
+            + m[r1, c0] * fr * (1 - fc)
+            + m[r1, c1] * fr * fc
+        )
+    out = out.reshape(b, h, w)
     if normalize:
         lo = out.min(axis=(1, 2), keepdims=True)
         hi = out.max(axis=(1, 2), keepdims=True)

@@ -80,9 +80,35 @@ class TestMasterRendering:
         )
         assert not np.allclose(a, b, atol=0.05)
 
+    def test_euler_input_matches_quats(self):
+        from scipy.spatial.transform import Rotation as R
+
+        master = make_kinematical_master(size=257)
+        eulers = np.asarray([[15.0, 50.0, 30.0], [120.0, 80.0, 10.0]])
+        quats = np.roll(
+            R.from_euler("zxz", eulers, degrees=True).as_quat(), 1, axis=1
+        )
+        np.testing.assert_allclose(
+            render_from_master(master, eulers),
+            render_from_master(master, quats),
+            atol=1e-5,
+        )
+
+    def test_chunking_matches_oneshot(self):
+        master = make_kinematical_master(size=129)
+        rng = np.random.default_rng(3)
+        q = rng.normal(size=(5, 4))
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        geom = DetectorGeometry(shape=(32, 32))
+        np.testing.assert_allclose(
+            render_from_master(master, q, geom, chunk=2),
+            render_from_master(master, q, geom, chunk=16),
+            atol=1e-7,
+        )
+
     def test_validation(self):
         master = make_kinematical_master(size=65)
         with pytest.raises(ValueError, match="square"):
             render_from_master(master[:32], np.eye(4)[:1])
         with pytest.raises(ValueError, match="quaternions"):
-            render_from_master(master, np.zeros((2, 3)))
+            render_from_master(master, np.zeros((2, 5)))
