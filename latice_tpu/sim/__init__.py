@@ -16,7 +16,7 @@ from latice_tpu.sim.master import (
     make_kinematical_master,
     render_from_master,
 )
-from latice_tpu.sim.refine import refine_orientations
+from latice_tpu.sim.refine import refine_candidates, refine_orientations
 from latice_tpu.sim.kinematical import (
     Reflectors,
     cubic_reflectors,
@@ -39,6 +39,7 @@ __all__ = [
     "pixel_directions",
     "render_from_master",
     "reflectors_from_cell",
+    "refine_candidates",
     "refine_orientations",
     "simulate_patterns",
 ]

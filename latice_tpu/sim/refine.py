@@ -39,7 +39,7 @@ import numpy as np
 from latice_tpu.sim.geometry import DetectorGeometry, pixel_directions
 from latice_tpu.sim.kinematical import Reflectors, cubic_reflectors, _quat_rotate
 
-__all__ = ["refine_orientations"]
+__all__ = ["refine_candidates", "refine_orientations"]
 
 
 def _simulate_flat(quats, dirs, normals, sin_theta, intensity, edge_frac):
@@ -187,3 +187,47 @@ def refine_orientations(
         out_q[start : start + n] = np.asarray(q)[:n]
         out_c[start : start + n] = np.asarray(c)[:n]
     return out_q, out_c
+
+
+def refine_candidates(
+    patterns: np.ndarray,
+    candidate_quats: np.ndarray,
+    geometry: DetectorGeometry | None = None,
+    reflectors: Reflectors | None = None,
+    **refine_kw,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Refine every top-k candidate and keep the best-fitting one per query.
+
+    Dictionary indexing occasionally ranks the wrong grid point first (a
+    weak encoder, heavy noise, near-degenerate patterns) while the right
+    one sits lower in the candidate list. Refining each candidate and
+    re-ranking by the physics-based NCC decouples the final answer from the
+    encoder's ranking — the dictionary-indexing re-scoring pattern, with
+    the renderer itself as the scorer. Costs K refinement passes.
+
+    Args:
+        patterns: ``(B, H, W)`` observed patterns.
+        candidate_quats: ``(B, K, 4)`` scalar-first candidates, best-first —
+            e.g. `crystal.from_euler_zxz_deg` of the dictionary rows at
+            `DenseIndexResult.indices`.
+        geometry / reflectors / **refine_kw: forwarded to
+            `refine_orientations`.
+
+    Returns:
+        ``(best_quats (B, 4), best_ncc (B,), best_k (B,))`` — ``best_k`` is
+        the winning candidate's column (0 = the encoder's top-1), a
+        diagnostic for how often re-ranking overruled the latent search.
+    """
+    cand = np.asarray(candidate_quats, np.float32)
+    if cand.ndim != 3 or cand.shape[2] != 4:
+        raise ValueError(f"candidate_quats must be (B, K, 4), got {cand.shape}")
+    b, k, _ = cand.shape
+    all_q = np.empty((k, b, 4), np.float32)
+    all_c = np.empty((k, b), np.float32)
+    for j in range(k):
+        all_q[j], all_c[j] = refine_orientations(
+            patterns, cand[:, j], geometry, reflectors, **refine_kw
+        )
+    best = all_c.argmax(axis=0)  # (B,)
+    rows = np.arange(b)
+    return all_q[best, rows], all_c[best, rows], best

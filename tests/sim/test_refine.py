@@ -81,6 +81,30 @@ class TestRefine:
         b, _ = refine_orientations(patterns, init, geom, refl, steps=10, chunk=8)
         np.testing.assert_allclose(a, b, atol=1e-5)
 
+    def test_candidate_reranking_overrules_wrong_top1(self, setup):
+        """refine_candidates: when the encoder's top-1 is a different
+        orientation but the truth sits at k=1, the NCC re-rank recovers it."""
+        from latice_tpu.sim import refine_candidates
+
+        rng, geom, refl, truth, patterns = setup
+        wrong = np.roll(truth, 2, axis=0)  # a distinctly different orientation
+        init_true = _perturb(truth, 1.0, rng)
+        cand = np.stack([wrong, init_true], axis=1)  # (B, 2, 4): top-1 wrong
+        best_q, ncc, best_k = refine_candidates(
+            patterns, cand, geom, refl, steps=25
+        )
+        assert (best_k == 1).all()
+        err = _misorientation_deg(best_q, truth)
+        assert np.median(err) < 0.2
+        assert (ncc > 0.95).all()
+
+    def test_candidate_shapes_validated(self, setup):
+        from latice_tpu.sim import refine_candidates
+
+        _, geom, refl, truth, patterns = setup
+        with pytest.raises(ValueError, match="B, K, 4"):
+            refine_candidates(patterns, truth, geom, refl)
+
     def test_validation(self, setup):
         _, geom, refl, truth, patterns = setup
         with pytest.raises(ValueError, match="B, H, W"):
