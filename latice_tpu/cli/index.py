@@ -325,7 +325,7 @@ def cmd_query(args) -> None:
     np.save(args.out, result.best_orientation)
     if refine_steps:
         result, refine_summary = _refine_result(
-            args, db.sim_meta, x, result, refine_steps
+            args, db.sim_meta, x, result, refine_steps, db
         )
         summary.update(refine_summary)
         np.save(args.out, result.best_orientation)
@@ -399,42 +399,62 @@ def _reflectors_from_meta(meta):
     )
 
 
-def _refine_result(args, meta, patterns, result, steps):
+def _refine_result(args, meta, patterns, result, steps, db):
     """Autodiff orientation refinement against the dictionary's own forward
     model (sim.refine): sub-grid accuracy from the dictionary-indexed
-    initialization."""
+    initialization. With --refine-candidates K > 1, every top-K candidate
+    is refined and the best NCC wins — the physics overrules the encoder's
+    ranking wherever the latent search picked the wrong grid point."""
     import jax.numpy as jnp
 
     from latice_tpu.crystal import from_euler_zxz_deg, to_euler_zxz_deg
-    from latice_tpu.sim import DetectorGeometry, refine_orientations
+    from latice_tpu.sim import (
+        DetectorGeometry,
+        refine_candidates,
+        refine_orientations,
+    )
 
     geometry = DetectorGeometry(
         shape=(meta["size"], meta["size"]), pcx=meta["pc"][0],
         pcy=meta["pc"][1], dd=meta["pc"][2], tilt=meta.get("tilt", 0.0),
     )
+    reflectors = _reflectors_from_meta(meta)
     x = np.asarray(patterns)
     if x.dtype == np.uint8:
         x = x.astype(np.float32) / 255.0
-    init_q = np.asarray(
-        from_euler_zxz_deg(
-            jnp.asarray(result.best_orientation, jnp.float32)
-        )
-    )
     t0 = time.time()
-    refined_q, ncc = refine_orientations(
-        x, init_q, geometry, _reflectors_from_meta(meta), steps=steps,
-    )
+    k = min(getattr(args, "refine_candidates", 1) or 1, result.indices.shape[1])
+    summary = {"refine_steps": steps}
+    if k > 1:
+        cand = np.asarray(
+            from_euler_zxz_deg(
+                jnp.asarray(
+                    db._orientations[result.indices[:, :k]], jnp.float32
+                ).reshape(-1, 3)
+            )
+        ).reshape(len(x), k, 4)
+        refined_q, ncc, best_k = refine_candidates(
+            x, cand, geometry, reflectors, steps=steps
+        )
+        summary["refine_reranked_frac"] = round(float((best_k > 0).mean()), 4)
+    else:
+        init_q = np.asarray(
+            from_euler_zxz_deg(
+                jnp.asarray(result.best_orientation, jnp.float32)
+            )
+        )
+        refined_q, ncc = refine_orientations(
+            x, init_q, geometry, reflectors, steps=steps
+        )
     refined = np.asarray(
         to_euler_zxz_deg(jnp.asarray(refined_q))
     ).astype(np.float64)
     logger.info(
-        f"Refined {len(x)} orientations in {time.time()-t0:.1f}s; "
+        f"Refined {len(x)} orientations (top-{k}) in {time.time()-t0:.1f}s; "
         f"median NCC {np.median(ncc):.3f}"
     )
-    return result._replace(best_orientation=refined), {
-        "refine_steps": steps,
-        "refine_ncc_median": round(float(np.median(ncc)), 4),
-    }
+    summary["refine_ncc_median"] = round(float(np.median(ncc)), 4)
+    return result._replace(best_orientation=refined), summary
 
 
 def cmd_simulate(args) -> None:
@@ -681,6 +701,12 @@ def main() -> None:
         "simulation model (needs a db built from 'simulate' output): "
         "N Adam steps through the differentiable renderer push accuracy "
         "below the dictionary grid spacing (try 40)",
+    )
+    q.add_argument(
+        "--refine-candidates", type=int, default=1, metavar="K",
+        help="with --refine: refine the top-K dictionary candidates and "
+        "keep the best NCC per pattern (K refinement passes; recovers "
+        "patterns the latent search mis-ranked)",
     )
     q.add_argument(
         "--nlpar", type=float, default=None, metavar="H",

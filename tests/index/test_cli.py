@@ -258,6 +258,18 @@ class TestCLI:
         assert summary["refine_steps"] == 20
         assert summary["refine_ncc_median"] > 0.95
 
+        # Candidate re-ranking path: exact self-queries keep k=0 winning,
+        # so re-ranked output must agree and report the rerank fraction.
+        stdout = _run(
+            ["query", "--patterns", pats, "--db", db, "--out", out,
+             "--top-n", "3", "--min-matches", "1", "--refine", "20",
+             "--refine-candidates", "3"] + small,
+            monkeypatch, capsys,
+        )
+        summary = json.loads(stdout.strip().splitlines()[-1])
+        assert summary["refine_ncc_median"] > 0.95
+        assert summary["refine_reranked_frac"] < 0.2
+
         from latice_tpu.crystal import (
             from_euler_zxz_deg,
             symmetry_reduced_misorientation,
