@@ -60,6 +60,10 @@ def train(config: dict):
     devices = trainer_cfg.pop("devices", "auto")
     trainer_cfg.pop("callbacks", None)
     trainer_cfg.pop("_target_", None)
+    # Nested _target_ values (e.g. trainer=robust's AugmentConfig) are built
+    # recursively; the flat kwargs path above bypasses instantiate().
+    if trainer_cfg.get("augment") is not None:
+        trainer_cfg["augment"] = maybe_instantiate(trainer_cfg["augment"])
 
     # devices=N (N>1) -> data-parallel mesh over the first N chips.
     mesh = None

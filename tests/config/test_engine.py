@@ -68,6 +68,23 @@ class TestLoadConfig:
         assert cfg["trainer"]["precision"] == "16-mixed"
         assert cfg["trainer"]["max_epochs"] == 2
 
+    def test_robust_trainer_variant_instantiates(self):
+        """trainer=robust: the augmented denoising-VAE config yields a
+        Trainer with a compiled augment callable."""
+        cfg = load_config(
+            Path(__file__).parents[2] / "conf", "train.yaml",
+            overrides=["trainer=robust", "root_dir=/tmp/engine_test"],
+        )
+        t = cfg["trainer"]
+        assert t["denoising"] is True
+        assert t["augment"]["noise_std"] == 0.05
+        from latice_tpu.config.engine import instantiate
+
+        trainer = instantiate(
+            {k: v for k, v in t.items() if k not in ("accelerator", "devices", "logger", "checkpoint_dir")}
+        )
+        assert callable(trainer.augment) and trainer.denoising
+
 
 class TestInstantiate:
     def test_basic_target(self):
