@@ -18,6 +18,8 @@ With --kinematical (physical Kikuchi bands via latice_tpu.sim, round 3):
     + sim.refine    : 1.13 deg off-grid median at noise 0.15 (autodiff
                       through the renderer; 0.15 deg at noise 0.05 — the
                       floor scales with noise, not with the grid spacing)
+    --scaled 64-d   : 2.04 deg on-grid, 2.02 deg off-grid, 0.588 deg
+                      refined (better inits from the larger latent)
 
 Run: PYTHONPATH=.:/root/.axon_site python examples/accuracy_benchmark.py
 """
