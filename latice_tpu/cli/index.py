@@ -611,6 +611,25 @@ def cmd_analyze(args) -> None:
         )
         fig.savefig(args.pole_figure)
         summary["pole_figure"] = args.pole_figure
+    if args.ipf_map:
+        # The standard EBSD figure: per-pixel IPF color with grain
+        # boundaries overlaid in black.
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from latice_tpu.utils import get_color_key
+
+        rgb = (
+            get_color_key(orients.reshape(-1, 3), args.ipf_mode)
+            .reshape(rows, cols, 3)
+            .astype(np.float32)
+            / 255.0
+        )
+        rgb[np.asarray(boundaries, bool)] = 0.0
+        plt.imsave(args.ipf_map, np.clip(rgb, 0, 1))
+        summary["ipf_map"] = args.ipf_map
     print(json.dumps(summary))
 
 
@@ -755,6 +774,15 @@ def main() -> None:
     a.add_argument("--out-prefix", default="analysis")
     a.add_argument(
         "--pole-figure", default=None, help="also render a pole-figure PNG"
+    )
+    a.add_argument(
+        "--ipf-map", default=None,
+        help="also render an IPF-colored orientation map PNG with grain "
+        "boundaries overlaid",
+    )
+    a.add_argument(
+        "--ipf-mode", default="ipf_z", choices=("ipf_x", "ipf_y", "ipf_z"),
+        help="IPF reference direction for --ipf-map",
     )
     a.add_argument(
         "--pole", type=float, nargs=3, default=(1.0, 0.0, 0.0),

@@ -409,9 +409,11 @@ class TestAnalyzeCLI:
         np.save(opath, euler.reshape(-1, 3))
         prefix = str(tmp_path / "an")
         png = str(tmp_path / "pf.png")
+        ipf = str(tmp_path / "ipf.png")
         out = _run(
             ["analyze", "--orientations", str(opath), "--grid", "6", "8",
-             "--out-prefix", prefix, "--pole-figure", png, "--pole", "1", "1", "1"],
+             "--out-prefix", prefix, "--pole-figure", png,
+             "--pole", "1", "1", "1", "--ipf-map", ipf],
             monkeypatch, capsys,
         )
         summary = json.loads(out.strip().splitlines()[-1])
@@ -421,6 +423,15 @@ class TestAnalyzeCLI:
         assert (labels[:, :4] == 0).all() and (labels[:, 4:] == 1).all()
         assert np.load(prefix + "_kam.npy").max() < 1.0
         assert Path(png).exists()
+        # IPF map: a (6, 8) image whose two grains carry distinct colors
+        # and whose boundary column is blacked out.
+        import matplotlib.image as mpimg
+
+        img = mpimg.imread(ipf)
+        assert img.shape[:2] == (6, 8)
+        assert not np.allclose(img[0, 0, :3], img[0, 6, :3], atol=0.05)
+        boundaries = np.load(prefix + "_boundaries.npy")
+        assert (img[boundaries][:, :3] == 0).all()
 
     def test_analyze_grid_mismatch(self, tmp_path, monkeypatch, capsys):
         opath = tmp_path / "o.npy"
