@@ -166,9 +166,8 @@ def main() -> None:
         ).astype(np.float64)
     )
     write_ang(ang_path, final, grid=(g, g), step=0.5)
-    n_rows = sum(
-        1 for line in open(ang_path) if not line.startswith("#")
-    )
+    with open(ang_path) as fh:
+        n_rows = sum(1 for line in fh if not line.startswith("#"))
     print(f"export: {ang_path} ({n_rows} rows) — opens in MTEX/OIM")
 
     assert reranked > max(top1, 0.8), "re-ranked refinement should win"

@@ -613,22 +613,27 @@ def cmd_analyze(args) -> None:
         summary["pole_figure"] = args.pole_figure
     if args.ipf_map:
         # The standard EBSD figure: per-pixel IPF color with grain
-        # boundaries overlaid in black.
-        import matplotlib
-
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
+        # boundaries overlaid in black. Colors honor each pixel's point
+        # group (per-phase groups on multi-phase maps).
+        import matplotlib.image as mpimg
 
         from latice_tpu.utils import get_color_key
+        from latice_tpu.utils._mpl import ensure_headless_backend
 
-        rgb = (
-            get_color_key(orients.reshape(-1, 3), args.ipf_mode)
-            .reshape(rows, cols, 3)
-            .astype(np.float32)
-            / 255.0
-        )
+        ensure_headless_backend()
+        flat = orients.reshape(-1, 3)
+        if args.phases:
+            rgb = np.empty((len(flat), 3), np.float32)
+            flat_phase = phases.reshape(-1)
+            for pid, grp in enumerate(groups):
+                sel = flat_phase == pid
+                if sel.any():
+                    rgb[sel] = get_color_key(flat[sel], args.ipf_mode, group=grp)
+        else:
+            rgb = get_color_key(flat, args.ipf_mode, group=args.group)
+        rgb = rgb.reshape(rows, cols, 3).astype(np.float32) / 255.0
         rgb[np.asarray(boundaries, bool)] = 0.0
-        plt.imsave(args.ipf_map, np.clip(rgb, 0, 1))
+        mpimg.imsave(args.ipf_map, np.clip(rgb, 0, 1))
         summary["ipf_map"] = args.ipf_map
     print(json.dumps(summary))
 

@@ -219,8 +219,10 @@ def refine_candidates(
         diagnostic for how often re-ranking overruled the latent search.
     """
     cand = np.asarray(candidate_quats, np.float32)
-    if cand.ndim != 3 or cand.shape[2] != 4:
-        raise ValueError(f"candidate_quats must be (B, K, 4), got {cand.shape}")
+    if cand.ndim != 3 or cand.shape[2] != 4 or cand.shape[1] == 0:
+        raise ValueError(
+            f"candidate_quats must be (B, K, 4) with K >= 1, got {cand.shape}"
+        )
     b, k, _ = cand.shape
     all_q = np.empty((k, b, 4), np.float32)
     all_c = np.empty((k, b), np.float32)

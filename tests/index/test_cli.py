@@ -432,6 +432,15 @@ class TestAnalyzeCLI:
         assert not np.allclose(img[0, 0, :3], img[0, 6, :3], atol=0.05)
         boundaries = np.load(prefix + "_boundaries.npy")
         assert (img[boundaries][:, :3] == 0).all()
+        # --ipf-map honors the point group: a 622 map colors differently.
+        ipf622 = str(tmp_path / "ipf622.png")
+        _run(
+            ["analyze", "--orientations", str(opath), "--grid", "6", "8",
+             "--out-prefix", prefix, "--group", "622", "--ipf-map", ipf622],
+            monkeypatch, capsys,
+        )
+        img622 = mpimg.imread(ipf622)
+        assert not np.allclose(img622[0, 0, :3], img[0, 0, :3], atol=0.02)
 
     def test_analyze_grid_mismatch(self, tmp_path, monkeypatch, capsys):
         opath = tmp_path / "o.npy"

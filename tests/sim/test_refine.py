@@ -104,6 +104,8 @@ class TestRefine:
         _, geom, refl, truth, patterns = setup
         with pytest.raises(ValueError, match="B, K, 4"):
             refine_candidates(patterns, truth, geom, refl)
+        with pytest.raises(ValueError, match="K >= 1"):
+            refine_candidates(patterns, np.zeros((len(truth), 0, 4)), geom, refl)
 
     def test_validation(self, setup):
         _, geom, refl, truth, patterns = setup
