@@ -157,7 +157,7 @@ def cmd_export(args) -> None:
 def cmd_query(args) -> None:
     from latice_tpu.index import IndexPipeline, LatentVectorDatabaseConfig, TpuLatentVectorDatabase
     from latice_tpu.index.pipeline import concat_dense_results
-    from latice_tpu.data import HDF5_EXTENSIONS, prepare_patterns
+    from latice_tpu.data import HDF5_EXTENSIONS, UP_EXTENSIONS, prepare_patterns
 
     model, params = _load_model(args.checkpoint, args.inplanes, args.latent_dim)
     db = TpuLatentVectorDatabase(
@@ -220,6 +220,14 @@ def cmd_query(args) -> None:
                     )
                 finally:
                     f.close()
+            elif args.patterns.lower().endswith(UP_EXTENSIONS):
+                from latice_tpu.data import iter_up_batches, open_up_patterns
+
+                _, pats = open_up_patterns(args.patterns)
+                bg = estimate_static_background(
+                    _model_units(s)
+                    for s in iter_up_batches(pats, args.h5_chunk)
+                )
             else:
                 bg = estimate_static_background(_model_units(np.load(args.patterns)))
             logger.info("static=auto: using the scan-mean background")
@@ -303,6 +311,31 @@ def cmd_query(args) -> None:
                 x = None
         finally:
             f.close()
+        n = len(result.success)
+    elif args.patterns.lower().endswith(UP_EXTENSIONS):
+        # EDAX UP1/UP2 raw scan: the pattern block is memory-mapped, so
+        # slabs stream off disk like the HDF5 path (.up1 frames stay uint8
+        # end to end — the device-side /255 fast path).
+        from latice_tpu.data import iter_up_batches, open_up_patterns
+
+        header, pats = open_up_patterns(args.patterns)
+        if not args.scan_grid and header.scan_grid:
+            # Square-grid UP headers carry the scan geometry; use it so
+            # NLPAR and .ang/.ctf export work without an explicit flag.
+            args.scan_grid = list(header.scan_grid)
+            logger.info(
+                f"scan grid {header.scan_grid[0]}x{header.scan_grid[1]} "
+                "from the UP header"
+            )
+        if getattr(args, "nlpar", None) or refine_steps:
+            x = _nlpar(prepare_patterns(np.asarray(pats[...])))
+            result = pipe(x)
+        else:
+            result = concat_dense_results(
+                pipe(prepare_patterns(slab))
+                for slab in iter_up_batches(pats, args.h5_chunk)
+            )
+            x = None
         n = len(result.success)
     else:
         x = _nlpar(prepare_patterns(np.load(args.patterns)))
@@ -603,6 +636,100 @@ def cmd_analyze(args) -> None:
         "mean_kam_deg": float(kam.mean()),
         "outputs": [f"{prefix}_{s}.npy" for s in ("grains", "kam", "boundaries")],
     }
+    if args.grain_stats:
+        # Per-grain summary: sizes, ECD, symmetry-aware mean orientation,
+        # GOS. On multi-phase maps each grain lies in one phase (phase
+        # boundaries always segment), so stats run once per distinct point
+        # group and rows are taken from the grain's own phase.
+        from latice_tpu.crystal import grain_statistics
+
+        flat_labels = labels.reshape(-1)
+        _, seed_idx = np.unique(flat_labels, return_index=True)
+        if args.phases:
+            grain_phase = phases.reshape(-1)[seed_idx]
+            grain_group = np.asarray(groups)[np.maximum(grain_phase, 0)]
+        else:
+            grain_phase = None
+            grain_group = np.full(n_grains, args.group)
+        stats = None
+        for g in np.unique(grain_group):
+            s = grain_statistics(orients, labels, group=str(g))
+            if stats is None:
+                stats = [np.array(a) for a in s]
+            else:
+                sel = grain_group == g
+                stats[2][sel] = s.mean_orientation[sel]
+                stats[3][sel] = s.gos_deg[sel]
+        sizes, ecd, mean_ori, gos = stats
+        stats_out = f"{prefix}_grain_stats.npz"
+        payload = dict(
+            sizes_px=sizes,
+            equivalent_diameter_px=ecd,
+            mean_orientation=mean_ori,
+            gos_deg=gos,
+        )
+        if grain_phase is not None:
+            payload["phase"] = grain_phase
+        np.savez(stats_out, **payload)
+        summary["grain_stats"] = stats_out
+        summary["mean_ecd_px"] = float(ecd.mean())
+        summary["median_ecd_px"] = float(np.median(ecd))
+        summary["mean_gos_deg"] = float(gos.mean())
+        summary["outputs"].append(stats_out)
+    if args.csl:
+        # CSL boundary character: Σ labels per edge + number fractions.
+        if args.phases:
+            raise SystemExit(
+                "--csl classifies single-phase cubic maps; multi-phase CSL "
+                "character is not defined across phase boundaries"
+            )
+        from latice_tpu.crystal import classify_csl_boundaries, csl_fractions
+
+        sigmas = args.csl_sigmas.split(",") if args.csl_sigmas else None
+        try:
+            cmaps = classify_csl_boundaries(
+                orients,
+                group=args.group,
+                sigmas=sigmas,
+                boundary_threshold_deg=args.gb_threshold,
+                brandon_base_deg=args.brandon,
+            )
+        except ValueError as e:
+            raise SystemExit(str(e))
+        np.save(f"{prefix}_csl_east.npy", cmaps.east)
+        np.save(f"{prefix}_csl_south.npy", cmaps.south)
+        fractions = csl_fractions(cmaps)
+        summary["csl_sigmas"] = list(cmaps.sigmas)
+        summary["csl_fractions"] = {
+            k: round(v, 4) for k, v in fractions.items() if v > 0
+        }
+        summary["outputs"] += [f"{prefix}_csl_{d}.npy" for d in ("east", "south")]
+    if args.odf_sections or args.texture_index:
+        # Quantitative texture: kernel-density ODF over the map's pixels
+        # (per-phase on multi-phase maps via --odf-phase).
+        from latice_tpu.crystal import make_odf, odf_sections, texture_index
+
+        flat = orients.reshape(-1, 3)
+        odf_group = args.group
+        if args.phases:
+            sel = phases.reshape(-1) == args.odf_phase
+            if not sel.any():
+                raise SystemExit(
+                    f"--odf-phase {args.odf_phase}: no pixels with that id"
+                )
+            flat = flat[sel]
+            odf_group = groups[args.odf_phase]
+        odf = make_odf(flat, group=odf_group, halfwidth_deg=args.odf_halfwidth)
+        summary["texture_index"] = round(texture_index(odf), 4)
+        if args.odf_sections:
+            from latice_tpu.utils import plot_odf_sections
+
+            phi2 = [float(v) for v in args.odf_phi2.split(",")]
+            secs, p1_ax, p_ax = odf_sections(odf, phi2_deg=phi2)
+            fig = plot_odf_sections(secs, p1_ax, p_ax, phi2)
+            fig.savefig(args.odf_sections)
+            summary["odf_sections"] = args.odf_sections
+            summary["odf_max"] = round(float(secs.max()), 3)
     if args.pole_figure:
         from latice_tpu.utils import plot_pole_figure
 
@@ -683,7 +810,8 @@ def main() -> None:
     q = sub.add_parser("query", parents=[common], help="index patterns")
     q.add_argument(
         "--patterns", required=True,
-        help=".npy stack or HDF5 scan (.h5/.h5oina/...) to index",
+        help=".npy stack, HDF5 scan (.h5/.h5oina/...), or EDAX raw pattern "
+        "file (.up1/.up2) to index",
     )
     q.add_argument(
         "--h5-dataset", default=None,
@@ -692,7 +820,7 @@ def main() -> None:
     )
     q.add_argument(
         "--h5-chunk", type=int, default=4096,
-        help="patterns per streamed HDF5 slab",
+        help="patterns per streamed slab (HDF5 and UP inputs)",
     )
     q.add_argument("--out", default="orientations.npy")
     q.add_argument(
@@ -792,6 +920,47 @@ def main() -> None:
     a.add_argument(
         "--pole", type=float, nargs=3, default=(1.0, 0.0, 0.0),
         metavar=("H", "K", "L"), help="pole for --pole-figure",
+    )
+    a.add_argument(
+        "--odf-sections", default=None, metavar="PNG",
+        help="render constant-φ2 ODF sections (kernel-density ODF) to PNG "
+        "and report the texture index",
+    )
+    a.add_argument(
+        "--odf-phi2", default="0,45,65",
+        help="comma-separated φ2 section angles (deg) for --odf-sections",
+    )
+    a.add_argument(
+        "--odf-halfwidth", type=float, default=10.0,
+        help="ODF kernel half-width (deg, de la Vallée Poussin)",
+    )
+    a.add_argument(
+        "--odf-phase", type=int, default=0,
+        help="phase id whose texture to analyze on multi-phase maps",
+    )
+    a.add_argument(
+        "--texture-index", action="store_true",
+        help="report the texture index J = ∫f² (1 = random) without "
+        "rendering sections",
+    )
+    a.add_argument(
+        "--grain-stats", action="store_true",
+        help="also compute per-grain statistics (size, ECD, mean "
+        "orientation, GOS) into <prefix>_grain_stats.npz",
+    )
+    a.add_argument(
+        "--csl", action="store_true",
+        help="classify grain-boundary edges by CSL type (Σ3 twins etc., "
+        "Brandon criterion; cubic maps)",
+    )
+    a.add_argument(
+        "--csl-sigmas", default=None,
+        help="comma-separated Σ values to test (e.g. 3,9,27a); "
+        "default: the full Σ3-Σ29 table",
+    )
+    a.add_argument(
+        "--brandon", type=float, default=15.0,
+        help="Brandon-criterion base angle (deg); tolerance per Σ is base/√Σ",
     )
     a.set_defaults(fn=cmd_analyze)
 

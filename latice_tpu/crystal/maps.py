@@ -24,15 +24,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from latice_tpu.crystal.quaternion import from_euler_zxz_deg, misorientation_angle, quat_mul
-from latice_tpu.crystal.symmetry import symmetry_quats
+from latice_tpu.crystal.quaternion import (
+    from_euler_zxz_deg,
+    misorientation_angle,
+    quat_mul,
+    to_euler_zxz_deg,
+)
+from latice_tpu.crystal.symmetry import nearest_symmetry_equivalent, symmetry_quats
 
 __all__ = [
+    "GrainStatistics",
     "MisorientationMaps",
     "misorientation_maps",
     "misorientation_maps_multiphase",
     "kernel_average_misorientation",
     "grain_boundary_mask",
+    "grain_statistics",
     "label_grains",
 ]
 
@@ -197,6 +204,95 @@ def grain_boundary_mask(
     mask[:-1, :] |= s
     mask[1:, :] |= s
     return mask
+
+
+class GrainStatistics(NamedTuple):
+    """Per-grain statistics of a segmented orientation map.
+
+    All arrays are length ``n_grains``, indexed by `label_grains` label.
+    """
+
+    #: Pixel count per grain.
+    sizes_px: np.ndarray
+    #: Equivalent circle diameter ``2·sqrt(area/π)`` in pixels.
+    equivalent_diameter_px: np.ndarray
+    #: Symmetry-aware mean orientation per grain, zxz Euler degrees ``(G, 3)``.
+    mean_orientation: np.ndarray
+    #: Grain orientation spread: mean angle (degrees) of the grain's pixels
+    #: to its mean orientation.
+    gos_deg: np.ndarray
+
+
+def grain_statistics(
+    euler_deg: np.ndarray,
+    labels: np.ndarray,
+    group: str = "432",
+) -> GrainStatistics:
+    """Size, mean orientation and orientation spread of every grain.
+
+    The standard per-grain summary (OIM's grain file / MTEX ``grains``):
+    area, equivalent circle diameter, the symmetry-aware mean orientation,
+    and GOS (grain orientation spread — the recrystallization-fraction
+    metric). The reference has no grain analysis at all.
+
+    Orientation averaging handles symmetry by snapping every pixel to the
+    symmetry image nearest its grain's seed pixel (one vectorized device
+    pass over the whole map — within-grain spreads are far below the
+    symmetry zone spacing, so the snap is exact for real grains), then
+    taking the chordal-L2 quaternion mean per grain (the scipy
+    ``Rotation.mean`` eigenvector, batched over grains).
+
+    Args:
+        euler_deg: ``(H, W, 3)`` or ``(N, 3)`` zxz Euler degrees.
+        labels: Matching ``(H, W)`` or ``(N,)`` grain labels from
+            `label_grains` (0..G-1).
+        group: Proper rotation point group of the phase.
+
+    Returns:
+        GrainStatistics of host numpy arrays.
+    """
+    euler = np.asarray(euler_deg, dtype=np.float32).reshape(-1, 3)
+    lab = np.asarray(labels).reshape(-1)
+    if len(lab) != len(euler):
+        raise ValueError(
+            f"labels ({lab.shape}) do not match orientations ({euler.shape})"
+        )
+    n_grains = int(lab.max()) + 1 if lab.size else 0
+    sizes = np.bincount(lab, minlength=n_grains).astype(np.int64)
+    ecd = 2.0 * np.sqrt(sizes / np.pi)
+
+    sym = symmetry_quats(group)
+    q = from_euler_zxz_deg(jnp.asarray(euler))  # (N, 4) device
+    # Seed = first pixel of each grain (row-major; label_grains guarantees
+    # labels appear in first-visit order, so unique() indices are the seeds).
+    _, seed_idx = np.unique(lab, return_index=True)
+    q_host = np.asarray(q, np.float64)
+    q_seed = q_host[seed_idx][lab]  # (N, 4)
+    aligned = np.asarray(
+        nearest_symmetry_equivalent(jnp.asarray(q_seed, jnp.float32), q, sym),
+        np.float64,
+    )
+    # Hemisphere-align (q ≅ -q) so the linear accumulation is coherent.
+    flip = np.sum(aligned * q_seed, axis=-1) < 0
+    aligned[flip] *= -1.0
+
+    # Chordal-L2 mean per grain: leading eigenvector of M_g = Σ q qᵀ.
+    m = np.zeros((n_grains, 4, 4), np.float64)
+    np.add.at(m, lab, aligned[:, :, None] * aligned[:, None, :])
+    _, vecs = np.linalg.eigh(m)  # ascending: the mean is the last column
+    mean_q = vecs[..., -1]
+    mean_euler = np.asarray(to_euler_zxz_deg(jnp.asarray(mean_q, jnp.float32)))
+
+    # GOS: mean angle of the (already symmetry-snapped) pixels to the mean.
+    dots = np.abs(np.sum(aligned * mean_q[lab], axis=-1))
+    ang = 2.0 * np.degrees(np.arccos(np.clip(dots, -1.0, 1.0)))
+    gos = np.bincount(lab, weights=ang, minlength=n_grains) / np.maximum(sizes, 1)
+    return GrainStatistics(
+        sizes_px=sizes,
+        equivalent_diameter_px=ecd.astype(np.float32),
+        mean_orientation=mean_euler.astype(np.float32),
+        gos_deg=gos.astype(np.float32),
+    )
 
 
 def label_grains(

@@ -25,6 +25,14 @@ from latice_tpu.data.preprocess import (
     remove_dynamic_background,
     remove_static_background,
 )
+from latice_tpu.data.up import (
+    UP_EXTENSIONS,
+    UpHeader,
+    iter_up_batches,
+    load_up_patterns,
+    open_up_patterns,
+    read_up_header,
+)
 from latice_tpu.data.transforms import (
     center_crop,
     prepare_patterns,
@@ -55,6 +63,12 @@ __all__ = [
     "remove_dynamic_background",
     "remove_static_background",
     "HDF5_EXTENSIONS",
+    "UP_EXTENSIONS",
+    "UpHeader",
+    "iter_up_batches",
+    "load_up_patterns",
+    "open_up_patterns",
+    "read_up_header",
     "write_ang",
     "write_ctf",
     "find_pattern_dataset",

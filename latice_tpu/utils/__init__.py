@@ -9,7 +9,7 @@ from latice_tpu.utils.loggers import (
     WandbLogger,
     make_default_logger,
 )
-from latice_tpu.utils.polefigure import compute_pole_figure, plot_pole_figure
+from latice_tpu.utils.polefigure import compute_pole_figure, plot_odf_sections, plot_pole_figure
 from latice_tpu.utils.profiling import PhaseTimer, device_sync, trace
 from latice_tpu.utils.xla_trace import (
     TraceSummary,
@@ -26,6 +26,7 @@ from latice_tpu.utils.viz import (
 
 __all__ = [
     "compute_pole_figure",
+    "plot_odf_sections",
     "plot_pole_figure",
     "CSVLogger",
     "ColorKeyGenerator",

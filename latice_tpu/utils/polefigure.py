@@ -20,7 +20,7 @@ import numpy as np
 
 from latice_tpu.crystal.symmetry import ROTATION_GROUPS
 
-__all__ = ["compute_pole_figure", "plot_pole_figure"]
+__all__ = ["compute_pole_figure", "plot_odf_sections", "plot_pole_figure"]
 
 
 def _quat_to_matrix_np(q: np.ndarray) -> np.ndarray:
@@ -135,4 +135,53 @@ def plot_pole_figure(
     ax.axis("off")
     h = tuple(int(v) if float(v).is_integer() else v for v in pole)
     ax.set_title(f"{{{h[0]}{h[1]}{h[2]}}} pole figure ({group})")
+    return fig
+
+
+def plot_odf_sections(
+    sections: np.ndarray,
+    phi1_deg: np.ndarray,
+    phi_deg: np.ndarray,
+    phi2_deg,
+    ax=None,
+):
+    """Render constant-φ2 ODF sections (crystal.odf.odf_sections output).
+
+    One row of filled-contour panels sharing a color scale in multiples of
+    uniform; returns the figure. ``ax`` may be a sequence of axes (one per
+    section) for embedding.
+    """
+    from latice_tpu.utils._mpl import ensure_headless_backend
+
+    ensure_headless_backend()
+    import matplotlib.pyplot as plt
+
+    sections = np.asarray(sections)
+    n = len(sections)
+    if ax is None:
+        fig, axes = plt.subplots(
+            1, n, figsize=(3.4 * n + 1.2, 3.4), dpi=120, squeeze=False
+        )
+        axes = axes[0]
+    else:
+        axes = np.atleast_1d(ax)
+        fig = axes[0].figure
+    vmax = max(float(sections.max()), 1.0)
+    im = None
+    for i, (sec, p2) in enumerate(zip(sections, phi2_deg)):
+        a = axes[i]
+        im = a.imshow(
+            sec,
+            origin="upper",
+            extent=(phi1_deg[0], phi1_deg[-1], phi_deg[-1], phi_deg[0]),
+            vmin=0.0,
+            vmax=vmax,
+            cmap="viridis",
+            aspect="equal",
+        )
+        a.set_title(f"φ2 = {p2:g}°")
+        a.set_xlabel("φ1 (°)")
+        if i == 0:
+            a.set_ylabel("Φ (°)")
+    fig.colorbar(im, ax=list(axes), label="f(g) (× uniform)", shrink=0.85)
     return fig

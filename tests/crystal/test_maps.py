@@ -171,3 +171,63 @@ class TestMultiphaseMaps:
         assert n == 7
         assert (labels[:, :2] == 0).all()
         assert len(np.unique(labels[:, 2:])) == 6
+
+
+class TestGrainStatistics:
+    def test_two_grain_sizes_means_gos(self):
+        from latice_tpu.crystal import grain_statistics, misorientation_maps
+
+        euler = _two_grain_map()  # 6x8, split at column 4, ~0.1 deg noise
+        maps = misorientation_maps(euler, group="432")
+        labels, n = label_grains(maps, threshold_deg=5.0)
+        assert n == 2
+        stats = grain_statistics(euler, labels, group="432")
+        np.testing.assert_array_equal(stats.sizes_px, [24, 24])
+        np.testing.assert_allclose(
+            stats.equivalent_diameter_px, 2 * np.sqrt(24 / np.pi), rtol=1e-6
+        )
+        # Mean orientations recover the block centers within the noise.
+        np.testing.assert_allclose(
+            stats.mean_orientation[0], [10.0, 20.0, 30.0], atol=0.2
+        )
+        np.testing.assert_allclose(
+            stats.mean_orientation[1], [80.0, 60.0, 40.0], atol=0.2
+        )
+        # GOS is the scale of the injected ~0.1 deg jitter: small but nonzero.
+        assert 0.01 < stats.gos_deg[0] < 1.0
+        assert 0.01 < stats.gos_deg[1] < 1.0
+
+    def test_mean_matches_scipy_within_grain(self):
+        """Against scipy: mean of a noise-free two-orientation grain."""
+        from latice_tpu.crystal import grain_statistics
+
+        rots = R.from_euler("zxz", [[20, 30, 40], [22, 30, 40]], degrees=True)
+        euler = np.asarray(rots.as_euler("zxz", degrees=True), np.float32)
+        labels = np.zeros(2, np.int32)
+        stats = grain_statistics(euler, labels)
+        expect = rots.mean().as_euler("zxz", degrees=True)
+        np.testing.assert_allclose(stats.mean_orientation[0], expect, atol=1e-3)
+
+    def test_symmetry_equivalent_representations_average_cleanly(self):
+        """Pixels stored as different symmetry images of ONE orientation:
+        the snap-to-seed makes the mean exact and GOS zero."""
+        from latice_tpu.crystal import grain_statistics
+
+        base = R.from_euler("zxz", [10, 20, 30], degrees=True)
+        eulers = []
+        for k in (0, 5, 11, 17):
+            sym = R.from_quat(np.roll(CUBIC_SYMMETRY[k], -1))  # wxyz->xyzw
+            eulers.append((sym * base).as_euler("zxz", degrees=True))
+        euler = np.asarray(eulers, np.float32)
+        stats = grain_statistics(euler, np.zeros(4, np.int32))
+        # ~0.015 deg of float32 Euler-conversion roundoff is the floor here.
+        assert stats.gos_deg[0] == pytest.approx(0.0, abs=0.05)
+        got = R.from_euler("zxz", stats.mean_orientation[0], degrees=True)
+        mis = (got.inv() * R.from_quat(np.roll(CUBIC_SYMMETRY, -1, axis=1)) * base).magnitude()
+        assert np.degrees(mis.min()) == pytest.approx(0.0, abs=0.05)
+
+    def test_shape_validation(self):
+        from latice_tpu.crystal import grain_statistics
+
+        with pytest.raises(ValueError, match="labels"):
+            grain_statistics(np.zeros((4, 3)), np.zeros(5, np.int32))

@@ -442,6 +442,136 @@ class TestAnalyzeCLI:
         img622 = mpimg.imread(ipf622)
         assert not np.allclose(img622[0, 0, :3], img[0, 0, :3], atol=0.02)
 
+    def test_analyze_grain_stats(self, tmp_path, monkeypatch, capsys):
+        rng = np.random.default_rng(1)
+        euler = np.empty((6, 8, 3))
+        euler[:, :4] = [10.0, 20.0, 30.0]
+        euler[:, 4:] = [80.0, 60.0, 40.0]
+        euler += rng.normal(scale=0.1, size=euler.shape)
+        opath = tmp_path / "o.npy"
+        np.save(opath, euler.reshape(-1, 3))
+        prefix = str(tmp_path / "gs")
+        out = _run(
+            ["analyze", "--orientations", str(opath), "--grid", "6", "8",
+             "--out-prefix", prefix, "--grain-stats"],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(out.strip().splitlines()[-1])
+        assert summary["mean_ecd_px"] == pytest.approx(2 * np.sqrt(24 / np.pi), rel=1e-5)
+        assert 0 < summary["mean_gos_deg"] < 1.0
+        data = np.load(summary["grain_stats"])
+        np.testing.assert_array_equal(data["sizes_px"], [24, 24])
+        np.testing.assert_allclose(
+            data["mean_orientation"][0], [10, 20, 30], atol=0.2
+        )
+        assert "phase" not in data
+
+    def test_analyze_grain_stats_multiphase(self, tmp_path, monkeypatch, capsys):
+        """Per-grain stats on a two-phase map: each grain's mean uses its
+        own phase's point group, and the npz carries per-grain phase ids."""
+        euler = np.tile([10.0, 30.0, 50.0], (4, 6, 1))
+        phases = np.zeros((4, 6), np.int64)
+        phases[:, 3:] = 1
+        opath = tmp_path / "o.npy"
+        fpath = tmp_path / "p.npy"
+        np.save(opath, euler.reshape(-1, 3))
+        np.save(fpath, phases.ravel())
+        prefix = str(tmp_path / "mp")
+        out = _run(
+            ["analyze", "--orientations", str(opath), "--grid", "4", "6",
+             "--phases", str(fpath), "--phase-groups", "432,622",
+             "--out-prefix", prefix, "--grain-stats"],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(out.strip().splitlines()[-1])
+        data = np.load(summary["grain_stats"])
+        np.testing.assert_array_equal(data["phase"], [0, 1])
+        np.testing.assert_array_equal(data["sizes_px"], [12, 12])
+        assert data["gos_deg"].max() < 0.1
+
+    def test_analyze_odf_sections(self, tmp_path, monkeypatch, capsys):
+        """--odf-sections renders the φ2-section figure and reports J."""
+        rng = np.random.default_rng(3)
+        euler = np.tile([20.0, 30.0, 45.0], (5, 8, 1))
+        euler += rng.normal(scale=1.0, size=euler.shape)
+        opath = tmp_path / "o.npy"
+        np.save(opath, euler.reshape(-1, 3))
+        png = str(tmp_path / "odf.png")
+        out = _run(
+            ["analyze", "--orientations", str(opath), "--grid", "5", "8",
+             "--out-prefix", str(tmp_path / "t"), "--odf-sections", png,
+             "--odf-phi2", "0,45"],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(out.strip().splitlines()[-1])
+        assert Path(png).exists()
+        # Strong single-component texture: J well above random, sharp max.
+        assert summary["texture_index"] > 2.0
+        assert summary["odf_max"] > 5.0
+
+    def test_analyze_texture_index_only(self, tmp_path, monkeypatch, capsys):
+        rng = np.random.default_rng(4)
+        from scipy.spatial.transform import Rotation as R
+
+        euler = R.random(48, random_state=rng).as_euler("zxz", degrees=True)
+        opath = tmp_path / "u.npy"
+        np.save(opath, euler)
+        out = _run(
+            ["analyze", "--orientations", str(opath), "--grid", "6", "8",
+             "--out-prefix", str(tmp_path / "u"), "--texture-index",
+             "--odf-halfwidth", "25"],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(out.strip().splitlines()[-1])
+        assert "odf_sections" not in summary
+        # 48 random orientations at a wide kernel: approximately random.
+        assert summary["texture_index"] < 2.5
+
+    def test_analyze_csl_twin_boundary(self, tmp_path, monkeypatch, capsys):
+        """--csl labels a Σ3 bicrystal boundary and reports fractions."""
+        import jax.numpy as jnp
+
+        from latice_tpu.crystal import (
+            csl_rotation,
+            from_euler_zxz_deg,
+            quat_mul,
+            to_euler_zxz_deg,
+        )
+
+        ea = np.asarray([10.0, 20.0, 30.0])
+        qa = from_euler_zxz_deg(jnp.asarray(ea))
+        eb = np.asarray(to_euler_zxz_deg(quat_mul(qa, csl_rotation("3"))))
+        euler = np.empty((4, 6, 3), np.float32)
+        euler[:, :3] = ea
+        euler[:, 3:] = eb
+        opath = tmp_path / "twin.npy"
+        np.save(opath, euler.reshape(-1, 3))
+        prefix = str(tmp_path / "csl")
+        out = _run(
+            ["analyze", "--orientations", str(opath), "--grid", "4", "6",
+             "--out-prefix", prefix, "--csl", "--csl-sigmas", "3,9"],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(out.strip().splitlines()[-1])
+        assert summary["csl_sigmas"] == ["3", "9"]
+        assert summary["csl_fractions"]["3"] == 1.0
+        assert "random" not in summary["csl_fractions"]  # zero fractions dropped
+        east = np.load(prefix + "_csl_east.npy")
+        assert (east[:, 2] == 0).all()  # the Σ3 column, label index 0
+
+    def test_analyze_csl_rejects_multiphase(self, tmp_path, monkeypatch, capsys):
+        opath = tmp_path / "o.npy"
+        fpath = tmp_path / "p.npy"
+        np.save(opath, np.zeros((12, 3)))
+        np.save(fpath, np.zeros(12, np.int64))
+        with pytest.raises(SystemExit, match="single-phase"):
+            _run(
+                ["analyze", "--orientations", str(opath), "--grid", "3", "4",
+                 "--phases", str(fpath), "--csl",
+                 "--out-prefix", str(tmp_path / "rej")],
+                monkeypatch, capsys,
+            )
+
     def test_analyze_grid_mismatch(self, tmp_path, monkeypatch, capsys):
         opath = tmp_path / "o.npy"
         np.save(opath, np.zeros((10, 3)))
