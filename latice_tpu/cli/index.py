@@ -704,6 +704,83 @@ def cmd_analyze(args) -> None:
             k: round(v, 4) for k, v in fractions.items() if v > 0
         }
         summary["outputs"] += [f"{prefix}_csl_{d}.npy" for d in ("east", "south")]
+    if args.mdf:
+        # Misorientation-angle distribution: measured boundary edges vs the
+        # Mackenzie baseline for random texture (baseline uses --group; on
+        # multi-phase maps the measured angles are same-phase edges only).
+        from latice_tpu.crystal import (
+            boundary_disorientation_angles,
+            random_disorientation_angles,
+        )
+        from latice_tpu.utils._mpl import ensure_headless_backend
+
+        angles = boundary_disorientation_angles(
+            maps, threshold_deg=args.gb_threshold
+        )
+        if len(angles) == 0:
+            raise SystemExit(
+                "--mdf: no grain-boundary edges above the threshold"
+            )
+        ensure_headless_backend()
+        import matplotlib.pyplot as plt
+
+        base = random_disorientation_angles(args.group, n=100_000)
+        fig, ax = plt.subplots(figsize=(6, 4), dpi=120)
+        bins = np.linspace(0.0, float(np.ceil(max(base.max(), angles.max()))), 41)
+        ax.hist(
+            angles, bins=bins, density=True, alpha=0.65,
+            label=f"boundaries (n={len(angles)})",
+        )
+        ax.hist(
+            base, bins=bins, density=True, histtype="step", lw=1.5,
+            label="random (Mackenzie)",
+        )
+        ax.set_xlabel("disorientation (°)")
+        ax.set_ylabel("density")
+        ax.legend(frameon=False)
+        fig.savefig(args.mdf, bbox_inches="tight")
+        summary["mdf"] = args.mdf
+        summary["mean_boundary_disorientation_deg"] = round(float(angles.mean()), 3)
+    if args.schmid:
+        # Micromechanics overlay: max Schmid factor + active system index.
+        from latice_tpu.crystal import schmid_factors
+
+        try:
+            sr = schmid_factors(
+                orients, load_direction=tuple(args.schmid), family=args.slip_family
+            )
+        except ValueError as e:
+            raise SystemExit(str(e))
+        np.save(f"{prefix}_schmid.npy", sr.max_factor)
+        np.save(f"{prefix}_schmid_system.npy", sr.system)
+        summary["mean_schmid"] = round(float(sr.max_factor.mean()), 4)
+        summary["max_schmid"] = round(float(sr.max_factor.max()), 4)
+        summary["outputs"] += [
+            f"{prefix}_schmid.npy", f"{prefix}_schmid_system.npy"
+        ]
+    if args.components:
+        # Named-texture-component volume fractions (Cube/Goss/Brass/...).
+        from latice_tpu.crystal import texture_component_fractions
+
+        comps = (
+            None if args.components == "all" else args.components.split(",")
+        )
+        try:
+            cr = texture_component_fractions(
+                orients,
+                components=comps,
+                group=args.group,
+                sample_symmetry=args.sample_symmetry,
+                tolerance_deg=args.component_tolerance,
+            )
+        except ValueError as e:
+            raise SystemExit(str(e))
+        np.save(f"{prefix}_components.npy", cr.labels)
+        summary["component_names"] = list(cr.names)
+        summary["component_fractions"] = {
+            k: round(v, 4) for k, v in cr.fractions.items()
+        }
+        summary["outputs"].append(f"{prefix}_components.npy")
     if args.odf_sections or args.texture_index:
         # Quantitative texture: kernel-density ODF over the map's pixels
         # (per-phase on multi-phase maps via --odf-phase).
@@ -920,6 +997,34 @@ def main() -> None:
     a.add_argument(
         "--pole", type=float, nargs=3, default=(1.0, 0.0, 0.0),
         metavar=("H", "K", "L"), help="pole for --pole-figure",
+    )
+    a.add_argument(
+        "--mdf", default=None, metavar="PNG",
+        help="render the boundary misorientation-angle distribution against "
+        "the random (Mackenzie) baseline",
+    )
+    a.add_argument(
+        "--schmid", type=float, nargs=3, default=None, metavar=("X", "Y", "Z"),
+        help="compute per-pixel max Schmid factors for a uniaxial load along "
+        "this sample-frame axis (writes <prefix>_schmid.npy + _schmid_system.npy)",
+    )
+    a.add_argument(
+        "--slip-family", default="fcc", choices=("fcc", "bcc", "bcc112"),
+        help="slip-system family for --schmid",
+    )
+    a.add_argument(
+        "--components", default=None,
+        help="texture-component volume fractions: comma-separated names "
+        "(cube,goss,brass,copper,s,...) or 'all'",
+    )
+    a.add_argument(
+        "--component-tolerance", type=float, default=15.0,
+        help="assignment radius (deg) for --components",
+    )
+    a.add_argument(
+        "--sample-symmetry", default="orthorhombic",
+        choices=("triclinic", "monoclinic", "orthorhombic"),
+        help="specimen symmetry for --components (rolled sheet = orthorhombic)",
     )
     a.add_argument(
         "--odf-sections", default=None, metavar="PNG",

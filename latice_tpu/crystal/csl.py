@@ -191,7 +191,12 @@ def _deviation_fields(
 
     def dev(qa, qb):
         d = quat_mul(quat_inv(qa), qb)  # (..., 4) crystal-frame misorientation
-        dots = jnp.abs(d @ table)  # (..., nS*K)
+        # HIGHEST: the TPU default matmul precision loses bits exactly where
+        # arccos is steepest (dot→1); tight Brandon tolerances (Σ27: 2.9°)
+        # deserve full f32. Negligible cost at (·, 4) width.
+        dots = jnp.abs(
+            jnp.matmul(d, table, precision=jax.lax.Precision.HIGHEST)
+        )  # (..., nS*K)
         dots = jnp.where(mask, dots, 0.0)
         m = jnp.max(dots.reshape(*d.shape[:-1], ns, k), axis=-1)
         return 2.0 * jnp.rad2deg(jnp.arccos(jnp.clip(m, 0.0, 1.0)))

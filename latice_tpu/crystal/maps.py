@@ -35,12 +35,14 @@ from latice_tpu.crystal.symmetry import nearest_symmetry_equivalent, symmetry_qu
 __all__ = [
     "GrainStatistics",
     "MisorientationMaps",
+    "boundary_disorientation_angles",
     "misorientation_maps",
     "misorientation_maps_multiphase",
     "kernel_average_misorientation",
     "grain_boundary_mask",
     "grain_statistics",
     "label_grains",
+    "random_disorientation_angles",
 ]
 
 #: Sentinel disorientation (degrees) assigned to edges joining pixels of
@@ -204,6 +206,51 @@ def grain_boundary_mask(
     mask[:-1, :] |= s
     mask[1:, :] |= s
     return mask
+
+
+def boundary_disorientation_angles(
+    maps: MisorientationMaps, threshold_deg: float = 5.0
+) -> np.ndarray:
+    """Flat array of boundary-edge disorientation angles (degrees).
+
+    The raw material of the misorientation-angle distribution ("Mackenzie
+    plot"): every 4-neighbor edge at or above ``threshold_deg``, excluding
+    phase-boundary sentinels (`PHASE_BOUNDARY_DEG`).
+    """
+    east, south = maps
+    vals = np.concatenate([east[:, :-1].ravel(), south[:-1, :].ravel()])
+    return vals[(vals >= threshold_deg) & (vals < PHASE_BOUNDARY_DEG)]
+
+
+def random_disorientation_angles(
+    group: str = "432", n: int = 100_000, seed: int = 0
+) -> np.ndarray:
+    """Disorientation angles (degrees) of random orientation pairs.
+
+    The Mackenzie (1958) distribution for the given point group, by Monte
+    Carlo: Haar-uniform rotations (Shoemake map) symmetry-reduced against
+    the identity — the comparison baseline for measured boundary
+    distributions (a Δg between two independent uniform orientations is
+    itself uniform, so reducing single samples suffices). One jitted
+    device pass; for cubic the max is the Mackenzie cutoff 62.8°.
+    """
+    rng = np.random.default_rng(seed)
+    u = rng.uniform(size=(n, 3))
+    q = np.stack(
+        [
+            np.sqrt(1 - u[:, 0]) * np.sin(2 * np.pi * u[:, 1]),
+            np.sqrt(1 - u[:, 0]) * np.cos(2 * np.pi * u[:, 1]),
+            np.sqrt(u[:, 0]) * np.sin(2 * np.pi * u[:, 2]),
+            np.sqrt(u[:, 0]) * np.cos(2 * np.pi * u[:, 2]),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    sym = symmetry_quats(group)
+    from latice_tpu.crystal.symmetry import symmetry_reduced_misorientation
+
+    identity = jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32)
+    ang = symmetry_reduced_misorientation(identity, jnp.asarray(q), sym)
+    return np.degrees(np.asarray(ang))
 
 
 class GrainStatistics(NamedTuple):

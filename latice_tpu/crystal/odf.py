@@ -135,7 +135,15 @@ def _odf_values(
     # ⟨g, s ⊗ q_i⟩ = ⟨s⁻¹ ⊗ g, q_i⟩: expand the points, not the samples.
     expanded = quat_mul(quat_inv(sym)[None, :, :], points[:, None, :])  # (P, S, 4)
     p, s, _ = expanded.shape
-    dots = jnp.abs(expanded.reshape(p * s, 4) @ samples.T)  # (P·S, N)
+    # HIGHEST precision: the dot feeds cos^{2κ} with κ ~ 10²; a bf16-level
+    # error δ near dot=1 multiplies the kernel by e^{2κδ} — order-unity.
+    dots = jnp.abs(
+        jnp.matmul(
+            expanded.reshape(p * s, 4),
+            samples.T,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    )  # (P·S, N)
     # cos^{2κ} via exp(2κ·log): stable for κ up to thousands; dots==0 -> 0.
     k = jnp.power(jnp.maximum(dots, 1e-30), 2.0 * kappa)
     k = k.reshape(p, s, -1).mean(axis=1)  # (P, N) symmetry-averaged

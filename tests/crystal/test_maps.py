@@ -231,3 +231,48 @@ class TestGrainStatistics:
 
         with pytest.raises(ValueError, match="labels"):
             grain_statistics(np.zeros((4, 3)), np.zeros(5, np.int32))
+
+
+class TestDisorientationDistribution:
+    def test_boundary_angles_pick_only_boundaries(self):
+        from latice_tpu.crystal import boundary_disorientation_angles, misorientation_maps
+
+        euler = _two_grain_map()  # one vertical boundary, 6 rows
+        maps = misorientation_maps(euler)
+        angles = boundary_disorientation_angles(maps, threshold_deg=5.0)
+        assert len(angles) == 6  # the boundary column's east edges
+        assert (angles > 5.0).all() and (angles < 63.0).all()
+
+    def test_phase_sentinels_excluded(self):
+        from latice_tpu.crystal import (
+            boundary_disorientation_angles,
+            misorientation_maps_multiphase,
+        )
+
+        euler = np.tile([10.0, 30.0, 50.0], (3, 4, 1))
+        phases = np.zeros((3, 4), np.int32)
+        phases[:, 2:] = 1
+        maps = misorientation_maps_multiphase(euler, phases, ["432", "432"])
+        angles = boundary_disorientation_angles(maps)
+        assert len(angles) == 0  # only sentinel (999) edges exist
+
+    def test_mackenzie_distribution_cubic(self):
+        """Random cubic disorientations: the Mackenzie shape — cutoff at
+        62.8°, mean ~40.7°, mode ~45°."""
+        from latice_tpu.crystal import random_disorientation_angles
+
+        ang = random_disorientation_angles("432", n=40000, seed=0)
+        assert ang.max() <= 62.81
+        assert ang.max() > 62.0
+        assert abs(ang.mean() - 40.73) < 0.3
+        hist, edges = np.histogram(ang, bins=31, range=(0, 62))
+        mode = 0.5 * (edges[np.argmax(hist)] + edges[np.argmax(hist) + 1])
+        assert 42.0 < mode < 48.0
+
+    def test_triclinic_reaches_180(self):
+        from latice_tpu.crystal import random_disorientation_angles
+
+        ang = random_disorientation_angles("1", n=20000, seed=1)
+        assert ang.max() > 175.0
+        # Haar mean rotation angle: 90° + 2/π·180/π ... ~126.47°.
+        assert abs(ang.mean() - 126.47) < 1.0

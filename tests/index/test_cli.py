@@ -489,6 +489,57 @@ class TestAnalyzeCLI:
         np.testing.assert_array_equal(data["sizes_px"], [12, 12])
         assert data["gos_deg"].max() < 0.1
 
+    def test_analyze_mdf(self, tmp_path, monkeypatch, capsys):
+        rng = np.random.default_rng(2)
+        euler = np.empty((6, 8, 3))
+        euler[:, :4] = [10.0, 20.0, 30.0]
+        euler[:, 4:] = [80.0, 60.0, 40.0]
+        euler += rng.normal(scale=0.1, size=euler.shape)
+        opath = tmp_path / "o.npy"
+        np.save(opath, euler.reshape(-1, 3))
+        png = str(tmp_path / "mdf.png")
+        out = _run(
+            ["analyze", "--orientations", str(opath), "--grid", "6", "8",
+             "--out-prefix", str(tmp_path / "m"), "--mdf", png],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(out.strip().splitlines()[-1])
+        assert Path(png).exists()
+        assert 5.0 < summary["mean_boundary_disorientation_deg"] < 63.0
+
+    def test_analyze_mdf_no_boundaries(self, tmp_path, monkeypatch, capsys):
+        opath = tmp_path / "flat.npy"
+        np.save(opath, np.zeros((12, 3)))
+        with pytest.raises(SystemExit, match="no grain-boundary edges"):
+            _run(
+                ["analyze", "--orientations", str(opath), "--grid", "3", "4",
+                 "--out-prefix", str(tmp_path / "n"), "--mdf",
+                 str(tmp_path / "n.png")],
+                monkeypatch, capsys,
+            )
+
+    def test_analyze_schmid_and_components(self, tmp_path, monkeypatch, capsys):
+        """--schmid writes factor/system maps; --components reports fractions."""
+        euler = np.zeros((4, 6, 3))  # cube texture
+        opath = tmp_path / "cube.npy"
+        np.save(opath, euler.reshape(-1, 3))
+        prefix = str(tmp_path / "sc")
+        out = _run(
+            ["analyze", "--orientations", str(opath), "--grid", "4", "6",
+             "--out-prefix", prefix, "--schmid", "0", "0", "1",
+             "--components", "cube,goss"],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(out.strip().splitlines()[-1])
+        # Cube under [001]: the textbook 0.4082 everywhere.
+        assert summary["mean_schmid"] == pytest.approx(0.4082, abs=1e-3)
+        m = np.load(prefix + "_schmid.npy")
+        assert m.shape == (4, 6)
+        assert summary["component_fractions"]["cube"] == 1.0
+        assert summary["component_fractions"]["goss"] == 0.0
+        labels = np.load(prefix + "_components.npy")
+        assert (labels == 0).all()
+
     def test_analyze_odf_sections(self, tmp_path, monkeypatch, capsys):
         """--odf-sections renders the φ2-section figure and reports J."""
         rng = np.random.default_rng(3)
