@@ -676,6 +676,55 @@ def cmd_analyze(args) -> None:
         summary["median_ecd_px"] = float(np.median(ecd))
         summary["mean_gos_deg"] = float(gos.mean())
         summary["outputs"].append(stats_out)
+    if args.parent:
+        # Parent-phase reconstruction: child grain means -> OR inversion ->
+        # agreement components (crystal.reconstruction). The per-pixel
+        # parent orientations land as a (rows, cols, 3) Euler map so they
+        # can be fed straight back into analyze (IPF map, texture, ...).
+        if args.phases:
+            raise SystemExit(
+                "--parent reconstructs single-phase child maps; extract the "
+                "child phase's pixels first"
+            )
+        from latice_tpu.crystal import (
+            grain_adjacency,
+            grain_statistics,
+            reconstruct_parents,
+        )
+
+        gstats = grain_statistics(orients, labels, group=args.group)
+        try:
+            rec = reconstruct_parents(
+                gstats.mean_orientation,
+                grain_adjacency(labels),
+                relationship=args.parent,
+                parent_group=args.parent_group,
+                child_group=args.group,
+                tolerance_deg=args.parent_tolerance,
+            )
+        except ValueError as e:
+            raise SystemExit(str(e))
+        parent_px = rec.parent_labels[labels]
+        np.save(f"{prefix}_parent_grains.npy", parent_px)
+        np.save(
+            f"{prefix}_parent_orientations.npy", rec.parent_orientation[parent_px]
+        )
+        np.save(f"{prefix}_variants.npy", rec.variant[labels])
+        np.savez(
+            f"{prefix}_parent_recon.npz",
+            parent_labels=rec.parent_labels,
+            parent_orientation=rec.parent_orientation,
+            variant=rec.variant,
+            fit_deg=rec.fit_deg,
+        )
+        summary["n_parents"] = rec.n_parents
+        summary["mean_parent_fit_deg"] = round(float(rec.fit_deg.mean()), 3)
+        summary["outputs"] += [
+            f"{prefix}_parent_grains.npy",
+            f"{prefix}_parent_orientations.npy",
+            f"{prefix}_variants.npy",
+            f"{prefix}_parent_recon.npz",
+        ]
     if args.csl:
         # CSL boundary character: Σ labels per edge + number fractions.
         if args.phases:
@@ -1066,6 +1115,20 @@ def main() -> None:
     a.add_argument(
         "--brandon", type=float, default=15.0,
         help="Brandon-criterion base angle (deg); tolerance per Σ is base/√Σ",
+    )
+    a.add_argument(
+        "--parent", default=None, metavar="OR",
+        help="reconstruct prior-phase parent grains through this orientation "
+        "relationship (ks | nw | bain | pitsch); child phase is --group",
+    )
+    a.add_argument(
+        "--parent-group", default="432",
+        help="point group of the parent phase (default: %(default)s)",
+    )
+    a.add_argument(
+        "--parent-tolerance", type=float, default=2.5,
+        help="max disorientation (deg) for two child grains to agree on a "
+        "parent candidate (default: %(default)s)",
     )
     a.set_defaults(fn=cmd_analyze)
 

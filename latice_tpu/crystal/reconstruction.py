@@ -75,6 +75,7 @@ __all__ = [
     "ParentReconstruction",
     "grain_adjacency",
     "or_rotation",
+    "or_variant_table",
     "parent_candidates",
     "reconstruct_parents",
 ]
@@ -201,6 +202,40 @@ def parent_candidates(
     ).astype(np.float32)
 
 
+def or_variant_table(
+    relationship="ks",
+    parent_group: str = "432",
+    child_group: str = "432",
+    dedupe_tol_deg: float = 0.5,
+) -> np.ndarray:
+    """The OR's physical variants as misorientation representatives.
+
+    Returns ``(V, 4)`` unit quaternions ``T ⊗ s_p``: for a parent with
+    orientation ``g_p``, variant ``k``'s child orientation is
+    ``table[k] ⊗ g_p`` (modulo child symmetry). Deduplicated modulo LEFT
+    child symmetry — two parent-side choices are one physical variant when
+    ``T s_p1 = s_c T s_p2``. KS: 24, NW: 12, Bain: 3.
+    """
+    t = or_rotation(relationship)
+    s_parent = np.asarray(symmetry_quats(parent_group), np.float64)
+    s_child = np.asarray(symmetry_quats(child_group), np.float64)
+    reps = _qmul_np(t[None, :], s_parent)  # (Sp, 4)
+    keep: list[np.ndarray] = []
+    cos_tol = np.cos(np.radians(dedupe_tol_deg) / 2.0)
+    for r in reps:
+        dup = False
+        for k in keep:
+            imgs = _qmul_np(s_child, k[None, :])
+            if np.abs(imgs @ r).max() >= cos_tol:
+                dup = True
+                break
+        if not dup:
+            keep.append(r)
+    out = np.stack(keep)
+    flip = out[:, :1] < 0
+    return np.where(flip, -out, out) / np.linalg.norm(out, axis=-1, keepdims=True)
+
+
 def grain_adjacency(labels: np.ndarray) -> np.ndarray:
     """Unique adjacent grain-label pairs ``(E, 2)`` of a (H, W) label map."""
     lab = np.asarray(labels)
@@ -320,7 +355,11 @@ class ParentReconstruction(NamedTuple):
     n_parents: int
     #: zxz Euler degrees of each parent grain ``(n_parents, 3)``.
     parent_orientation: np.ndarray
-    #: Chosen variant index per child grain (into `parent_candidates`' V).
+    #: Physical variant id per child grain: which of `or_variant_table`'s V
+    #: variants relates the child to its parent's mean orientation (MTEX's
+    #: ``variantId``). Consistent within a parent grain — same-variant
+    #: laths/blocks share an id — but numbered relative to the parent's
+    #: (gauge-dependent) representative, so ids permute between parents.
     variant: np.ndarray
     #: Disorientation (degrees) of each child grain's chosen candidate to
     #: its parent's mean orientation — the reconstruction residual.
@@ -492,6 +531,21 @@ def reconstruct_parents(
     parent_q, fit_out = _parent_mean(
         chosen, parent_q[parent_labels], parent_labels, n_parents, sym_p
     )
+
+    # Physical variant ids: classify each child's misorientation to its
+    # parent mean, m = g_child ⊗ g_parent⁻¹, against the OR variant table
+    # (modulo left child symmetry) — MTEX's variantId semantics.
+    vreps = or_variant_table(relationship, parent_group, child_group)
+    s_child = np.asarray(symmetry_quats(child_group), np.float64)
+    child_q = np.asarray(from_euler_zxz_deg(jnp.asarray(euler)), np.float64)
+    p_conj = parent_q[parent_labels] * np.asarray([1.0, -1, -1, -1])
+    m = _qmul_np(child_q, p_conj)  # (G, 4)
+    imgs = _qmul_np(s_child[:, None, :], vreps[None, :, :])  # (S, Vp, 4)
+    dots = np.abs(
+        np.einsum("gq,svq->gsv", m, imgs)
+    ).max(axis=1)  # (G, Vp)
+    variant_id = dots.argmax(axis=1).astype(np.int32)
+
     parent_euler = np.asarray(
         to_euler_zxz_deg(jnp.asarray(parent_q, jnp.float32)), np.float32
     )
@@ -499,6 +553,6 @@ def reconstruct_parents(
         parent_labels=parent_labels,
         n_parents=int(n_parents),
         parent_orientation=parent_euler,
-        variant=variant,
+        variant=variant_id,
         fit_deg=fit_out,
     )

@@ -134,22 +134,38 @@ class TestReconstruction:
             assert 2 * np.degrees(np.arccos(min(best, 1.0))) < 0.5
         assert rec.fit_deg.max() < 1.0
 
-    def test_chosen_variants_match_truth(self):
-        """Each child's chosen candidate lands on its true parent."""
-        child, edges, truth_ids, truth_eulers = _forward_map(seed=3)
-        rec = reconstruct_parents(child, edges, "ks", tolerance_deg=2.5)
-        cands = parent_candidates(child, "ks")
+    def test_variant_ids_partition_by_physical_variant(self):
+        """`variant` is the physical variant id: within one parent, children
+        that transformed through the same s_p share an id, distinct s_p get
+        distinct ids — regardless of the measured representative (random
+        child-side s_c)."""
+        rng = np.random.default_rng(5)
+        t = or_rotation("ks")
         sym = np.asarray(symmetry_quats("432"), np.float64)
-        for i in range(len(child)):
-            q = cands[i, rec.variant[i]]
-            qt = np.roll(
-                R.from_euler(
-                    "zxz", truth_eulers[truth_ids[i]], degrees=True
-                ).as_quat(),
-                1,
+        gp = np.roll(R.from_euler("zxz", [33, 48, 12], degrees=True).as_quat(), 1)
+        sp_choice = [2, 2, 7, 7, 11, 19]  # pairs share a variant; 4 distinct
+        child = []
+        for k in sp_choice:
+            gc = _qmul_np(
+                sym[rng.integers(0, 24)], _qmul_np(t, _qmul_np(sym[k], gp))
             )
-            best = np.abs(_qmul_np(sym, q[None, :]) @ qt).max()
-            assert 2 * np.degrees(np.arccos(min(best, 1.0))) < 0.5
+            pert = R.from_rotvec(rng.normal(scale=np.radians(0.1), size=3))
+            child.append(
+                (R.from_quat(np.roll(gc, -1)) * pert).as_euler("zxz", degrees=True)
+            )
+        edges = np.asarray([(i, i + 1) for i in range(5)])
+        rec = reconstruct_parents(np.asarray(child), edges, "ks", tolerance_deg=2.5)
+        assert rec.n_parents == 1
+        v = rec.variant
+        assert v[0] == v[1] and v[2] == v[3]  # same s_p -> same id
+        assert len({int(v[0]), int(v[2]), int(v[4]), int(v[5])}) == 4
+
+    def test_or_variant_table_counts(self):
+        from latice_tpu.crystal import or_variant_table
+
+        assert or_variant_table("ks").shape == (24, 4)
+        assert or_variant_table("nw").shape == (12, 4)
+        assert or_variant_table("bain").shape == (3, 4)
 
     def test_edge_blocking_matches_single_block(self, monkeypatch):
         """Padded fixed-size edge blocks give the same answer as one block."""

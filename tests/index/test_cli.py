@@ -623,6 +623,65 @@ class TestAnalyzeCLI:
                 monkeypatch, capsys,
             )
 
+    def test_analyze_parent_reconstruction(self, tmp_path, monkeypatch, capsys):
+        """--parent ks rebuilds two austenite grains from a martensite map
+        of six child strips (three KS variants per parent)."""
+        from latice_tpu.crystal import or_rotation
+        from latice_tpu.crystal.csl import _qmul_np
+        from latice_tpu.crystal.symmetry import symmetry_quats
+        from scipy.spatial.transform import Rotation as R
+
+        rng = np.random.default_rng(0)
+        t = or_rotation("ks")
+        sym = np.asarray(symmetry_quats("432"), np.float64)
+        euler = np.empty((4, 12, 3))
+        for p, pe in enumerate([[15.0, 30.0, 45.0], [70.0, 55.0, 10.0]]):
+            gp = np.roll(R.from_euler("zxz", pe, degrees=True).as_quat(), 1)
+            for j, k in enumerate(rng.choice(24, size=3, replace=False)):
+                gc = _qmul_np(sym[k], gp)  # parent-side variant choice
+                gc = _qmul_np(t, gc)
+                strip = (R.from_quat(np.roll(gc, -1)) * R.from_rotvec(
+                    rng.normal(scale=np.radians(0.05), size=(4 * 2, 3))
+                )).as_euler("zxz", degrees=True)
+                euler[:, (3 * p + j) * 2 : (3 * p + j) * 2 + 2] = strip.reshape(
+                    4, 2, 3
+                )
+        opath = tmp_path / "o.npy"
+        np.save(opath, euler.reshape(-1, 3))
+        prefix = str(tmp_path / "par")
+        out = _run(
+            ["analyze", "--orientations", str(opath), "--grid", "4", "12",
+             "--out-prefix", prefix, "--parent", "ks"],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(out.strip().splitlines()[-1])
+        assert summary["n_grains"] == 6
+        assert summary["n_parents"] == 2
+        assert summary["mean_parent_fit_deg"] < 1.0
+        pg = np.load(prefix + "_parent_grains.npy")
+        assert pg.shape == (4, 12)
+        assert len(set(pg[:, :6].ravel())) == 1
+        assert len(set(pg[:, 6:].ravel())) == 1
+        assert pg[0, 0] != pg[0, 6]
+        po = np.load(prefix + "_parent_orientations.npy")
+        assert po.shape == (4, 12, 3)  # feeds back into analyze directly
+        var = np.load(prefix + "_variants.npy")
+        assert var.shape == (4, 12)
+        assert len(set(var[0, :6].tolist())) == 3  # three distinct variants
+
+    def test_analyze_parent_rejects_multiphase(self, tmp_path, monkeypatch, capsys):
+        opath = tmp_path / "o.npy"
+        fpath = tmp_path / "p.npy"
+        np.save(opath, np.zeros((12, 3)))
+        np.save(fpath, np.zeros(12, np.int64))
+        with pytest.raises(SystemExit, match="single-phase"):
+            _run(
+                ["analyze", "--orientations", str(opath), "--grid", "3", "4",
+                 "--phases", str(fpath), "--parent", "ks",
+                 "--out-prefix", str(tmp_path / "rej")],
+                monkeypatch, capsys,
+            )
+
     def test_analyze_grid_mismatch(self, tmp_path, monkeypatch, capsys):
         opath = tmp_path / "o.npy"
         np.save(opath, np.zeros((10, 3)))
