@@ -725,6 +725,31 @@ def cmd_analyze(args) -> None:
             f"{prefix}_variants.npy",
             f"{prefix}_parent_recon.npz",
         ]
+    if args.gnd is not None:
+        # GND density lower bound from the lattice-curvature field
+        # (crystal.gnd, Pantleon's five measurable Nye entries).
+        if args.phases:
+            raise SystemExit(
+                "--gnd runs on single-phase maps (curvature across phase "
+                "boundaries is undefined); extract one phase first"
+            )
+        from latice_tpu.crystal import gnd_density
+
+        try:
+            gres = gnd_density(
+                orients,
+                step_um=args.step_um,
+                burgers_nm=args.gnd,
+                group=args.group,
+                threshold_deg=args.gb_threshold,
+            )
+        except ValueError as e:
+            raise SystemExit(str(e))
+        np.save(f"{prefix}_gnd.npy", gres.density)
+        np.save(f"{prefix}_nye.npy", gres.alpha)
+        summary["mean_gnd_per_m2"] = float(np.nanmean(gres.density))
+        summary["gnd_valid_fraction"] = round(float(gres.valid.mean()), 4)
+        summary["outputs"] += [f"{prefix}_gnd.npy", f"{prefix}_nye.npy"]
     if args.csl:
         # CSL boundary character: Σ labels per edge + number fractions.
         if args.phases:
@@ -1115,6 +1140,16 @@ def main() -> None:
     a.add_argument(
         "--brandon", type=float, default=15.0,
         help="Brandon-criterion base angle (deg); tolerance per Σ is base/√Σ",
+    )
+    a.add_argument(
+        "--gnd", type=float, default=None, metavar="BURGERS_NM",
+        help="compute the GND density lower bound (1/m²) with this Burgers "
+        "vector length in nm (e.g. 0.248 for α-Fe, 0.286 for Al)",
+    )
+    a.add_argument(
+        "--step-um", type=float, default=1.0,
+        help="scan step in micrometres for curvature units "
+        "(default: %(default)s)",
     )
     a.add_argument(
         "--parent", default=None, metavar="OR",

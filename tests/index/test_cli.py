@@ -682,6 +682,32 @@ class TestAnalyzeCLI:
                 monkeypatch, capsys,
             )
 
+    def test_analyze_gnd(self, tmp_path, monkeypatch, capsys):
+        """--gnd on a constant-tilt field reports the 1-D textbook bound
+        rho = |dtheta/dx| / b."""
+        from scipy.spatial.transform import Rotation as R
+
+        c, step, b = 0.05, 2.0, 0.25  # deg/px, um, nm
+        g0 = R.from_euler("zxz", [20, 40, 10], degrees=True)
+        euler = np.empty((6, 8, 3))
+        for j in range(8):
+            g = g0 * R.from_rotvec([0, 0, -np.radians(c) * j])
+            euler[:, j] = g.as_euler("zxz", degrees=True)
+        opath = tmp_path / "o.npy"
+        np.save(opath, euler.reshape(-1, 3))
+        prefix = str(tmp_path / "g")
+        out = _run(
+            ["analyze", "--orientations", str(opath), "--grid", "6", "8",
+             "--out-prefix", prefix, "--gnd", str(b), "--step-um", str(step)],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(out.strip().splitlines()[-1])
+        expect = np.radians(c) / (step * 1e-6) / (b * 1e-9)
+        assert summary["mean_gnd_per_m2"] == pytest.approx(expect, rel=0.05)
+        dens = np.load(prefix + "_gnd.npy")
+        assert dens.shape == (6, 8) and np.isnan(dens[-1, 0])
+        assert np.load(prefix + "_nye.npy").shape == (6, 8, 5)
+
     def test_analyze_grid_mismatch(self, tmp_path, monkeypatch, capsys):
         opath = tmp_path / "o.npy"
         np.save(opath, np.zeros((10, 3)))
