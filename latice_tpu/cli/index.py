@@ -725,6 +725,40 @@ def cmd_analyze(args) -> None:
             f"{prefix}_variants.npy",
             f"{prefix}_parent_recon.npz",
         ]
+    if args.youngs:
+        # Elastic anisotropy: per-pixel directional Young's modulus under a
+        # sample-frame load, plus the texture-free Hill reference.
+        if args.phases:
+            raise SystemExit(
+                "--youngs maps one phase's stiffness; run it on single-phase "
+                "maps (per-phase stiffness differs)"
+            )
+        from latice_tpu.crystal import (
+            directional_youngs_modulus,
+            polycrystal_moduli,
+        )
+
+        stiff = args.youngs
+        if "," in stiff:
+            try:
+                stiff = tuple(float(v) for v in stiff.split(","))
+            except ValueError:
+                raise SystemExit(
+                    f"--youngs: expected C11,C12,C44 in GPa, got {args.youngs!r}"
+                )
+        try:
+            emap = directional_youngs_modulus(
+                orients, load_direction=tuple(args.load), stiffness=stiff
+            )
+            pm = polycrystal_moduli(stiff)
+        except ValueError as exc:
+            raise SystemExit(str(exc))
+        np.save(f"{prefix}_youngs.npy", emap)
+        summary["mean_youngs_gpa"] = round(float(emap.mean()), 2)
+        summary["min_youngs_gpa"] = round(float(emap.min()), 2)
+        summary["max_youngs_gpa"] = round(float(emap.max()), 2)
+        summary["youngs_hill_gpa"] = round(pm.youngs_hill, 2)
+        summary["outputs"].append(f"{prefix}_youngs.npy")
     if args.gnd is not None:
         # GND density lower bound from the lattice-curvature field
         # (crystal.gnd, Pantleon's five measurable Nye entries).
@@ -1140,6 +1174,16 @@ def main() -> None:
     a.add_argument(
         "--brandon", type=float, default=15.0,
         help="Brandon-criterion base angle (deg); tolerance per Σ is base/√Σ",
+    )
+    a.add_argument(
+        "--youngs", default=None, metavar="STIFFNESS",
+        help="directional Young's modulus map (GPa): a material name "
+        "(al, cu, ni, fe-alpha, fe-gamma, w) or C11,C12,C44 in GPa",
+    )
+    a.add_argument(
+        "--load", type=float, nargs=3, default=(0.0, 0.0, 1.0),
+        metavar=("X", "Y", "Z"),
+        help="sample-frame load direction for --youngs (default: 0 0 1)",
     )
     a.add_argument(
         "--gnd", type=float, default=None, metavar="BURGERS_NM",

@@ -708,6 +708,36 @@ class TestAnalyzeCLI:
         assert dens.shape == (6, 8) and np.isnan(dens[-1, 0])
         assert np.load(prefix + "_nye.npy").shape == (6, 8, 5)
 
+    def test_analyze_youngs(self, tmp_path, monkeypatch, capsys):
+        """--youngs cu at identity orientation under [001] load = E<100>."""
+        opath = tmp_path / "o.npy"
+        np.save(opath, np.zeros((12, 3)))
+        prefix = str(tmp_path / "y")
+        out = _run(
+            ["analyze", "--orientations", str(opath), "--grid", "3", "4",
+             "--out-prefix", prefix, "--youngs", "cu"],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(out.strip().splitlines()[-1])
+        assert summary["mean_youngs_gpa"] == pytest.approx(66.7, rel=0.02)
+        assert summary["youngs_hill_gpa"] == pytest.approx(127.0, rel=0.03)
+        assert np.load(prefix + "_youngs.npy").shape == (3, 4)
+        # explicit constants accepted too
+        out = _run(
+            ["analyze", "--orientations", str(opath), "--grid", "3", "4",
+             "--out-prefix", prefix, "--youngs", "168.4,121.4,75.4",
+             "--load", "1", "1", "1"],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(out.strip().splitlines()[-1])
+        assert summary["mean_youngs_gpa"] == pytest.approx(191.0, rel=0.02)
+        with pytest.raises(SystemExit, match="unknown material"):
+            _run(
+                ["analyze", "--orientations", str(opath), "--grid", "3", "4",
+                 "--out-prefix", prefix, "--youngs", "unobtanium"],
+                monkeypatch, capsys,
+            )
+
     def test_analyze_grid_mismatch(self, tmp_path, monkeypatch, capsys):
         opath = tmp_path / "o.npy"
         np.save(opath, np.zeros((10, 3)))
