@@ -725,6 +725,20 @@ def cmd_analyze(args) -> None:
             f"{prefix}_variants.npy",
             f"{prefix}_parent_recon.npz",
         ]
+    if args.taylor:
+        # Full-constraints Taylor factor map (Bishop-Hill maximum work).
+        from latice_tpu.crystal import taylor_factors
+
+        try:
+            tr = taylor_factors(
+                orients, load_direction=tuple(args.load), family=args.slip_family
+            )
+        except ValueError as exc:
+            raise SystemExit(str(exc))
+        np.save(f"{prefix}_taylor.npy", tr.factor)
+        summary["mean_taylor"] = round(float(tr.factor.mean()), 4)
+        summary["max_taylor"] = round(float(tr.factor.max()), 4)
+        summary["outputs"].append(f"{prefix}_taylor.npy")
     if args.youngs:
         # Elastic anisotropy: per-pixel directional Young's modulus under a
         # sample-frame load, plus the texture-free Hill reference.
@@ -1174,6 +1188,11 @@ def main() -> None:
     a.add_argument(
         "--brandon", type=float, default=15.0,
         help="Brandon-criterion base angle (deg); tolerance per Σ is base/√Σ",
+    )
+    a.add_argument(
+        "--taylor", action="store_true",
+        help="full-constraints Taylor factor map (Bishop-Hill) under "
+        "uniaxial tension along --load, slip systems from --slip-family",
     )
     a.add_argument(
         "--youngs", default=None, metavar="STIFFNESS",

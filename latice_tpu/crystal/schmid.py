@@ -67,8 +67,14 @@ def _family(hkl: tuple[int, int, int]) -> list[tuple[int, ...]]:
     return _unique_updirs(sorted(signed))
 
 
-def slip_systems(family: str = "fcc") -> tuple[np.ndarray, np.ndarray]:
-    """Unit (normals, directions) arrays ``(S, 3)`` of a slip family."""
+def slip_systems(
+    family: str = "fcc", dtype=np.float32
+) -> tuple[np.ndarray, np.ndarray]:
+    """Unit (normals, directions) arrays ``(S, 3)`` of a slip family.
+
+    ``dtype``: f32 default feeds the jitted Schmid kernel; pass np.float64
+    for exact host geometry (e.g. yield-vertex enumeration, crystal/taylor.py).
+    """
     if family == "fcc":
         planes, dirs = _family((1, 1, 1)), _family((1, 1, 0))
     elif family == "bcc":
@@ -89,7 +95,7 @@ def slip_systems(family: str = "fcc") -> tuple[np.ndarray, np.ndarray]:
     directions = np.asarray(d_out, np.float64)
     normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
     directions /= np.linalg.norm(directions, axis=-1, keepdims=True)
-    return normals.astype(np.float32), directions.astype(np.float32)
+    return normals.astype(dtype), directions.astype(dtype)
 
 
 class SchmidResult(NamedTuple):

@@ -738,6 +738,20 @@ class TestAnalyzeCLI:
                 monkeypatch, capsys,
             )
 
+    def test_analyze_taylor(self, tmp_path, monkeypatch, capsys):
+        """--taylor at the cube orientation = sqrt(6) under [001] tension."""
+        opath = tmp_path / "o.npy"
+        np.save(opath, np.zeros((12, 3)))
+        prefix = str(tmp_path / "t")
+        out = _run(
+            ["analyze", "--orientations", str(opath), "--grid", "3", "4",
+             "--out-prefix", prefix, "--taylor"],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(out.strip().splitlines()[-1])
+        assert summary["mean_taylor"] == pytest.approx(np.sqrt(6.0), rel=1e-4)
+        assert np.load(prefix + "_taylor.npy").shape == (3, 4)
+
     def test_analyze_grid_mismatch(self, tmp_path, monkeypatch, capsys):
         opath = tmp_path / "o.npy"
         np.save(opath, np.zeros((10, 3)))
