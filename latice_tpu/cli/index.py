@@ -587,6 +587,76 @@ def cmd_simulate(args) -> None:
     )
 
 
+def cmd_master(args) -> None:
+    """Compute a dynamical (Bloch-wave) master pattern natively.
+
+    Output feeds `simulate --master` (sim.master's equal-area convention),
+    so `sample` -> `master` -> `simulate --master` -> `build` -> `query`
+    produces dynamical-profile dictionaries with no external simulation
+    package (the role of EMsoft's EMEBSDmaster; see sim/dynamical.py for
+    the model and its named approximations).
+    """
+    from latice_tpu.sim import (
+        cubic_structure,
+        dynamical_beams,
+        dynamical_master_pattern,
+        hexagonal_structure,
+    )
+
+    element = int(args.element) if args.element.isdigit() else args.element
+    if args.structure == "hcp":
+        c = args.lattice_c if args.lattice_c else 1.587 * args.lattice
+        structure = hexagonal_structure(
+            element, a=args.lattice, c=c, debye_waller=args.debye_waller
+        )
+    else:
+        structure = cubic_structure(
+            args.structure, element, a=args.lattice,
+            debye_waller=args.debye_waller,
+        )
+    beams = dynamical_beams(
+        structure, kv=args.kv, n_beams=args.beams, max_hkl=args.max_hkl,
+        min_d=args.min_d,
+    )
+    t0 = time.time()
+    img = dynamical_master_pattern(
+        structure, kv=args.kv, size=args.size, n_beams=args.beams,
+        depth_nm=args.depth_nm, absorption_ratio=args.absorption,
+        max_hkl=args.max_hkl, min_d=args.min_d,
+    )
+    dt = time.time() - t0
+    out_path = args.out if args.out.endswith(".npy") else args.out + ".npy"
+    np.save(out_path, img)
+    meta = {
+        "kind": "dynamical_master",
+        "structure": args.structure,
+        "element": args.element,
+        "lattice": args.lattice,
+        "lattice_c": args.lattice_c,
+        "kv": args.kv,
+        "size": args.size,
+        "n_beams": len(beams),
+        "depth_nm": args.depth_nm,
+        "absorption_ratio": args.absorption,
+        "max_hkl": args.max_hkl,
+        "min_d": args.min_d,
+        "convention": "sim.master equal-area north hemisphere",
+    }
+    with open(out_path + ".mastermeta.json", "w") as f:
+        json.dump(meta, f)
+    print(
+        json.dumps(
+            {
+                "size": args.size,
+                "n_beams": len(beams),
+                "mean_inner_potential": round(beams.u0, 6),
+                "seconds": round(dt, 2),
+                "out": out_path,
+            }
+        )
+    )
+
+
 def cmd_analyze(args) -> None:
     """Grain analysis of an indexed orientation map (crystal.maps)."""
     from latice_tpu.crystal import (
@@ -1292,6 +1362,55 @@ def main() -> None:
         "lattice args are then ignored and --refine is unavailable",
     )
     m.set_defaults(fn=cmd_simulate)
+
+    dm = sub.add_parser(
+        "master",
+        help="compute a dynamical (Bloch-wave) master pattern natively",
+    )
+    dm.add_argument("--out", default="master.npy")
+    dm.add_argument(
+        "--structure", default="fcc", choices=("fcc", "bcc", "sc", "hcp"),
+    )
+    dm.add_argument(
+        "--element", default="ni",
+        help="element symbol or atomic number (default: %(default)s)",
+    )
+    dm.add_argument(
+        "--lattice", type=float, default=3.52,
+        help="lattice parameter a, Angstrom (default: nickel)",
+    )
+    dm.add_argument(
+        "--lattice-c", type=float, default=None,
+        help="hcp c parameter, Angstrom (default: 1.587*a)",
+    )
+    dm.add_argument("--kv", type=float, default=20.0, help="beam kV")
+    dm.add_argument(
+        "--size", type=int, default=201,
+        help="master image edge, pixels (default: %(default)s)",
+    )
+    dm.add_argument(
+        "--beams", type=int, default=64,
+        help="Bloch beam budget (whole reflection families only; the "
+        "realized count is reported)",
+    )
+    dm.add_argument(
+        "--depth-nm", type=float, default=50.0,
+        help="backscatter generation depth scale z0, nm",
+    )
+    dm.add_argument(
+        "--absorption", type=float, default=0.1,
+        help="imaginary/real potential ratio kappa (0.05-0.15 typical)",
+    )
+    dm.add_argument(
+        "--debye-waller", type=float, default=0.35,
+        help="isotropic Debye-Waller B, Angstrom^2",
+    )
+    dm.add_argument("--max-hkl", type=int, default=5)
+    dm.add_argument(
+        "--min-d", type=float, default=0.4,
+        help="reflection sweep d-spacing floor, Angstrom",
+    )
+    dm.set_defaults(fn=cmd_master)
 
     args = parser.parse_args()
     args.fn(args)

@@ -1,11 +1,13 @@
-"""Kinematical EBSD pattern simulation: dictionary generation on-device.
+"""EBSD pattern simulation: dictionary generation on-device.
 
 The reference assumes dictionary patterns are simulated externally (its
 data path starts at a premade ``.npy`` stack, reference data_module.py:70-78);
 this package closes the loop natively: reflector tables from the crystal
-structure, detector geometry, and a batched kinematical Kikuchi-band
-renderer that runs as one XLA program — so `index.py sample` →
-`index.py simulate` → `build` → `query` needs no external tooling.
+structure, detector geometry, a batched kinematical Kikuchi-band renderer
+that runs as one XLA program, and a Bloch-wave *dynamical* master-pattern
+simulator (`sim.dynamical`) for physical band profiles — so
+`index.py sample` → `index.py master`/`simulate` → `build` → `query`
+needs no external tooling.
 """
 
 from latice_tpu.sim.geometry import DetectorGeometry, pixel_directions
@@ -15,6 +17,15 @@ from latice_tpu.sim.master import (
     lambert_to_directions,
     make_kinematical_master,
     render_from_master,
+)
+from latice_tpu.sim.dynamical import (
+    AtomSite,
+    CrystalStructure,
+    channeling_intensities,
+    cubic_structure,
+    dynamical_beams,
+    dynamical_master_pattern,
+    hexagonal_structure,
 )
 from latice_tpu.sim.refine import refine_candidates, refine_orientations
 from latice_tpu.sim.kinematical import (
@@ -27,10 +38,17 @@ from latice_tpu.sim.kinematical import (
 )
 
 __all__ = [
+    "AtomSite",
+    "CrystalStructure",
     "DetectorGeometry",
     "calibrate_geometry",
+    "channeling_intensities",
     "Reflectors",
     "cubic_reflectors",
+    "cubic_structure",
+    "dynamical_beams",
+    "dynamical_master_pattern",
+    "hexagonal_structure",
     "directions_to_lambert",
     "electron_wavelength",
     "hexagonal_reflectors",

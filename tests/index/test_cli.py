@@ -313,6 +313,34 @@ class TestCLI:
             _run(["query", "--patterns", pats, "--db", db,
                   "--refine", "10"] + SMALL, monkeypatch, capsys)
 
+    def test_dynamical_master_command(self, tmp_path, monkeypatch, capsys):
+        """`master` computes a Bloch-wave master natively that `simulate
+        --master` consumes directly — the all-native dynamical loop."""
+        mpath = str(tmp_path / "dyn_master.npy")
+        stdout = _run(
+            ["master", "--out", mpath, "--structure", "fcc", "--element",
+             "ni", "--size", "33", "--beams", "15", "--max-hkl", "2"],
+            monkeypatch, capsys,
+        )
+        info = json.loads(stdout.strip().splitlines()[-1])
+        assert info["n_beams"] <= 15 and info["n_beams"] > 1
+        assert info["mean_inner_potential"] > 0
+        img = np.load(mpath)
+        assert img.shape == (33, 33) and np.all(np.isfinite(img))
+        meta = json.loads(Path(mpath + ".mastermeta.json").read_text())
+        assert meta["kind"] == "dynamical_master"
+
+        ang = str(tmp_path / "fz.txt")
+        _run(["sample", "--group", "432", "--resolution", "25", "--out", ang],
+             monkeypatch, capsys)
+        pats = str(tmp_path / "dyn.npy")
+        stdout = _run(
+            ["simulate", "--angles", ang, "--master", mpath, "--out", pats],
+            monkeypatch, capsys,
+        )
+        stack = np.load(pats)
+        assert stack.shape[1:] == (128, 128) and np.all(np.isfinite(stack))
+
     def test_refine_without_provenance_rejected(self, tmp_path, monkeypatch, capsys):
         ppath, apath, _ = _write_phase(tmp_path, "dict", 8, seed=10)
         db = str(tmp_path / "plain.npz")
