@@ -304,10 +304,15 @@ def cmd_query(args) -> None:
                 x = _nlpar(prepare_patterns(dset[...]))
                 result = pipe(x)
             else:
-                result = concat_dense_results(
-                    pipe(prepare_patterns(slab))
+                # Background-thread prefetch: the next slab's disk read +
+                # host prep overlaps the device compute this loop blocks on.
+                from latice_tpu.data import prefetch_host
+
+                slabs = prefetch_host(
+                    prepare_patterns(slab)
                     for slab in iter_pattern_batches(dset, args.h5_chunk)
                 )
+                result = concat_dense_results(pipe(s) for s in slabs)
                 x = None
         finally:
             f.close()
@@ -331,10 +336,13 @@ def cmd_query(args) -> None:
             x = _nlpar(prepare_patterns(np.asarray(pats[...])))
             result = pipe(x)
         else:
-            result = concat_dense_results(
-                pipe(prepare_patterns(slab))
+            from latice_tpu.data import prefetch_host
+
+            slabs = prefetch_host(
+                prepare_patterns(slab)
                 for slab in iter_up_batches(pats, args.h5_chunk)
             )
+            result = concat_dense_results(pipe(s) for s in slabs)
             x = None
         n = len(result.success)
     else:

@@ -11,7 +11,7 @@ from latice_tpu.data.h5io import (
 from latice_tpu.data.augment import AugmentConfig, make_augment_fn
 from latice_tpu.data.dataset import DPdataset, parse_angle_file
 from latice_tpu.data.nlpar import estimate_noise_sigma, nlpar_denoise
-from latice_tpu.data.prefetch import prefetch_to_device
+from latice_tpu.data.prefetch import prefetch_host, prefetch_to_device
 from latice_tpu.data.preprocess import (
     PreprocessConfig,
     bin_patterns,
@@ -75,6 +75,7 @@ __all__ = [
     "iter_pattern_batches",
     "load_patterns",
     "pad_batch",
+    "prefetch_host",
     "prefetch_to_device",
     "create_default_transform",
     "default_transform",

@@ -9,12 +9,14 @@ in flight hides H2D latency behind the current step's compute.
 from __future__ import annotations
 
 import collections
+import queue as queue_mod
+import threading
 from typing import Any, Iterable, Iterator
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["prefetch_to_device"]
+__all__ = ["prefetch_host", "prefetch_to_device"]
 
 
 def prefetch_to_device(
@@ -53,3 +55,59 @@ def prefetch_to_device(
         except StopIteration:
             pass
         yield out
+
+
+def prefetch_host(iterable: Iterable[Any], size: int = 2) -> Iterator[Any]:
+    """Run ``iterable`` in a background thread, keeping up to ``size`` items
+    ready ahead of the consumer.
+
+    The host-side twin of `prefetch_to_device`: where that hides the H2D
+    transfer, this hides the *producer* — disk reads and host decode of the
+    next scan slab overlap with the device compute the consumer is blocked
+    on (numpy/HDF5 IO releases the GIL). Used by the streaming query paths
+    (``index.py query`` over HDF5/UP scans), where each slab otherwise
+    serializes read → device → read.
+
+    Order is preserved; producer exceptions re-raise at the consumption
+    point; abandoning the iterator (break / GC) stops the thread promptly
+    instead of leaving it blocked on a full queue.
+    """
+    if size < 1:
+        raise ValueError(f"prefetch size must be >= 1, got {size}")
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
+    stop = threading.Event()
+    _END = object()
+
+    def _put(item: Any) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
+    def _worker() -> None:
+        try:
+            for item in iterable:
+                if not _put(("item", item)):
+                    return
+        except BaseException as e:  # re-raised on the consumer side
+            _put(("error", e))
+            return
+        _put((_END, None))
+
+    thread = threading.Thread(
+        target=_worker, name="latice-prefetch-host", daemon=True
+    )
+    thread.start()
+    try:
+        while True:
+            kind, payload = q.get()
+            if kind is _END:
+                return
+            if kind == "error":
+                raise payload
+            yield payload
+    finally:
+        stop.set()

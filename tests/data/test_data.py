@@ -206,3 +206,77 @@ class TestPrefetch:
         batches = [np.arange(16.0).reshape(16, 1)]
         (out,) = prefetch_to_device(iter(batches), sharding=sharding)
         assert len(out.sharding.device_set) == 8
+
+
+class TestPrefetchHost:
+    def test_order_and_values(self):
+        from latice_tpu.data import prefetch_host
+
+        batches = [np.full((3,), float(i)) for i in range(11)]
+        out = list(prefetch_host(iter(batches), size=2))
+        assert len(out) == 11
+        for i, b in enumerate(out):
+            np.testing.assert_array_equal(b, batches[i])
+
+    def test_empty(self):
+        from latice_tpu.data import prefetch_host
+
+        assert list(prefetch_host(iter([]))) == []
+
+    def test_producer_exception_propagates(self):
+        from latice_tpu.data import prefetch_host
+
+        def gen():
+            yield 1
+            yield 2
+            raise RuntimeError("disk went away")
+
+        it = prefetch_host(gen(), size=1)
+        assert next(it) == 1
+        assert next(it) == 2
+        with pytest.raises(RuntimeError, match="disk went away"):
+            next(it)
+
+    def test_abandoned_consumer_stops_thread(self):
+        import threading
+        import time
+
+        from latice_tpu.data import prefetch_host
+
+        started = threading.active_count()
+        produced = []
+
+        def gen():
+            for i in range(1000):
+                produced.append(i)
+                yield i
+
+        it = prefetch_host(gen(), size=1)
+        assert next(it) == 0
+        it.close()  # GeneratorExit -> stop event
+        deadline = time.time() + 5.0
+        while threading.active_count() > started and time.time() < deadline:
+            time.sleep(0.02)
+        assert threading.active_count() <= started
+        # The producer stopped early: bounded queue + stop event, so nowhere
+        # near all 1000 items were pulled.
+        assert len(produced) < 10
+
+    def test_actually_overlaps(self):
+        # Producer sleep hides behind consumer sleep: with overlap the wall
+        # time is ~max(producer, consumer) per item, not the sum. Generous
+        # margin for the 1-core CI box.
+        import time
+
+        from latice_tpu.data import prefetch_host
+
+        def gen():
+            for i in range(5):
+                time.sleep(0.05)
+                yield i
+
+        t0 = time.time()
+        for _ in prefetch_host(gen(), size=2):
+            time.sleep(0.05)
+        overlapped = time.time() - t0
+        assert overlapped < 0.45  # serial would be >= 0.5
