@@ -13,6 +13,17 @@ analytic-VJP norm default, round 2):
                       (1.09 with consensus_weight_power=256)
 (errors bounded by the 2-degree dictionary spacing, as expected).
 
+With --dynamical (Bloch-wave master lookup renders, round 3; noise 0.15,
+2-degree grid — dynamical profiles are sharper/harder than the toy bands):
+    trained 16-d    : 99.8% success, 3.32 deg on-grid, 3.87 deg off-grid;
+                      autodiff refinement (kinematical forward model on
+                      dynamical patterns — itself a mismatch test) 2.37 deg
+    cross-model     : kinematical queries against the dynamical-trained
+                      dictionary degrade to 12.8 deg median at 98% success —
+                      intensity-model mismatch is a real error source;
+                      train with augment/denoising (trainer=robust) when
+                      the dictionary's physics won't match the detector's.
+
 With --kinematical (physical Kikuchi bands via latice_tpu.sim, round 3):
     trained 16-d    : 100% success, 2.35 deg on-grid, 2.79 deg off-grid
     + sim.refine    : 1.13 deg off-grid median at noise 0.15 (autodiff
@@ -27,29 +38,58 @@ import time
 import numpy as np, jax, jax.numpy as jnp
 from scipy.spatial.transform import Rotation as R
 
-_KINEMATICAL = False  # --kinematical: render real Kikuchi bands instead
+_RENDER = "cosine"  # --kinematical / --dynamical: physical renderers
+_DYN_MASTER = None
 
 
-def render_patterns(angles_deg, noise=0.0, seed=0, freqs=(9.0, 14.0, 6.0)):
+def _dynamical_master():
+    """Bloch-wave fcc-Ni master (cached; ~5 s on-chip at 201², 59 beams)."""
+    global _DYN_MASTER
+    if _DYN_MASTER is None:
+        from latice_tpu.sim import cubic_structure, dynamical_master_pattern
+
+        t0 = time.time()
+        _DYN_MASTER = dynamical_master_pattern(
+            cubic_structure("fcc", "ni", 3.52), size=201, n_beams=64
+        )
+        print(f"dynamical master 201x201 computed in {time.time()-t0:.1f}s")
+    return _DYN_MASTER
+
+
+def render_patterns(angles_deg, noise=0.0, seed=0, freqs=(9.0, 14.0, 6.0),
+                    mode=None):
     """Synthetic band patterns from orientations.
 
     Default: the fast cosine toy (``freqs`` sets band frequencies per
     crystal axis; distinct tuples emulate distinct phases). With
     ``--kinematical``, renders physical Kikuchi bands via `latice_tpu.sim`
-    (fcc nickel at 20 kV) — same API, realistic band geometry.
+    (fcc nickel at 20 kV) — same API, realistic band geometry. With
+    ``--dynamical``, renders by lookup into a first-party Bloch-wave master
+    (`sim.dynamical`) — dynamical band profiles on the same geometry.
     """
     rng = np.random.default_rng(seed)
-    if _KINEMATICAL:
+    mode = mode or _RENDER
+    if mode != "cosine":
         if freqs != (9.0, 14.0, 6.0):
             # The cosine toy emulates phases by frequency tuples; the
-            # kinematical renderer is single-phase fcc Ni here.
+            # physical renderers are single-phase fcc Ni here.
             raise ValueError(
-                "--kinematical renders one fcc-Ni phase; per-phase freqs "
+                f"--{mode} renders one fcc-Ni phase; per-phase freqs "
                 "are a cosine-toy feature"
             )
-        from latice_tpu.sim import simulate_patterns
+        if mode == "dynamical":
+            from latice_tpu.sim import render_from_master
 
-        out = simulate_patterns(np.asarray(angles_deg, np.float64), chunk=256)
+            out = render_from_master(
+                _dynamical_master(), np.asarray(angles_deg, np.float64),
+                chunk=256,
+            ).astype(np.float32)
+        else:
+            from latice_tpu.sim import simulate_patterns
+
+            out = simulate_patterns(
+                np.asarray(angles_deg, np.float64), chunk=256
+            )
         if noise:
             out = out + rng.normal(size=out.shape).astype(np.float32) * noise
         return np.clip(out, 0, 1)
@@ -164,10 +204,27 @@ def main(scaled: bool = False):
                              batch_size=512, consensus_weight_power=power)
         last_res = eval_pipe(pipe, q_angles, q, f"off-grid power={power}")
 
-    if _KINEMATICAL:
+    if _RENDER == "dynamical":
+        # Model-mismatch robustness: the encoder/dictionary saw dynamical
+        # profiles; query with *kinematical* renders of the same
+        # orientations (band geometry identical, intensity model different)
+        # — the realistic gap between simulated dictionaries and detector
+        # physics.
+        print("== cross-model queries (kinematical renders, dynamical dictionary) ==")
+        q_kin = render_patterns(
+            q_angles, noise=0.15, seed=13, mode="kinematical"
+        )[..., None]
+        pipe = IndexPipeline(model, state.params, vecs, dict_angles, top_n=10,
+                             orientation_threshold=5.0, min_required_matches=3,
+                             batch_size=512)
+        eval_pipe(pipe, q_angles, q_kin, "cross-model")
+
+    if _RENDER != "cosine":
         # Autodiff refinement through the renderer: the dictionary-indexed
         # orientations initialize a gradient fit of the actual physics —
-        # accuracy decouples from the grid spacing entirely.
+        # accuracy decouples from the grid spacing entirely. (Under
+        # --dynamical the refiner's forward model is still the kinematical
+        # band profile — the refinement itself is a model-mismatch test.)
         print("== off-grid autodiff refinement (sim.refine, 40 steps) ==")
         from latice_tpu.crystal import from_euler_zxz_deg
         from latice_tpu.sim import refine_orientations
@@ -195,5 +252,8 @@ def main(scaled: bool = False):
 if __name__ == "__main__":
     import sys
 
-    _KINEMATICAL = "--kinematical" in sys.argv
+    if "--dynamical" in sys.argv:
+        _RENDER = "dynamical"
+    elif "--kinematical" in sys.argv:
+        _RENDER = "kinematical"
     main(scaled="--scaled" in sys.argv)
