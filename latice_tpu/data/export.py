@@ -144,17 +144,35 @@ def write_ang(
         "# OPERATOR: \tlatice_tpu",
         "#",
     ]
+    # .ang phase column is 1-based in multi-phase files, 0 allowed
+    # for single-phase; keep 1-based for uniformity.
+    phase1 = np.asarray(phases, np.int64) + 1
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
-        for i in range(n):
-            # .ang phase column is 1-based in multi-phase files, 0 allowed
-            # for single-phase; keep 1-based for uniformity.
-            f.write(
-                f"  {euler_rad[i, 0]:.5f}  {euler_rad[i, 1]:.5f}"
-                f"  {euler_rad[i, 2]:.5f}  {x[i]:.5f}  {y[i]:.5f}"
-                f"  {iq[i]:.3f}  {ci[i]:.3f}  {int(phases[i]) + 1}"
-                f"  1.000  {float(result.n_similar[i]):.3f}\n"
-            )
+        f.write(
+            _ang_rows(euler_rad, x, y, iq, ci, phase1, result.n_similar)
+        )
+
+
+def _ang_rows(euler_rad, x, y, iq, ci, phase1, n_similar) -> str:
+    """Data rows for `write_ang` — native snprintf formatter when the
+    toolchain is available (3x at 1M rows), byte-identical Python
+    fallback otherwise (parity pinned by test)."""
+    try:
+        from latice_tpu import native
+
+        return native.format_ang_rows_native(
+            euler_rad, x, y, iq, ci, phase1, n_similar
+        )
+    except ImportError:
+        pass
+    return "".join(
+        f"  {euler_rad[i, 0]:.5f}  {euler_rad[i, 1]:.5f}"
+        f"  {euler_rad[i, 2]:.5f}  {x[i]:.5f}  {y[i]:.5f}"
+        f"  {iq[i]:.3f}  {ci[i]:.3f}  {int(phase1[i])}"
+        f"  1.000  {float(n_similar[i]):.3f}\n"
+        for i in range(len(phase1))
+    )
 
 
 def write_ctf(
@@ -218,15 +236,30 @@ def write_ctf(
             f"{a:.3f};{b:.3f};{c:.3f}\t90.000;90.000;{gamma}\t{name}\t{laue}\t0"
         )
     header.append("Phase\tX\tY\tBands\tError\tEuler1\tEuler2\tEuler3\tMAD\tBC\tBS")
+    ok = np.asarray(result.success, bool)
+    phase_col = np.where(ok, np.asarray(phases, np.int64) + 1, 0)
+    err_col = np.where(ok, 0, 3)  # 3: "no solution" in Channel files
+    euler_col = np.where(ok[:, None], euler, 0.0)
+    bands = np.asarray(result.n_similar, np.int64)
     with open(path, "w") as f:
         f.write("\n".join(header) + "\n")
-        for i in range(n):
-            ok = bool(result.success[i])
-            phase = int(phases[i]) + 1 if ok else 0
-            err = 0 if ok else 3  # 3: "no solution" in Channel files
-            e1, e2, e3 = (euler[i] if ok else (0.0, 0.0, 0.0))
-            f.write(
-                f"{phase}\t{x[i]:.4f}\t{y[i]:.4f}\t{int(result.n_similar[i])}"
-                f"\t{err}\t{e1:.4f}\t{e2:.4f}\t{e3:.4f}"
-                f"\t{mad[i]:.4f}\t255\t255\n"
-            )
+        f.write(_ctf_rows(phase_col, x, y, bands, err_col, euler_col, mad))
+
+
+def _ctf_rows(phase, x, y, bands, err, euler_deg, mad) -> str:
+    """Data rows for `write_ctf` — native formatter with byte-identical
+    Python fallback (see `_ang_rows`)."""
+    try:
+        from latice_tpu import native
+
+        return native.format_ctf_rows_native(
+            phase, x, y, bands, err, euler_deg, mad
+        )
+    except ImportError:
+        pass
+    return "".join(
+        f"{int(phase[i])}\t{x[i]:.4f}\t{y[i]:.4f}\t{int(bands[i])}"
+        f"\t{int(err[i])}\t{euler_deg[i, 0]:.4f}\t{euler_deg[i, 1]:.4f}"
+        f"\t{euler_deg[i, 2]:.4f}\t{mad[i]:.4f}\t255\t255\n"
+        for i in range(len(phase))
+    )

@@ -18,7 +18,14 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["available", "build", "cosine_topk_native", "parse_angle_file_native"]
+__all__ = [
+    "available",
+    "build",
+    "cosine_topk_native",
+    "format_ang_rows_native",
+    "format_ctf_rows_native",
+    "parse_angle_file_native",
+]
 
 _SRC_DIR = Path(__file__).resolve().parents[2] / "native"
 _SRC = _SRC_DIR / "latice_native.cpp"
@@ -57,7 +64,7 @@ def _load() -> ctypes.CDLL | None:
         build()
         lib = ctypes.CDLL(str(_LIB))
         lib.latice_native_abi_version.restype = ctypes.c_int32
-        if lib.latice_native_abi_version() != 1:
+        if lib.latice_native_abi_version() != 2:
             raise OSError("native ABI version mismatch")
         lib.latice_cosine_topk.argtypes = [
             ctypes.POINTER(ctypes.c_float),
@@ -76,6 +83,19 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int64,
         ]
         lib.latice_parse_angle_file.restype = ctypes.c_int64
+        _dp = ctypes.POINTER(ctypes.c_double)
+        _ip = ctypes.POINTER(ctypes.c_int64)
+        _cp = ctypes.POINTER(ctypes.c_char)
+        lib.latice_format_ang_rows.argtypes = [
+            _dp, _dp, _dp, _dp, _dp, _ip, _dp,
+            ctypes.c_int64, _cp, ctypes.c_int64,
+        ]
+        lib.latice_format_ang_rows.restype = ctypes.c_int64
+        lib.latice_format_ctf_rows.argtypes = [
+            _ip, _dp, _dp, _ip, _ip, _dp, _dp,
+            ctypes.c_int64, _cp, ctypes.c_int64,
+        ]
+        lib.latice_format_ctf_rows.restype = ctypes.c_int64
         _lib = lib
     except Exception as e:  # no toolchain / bad platform: stay pure-Python
         logger.info(f"Native library unavailable ({e}); using Python paths")
@@ -118,6 +138,65 @@ def cosine_topk_native(
         n_threads,
     )
     return scores.astype(np.float64), indices
+
+
+_dbl = lambda a: np.ascontiguousarray(a, dtype=np.float64)  # noqa: E731
+_i64 = lambda a: np.ascontiguousarray(a, dtype=np.int64)  # noqa: E731
+
+
+def _ptr_d(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def _ptr_i(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def format_ang_rows_native(
+    euler_rad, x, y, iq, ci, phase1, n_similar
+) -> str:
+    """Format .ang data rows (write_ang's exact row layout) natively.
+
+    3x the Python f-string loop at 1M rows (measured: 2.2 vs 6.6 s on
+    this 1-core box); output is byte-identical (pinned by test). Raises
+    ImportError without a toolchain — callers fall back to the Python loop.
+    """
+    lib = _load()
+    if lib is None:
+        raise ImportError("native library not available")
+    e = _dbl(euler_rad)
+    n = len(e)
+    # np.empty, not create_string_buffer: the latter zero-fills ~200 MB at
+    # 1M rows before snprintf overwrites it anyway.
+    buf = np.empty(192 * n + 1, np.uint8)
+    wrote = lib.latice_format_ang_rows(
+        _ptr_d(e), _ptr_d(_dbl(x)), _ptr_d(_dbl(y)), _ptr_d(_dbl(iq)),
+        _ptr_d(_dbl(ci)), _ptr_i(_i64(phase1)), _ptr_d(_dbl(n_similar)),
+        n, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_char)), len(buf),
+    )
+    if wrote < 0:
+        raise ValueError("native .ang formatting overflowed its buffer")
+    return buf[:wrote].tobytes().decode("ascii")
+
+
+def format_ctf_rows_native(
+    phase, x, y, bands, err, euler_deg, mad
+) -> str:
+    """Format .ctf data rows (write_ctf's exact row layout) natively."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native library not available")
+    e = _dbl(euler_deg)
+    n = len(e)
+    buf = np.empty(192 * n + 1, np.uint8)
+    wrote = lib.latice_format_ctf_rows(
+        _ptr_i(_i64(phase)), _ptr_d(_dbl(x)), _ptr_d(_dbl(y)),
+        _ptr_i(_i64(bands)), _ptr_i(_i64(err)), _ptr_d(e), _ptr_d(_dbl(mad)),
+        n, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_char)), len(buf),
+    )
+    if wrote < 0:
+        raise ValueError("native .ctf formatting overflowed its buffer")
+    return buf[:wrote].tobytes().decode("ascii")
 
 
 def parse_angle_file_native(path: str | Path, max_rows: int = 10_000_000) -> np.ndarray:

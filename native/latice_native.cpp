@@ -159,6 +159,52 @@ int64_t latice_parse_angle_file(const char* path, double* out,
   return rows;
 }
 
-int32_t latice_native_abi_version() { return 1; }
+// Format .ang data rows (TSL/OIM layout, data/export.py write_ang) into
+// out. The Python writer's f-string loop is the wall on 1M-pixel maps;
+// snprintf produces byte-identical text (IEEE round-to-nearest-even decimal
+// conversion in both runtimes). Returns bytes written, or -1 when cap is
+// too small.
+int64_t latice_format_ang_rows(const double* euler_rad, const double* x,
+                               const double* y, const double* iq,
+                               const double* ci, const int64_t* phase1,
+                               const double* n_similar, int64_t n, char* out,
+                               int64_t cap) {
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (cap - pos < 192) return -1;
+    int wrote = std::snprintf(
+        out + pos, (size_t)(cap - pos),
+        "  %.5f  %.5f  %.5f  %.5f  %.5f  %.3f  %.3f  %lld  1.000  %.3f\n",
+        euler_rad[i * 3], euler_rad[i * 3 + 1], euler_rad[i * 3 + 2], x[i],
+        y[i], iq[i], ci[i], (long long)phase1[i], n_similar[i]);
+    if (wrote < 0 || wrote >= cap - pos) return -1;
+    pos += wrote;
+  }
+  return pos;
+}
+
+// Format .ctf data rows (Channel Text File layout, data/export.py
+// write_ctf). Same contract as latice_format_ang_rows.
+int64_t latice_format_ctf_rows(const int64_t* phase, const double* x,
+                               const double* y, const int64_t* bands,
+                               const int64_t* err, const double* euler_deg,
+                               const double* mad, int64_t n, char* out,
+                               int64_t cap) {
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (cap - pos < 192) return -1;
+    int wrote = std::snprintf(
+        out + pos, (size_t)(cap - pos),
+        "%lld\t%.4f\t%.4f\t%lld\t%lld\t%.4f\t%.4f\t%.4f\t%.4f\t255\t255\n",
+        (long long)phase[i], x[i], y[i], (long long)bands[i],
+        (long long)err[i], euler_deg[i * 3], euler_deg[i * 3 + 1],
+        euler_deg[i * 3 + 2], mad[i]);
+    if (wrote < 0 || wrote >= cap - pos) return -1;
+    pos += wrote;
+  }
+  return pos;
+}
+
+int32_t latice_native_abi_version() { return 2; }
 
 }  // extern "C"

@@ -155,3 +155,79 @@ class TestSymmetryMetadata:
         ang = tmp_path / "d.ang"
         write_ang(str(ang), res)
         assert "# LatticeConstants      3.600 3.600 3.600" in ang.read_text()
+
+
+class TestNativeFormatters:
+    """The C++ snprintf row formatters must be byte-identical to the
+    Python f-string fallback (data/export.py _ang_rows/_ctf_rows)."""
+
+    def _files_with_and_without_native(self, tmp_path, writer, res, name):
+        from latice_tpu import native
+
+        if not native.available():
+            pytest.skip("no native toolchain")
+        p_native = tmp_path / f"native_{name}"
+        writer(str(p_native), res, grid=(2, 4), step=0.25)
+        import latice_tpu.native as native_mod
+
+        def _raise(*a, **k):
+            raise ImportError("forced fallback")
+
+        orig_ang = native_mod.format_ang_rows_native
+        orig_ctf = native_mod.format_ctf_rows_native
+        native_mod.format_ang_rows_native = _raise
+        native_mod.format_ctf_rows_native = _raise
+        try:
+            p_py = tmp_path / f"python_{name}"
+            writer(str(p_py), res, grid=(2, 4), step=0.25)
+        finally:
+            native_mod.format_ang_rows_native = orig_ang
+            native_mod.format_ctf_rows_native = orig_ctf
+        return p_native.read_bytes(), p_py.read_bytes()
+
+    def test_ang_byte_parity(self, tmp_path):
+        res = _result(8, fail=(1, 5), phases=np.array([0, 0, 1, 1, 0, 1, 0, 1]))
+        a, b = self._files_with_and_without_native(
+            tmp_path, write_ang, res, "a.ang"
+        )
+        assert a == b
+
+    def test_ctf_byte_parity(self, tmp_path):
+        res = _result(8, fail=(0, 7), phases=np.array([0, 1, 1, 0, 0, 1, 0, 1]))
+        a, b = self._files_with_and_without_native(
+            tmp_path, write_ctf, res, "c.ctf"
+        )
+        assert a == b
+
+    def test_rounding_edge_values(self, tmp_path):
+        # Values near decimal rounding boundaries and negative zero must
+        # format identically through snprintf and Python's formatter.
+        n = 8
+        res = DenseIndexResult(
+            mean_orientation=np.zeros((n, 3)),
+            best_orientation=np.array(
+                [
+                    [0.123455, 0.000005, -0.0],
+                    [359.99995, 1e-9, 123.456785],
+                    [-0.123455, 0.5, 0.05],
+                    [2.675, 2.665, 2.655],
+                    [180.0, 90.0, 45.0],
+                    [0.0, 0.0, 0.0],
+                    [1.000005, 2.000015, 3.000025],
+                    [-359.99995, -1e-9, -0.000005],
+                ]
+            ),
+            success=np.ones(n, bool),
+            n_similar=np.arange(n, dtype=np.int64),
+            indices=np.tile(np.arange(5), (n, 1)),
+            scores=np.linspace(0, 1, 5 * n).reshape(n, 5),
+            phase=None,
+        )
+        a, b = self._files_with_and_without_native(
+            tmp_path, write_ang, res, "edge.ang"
+        )
+        assert a == b
+        a, b = self._files_with_and_without_native(
+            tmp_path, write_ctf, res, "edge.ctf"
+        )
+        assert a == b
