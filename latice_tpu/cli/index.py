@@ -674,7 +674,39 @@ def cmd_analyze(args) -> None:
         misorientation_maps,
     )
 
-    orients = np.load(args.orientations)
+    vendor_phase = None
+    low = args.orientations.lower()
+    if low.endswith((".ang", ".ctf")):
+        # Vendor result files (TSL/OIM .ang, Channel .ctf) analyze directly
+        # — the practitioner's existing maps need no npy conversion. Grid
+        # and per-pixel phases come from the file itself.
+        from latice_tpu.data import read_ang, read_ctf
+
+        vmap = (read_ang if low.endswith(".ang") else read_ctf)(
+            args.orientations
+        )
+        if args.grid is None:
+            if vmap.grid is None:
+                raise SystemExit(
+                    f"{args.orientations} has no grid header — pass --grid"
+                )
+            args.grid = list(vmap.grid)
+            logger.info(
+                f"scan grid {vmap.grid[0]}x{vmap.grid[1]} from the file header"
+            )
+        orients = vmap.eulers
+        # Unindexed pixels carry phase -1; clamp to 0 for the symmetry
+        # lookup (they segment as boundaries through their junk angles
+        # either way, matching the .npy path's behavior on failures).
+        if vmap.phase.max() > 0 and args.phases is None:
+            vendor_phase = np.maximum(vmap.phase, 0)
+            # Downstream multi-phase branches key off args.phases; mark it
+            # so they engage (the actual ids come from vendor_phase).
+            args.phases = f"<phases embedded in {args.orientations}>"
+    elif args.grid is None:
+        raise SystemExit("--grid ROWS COLS is required for .npy maps")
+    else:
+        orients = np.load(args.orientations)
     rows, cols = args.grid
     if orients.ndim == 2:
         if rows * cols != len(orients):
@@ -682,12 +714,16 @@ def cmd_analyze(args) -> None:
                 f"--grid {rows}x{cols} does not hold {len(orients)} points"
             )
         orients = orients.reshape(rows, cols, 3)
-    if args.phases:
+    if args.phases or vendor_phase is not None:
         # Multi-phase map (query's <out>_phase.npy): per-phase symmetry,
         # phase boundaries always segment as grain boundaries.
         from latice_tpu.crystal import misorientation_maps_multiphase
 
-        phases = np.load(args.phases).reshape(rows, cols)
+        phases = (
+            vendor_phase
+            if vendor_phase is not None
+            else np.load(args.phases)
+        ).reshape(rows, cols)
         groups = (args.phase_groups or args.group).split(",")
         n_phases = int(phases.max()) + 1 if phases.size else 1
         if len(groups) < n_phases:
@@ -1164,8 +1200,9 @@ def main() -> None:
         help="(N, 3) or (R, C, 3) Euler .npy from 'query'",
     )
     a.add_argument(
-        "--grid", type=int, nargs=2, metavar=("ROWS", "COLS"), required=True,
-        help="scan shape",
+        "--grid", type=int, nargs=2, metavar=("ROWS", "COLS"), default=None,
+        help="scan shape (required for .npy maps; .ang/.ctf inputs carry "
+        "it in their header)",
     )
     a.add_argument("--group", default="432", help="point group")
     a.add_argument(

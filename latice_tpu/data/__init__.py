@@ -1,7 +1,13 @@
 """Data pipeline: vectorized pattern loading, transforms, splits, batching."""
 
 from latice_tpu.data.datamodule import DPDataModule, batch_iterator, pad_batch
-from latice_tpu.data.export import write_ang, write_ctf
+from latice_tpu.data.export import (
+    VendorMap,
+    read_ang,
+    read_ctf,
+    write_ang,
+    write_ctf,
+)
 from latice_tpu.data.h5io import (
     HDF5_EXTENSIONS,
     find_pattern_dataset,
@@ -69,6 +75,9 @@ __all__ = [
     "load_up_patterns",
     "open_up_patterns",
     "read_up_header",
+    "VendorMap",
+    "read_ang",
+    "read_ctf",
     "write_ang",
     "write_ctf",
     "find_pattern_dataset",

@@ -21,9 +21,11 @@ Unindexed points follow each format's native convention: CI = -1 in ``.ang``
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 
-__all__ = ["write_ang", "write_ctf"]
+__all__ = ["VendorMap", "read_ang", "read_ctf", "write_ang", "write_ctf"]
 
 # Proper rotation point group -> TSL .ang "Symmetry" code (the code of the
 # corresponding Laue class as TSL numbers it).
@@ -262,4 +264,116 @@ def _ctf_rows(phase, x, y, bands, err, euler_deg, mad) -> str:
         f"\t{int(err[i])}\t{euler_deg[i, 0]:.4f}\t{euler_deg[i, 1]:.4f}"
         f"\t{euler_deg[i, 2]:.4f}\t{mad[i]:.4f}\t255\t255\n"
         for i in range(len(phase))
+    )
+
+
+class VendorMap(NamedTuple):
+    """An orientation map parsed from a vendor result file.
+
+    Attributes:
+        eulers: (N, 3) zxz Euler angles, **degrees** (this framework's
+            anglefile convention — see the module docstring on Bunge vs
+            anglefile semantics; angles pass through unreinterpreted).
+        phase: (N,) int64 0-based phase ids (-1 where unindexed).
+        success: (N,) bool indexed/unindexed mask (.ang: CI >= 0 — TSL's
+            convention; .ctf: phase column > 0).
+        grid: (rows, cols) from the header, or None when absent.
+        step: scan step from the header (XSTEP / XStep), or 1.0.
+    """
+
+    eulers: np.ndarray
+    phase: np.ndarray
+    success: np.ndarray
+    grid: tuple[int, int] | None
+    step: float
+
+
+def read_ang(path: str) -> VendorMap:
+    """Parse a TSL/OIM ``.ang`` file (the inverse of `write_ang`).
+
+    Columns: phi1 PHI phi2 (radians) x y IQ CI phase [SEM fit ...] — extra
+    trailing columns are ignored, so vendor files with more than the
+    standard 10 parse too. Grid comes from the ``NROWS``/``NCOLS_ODD``
+    header keys when present.
+    """
+    rows_hdr = cols_hdr = None
+    step = 1.0
+    data = []
+    with open(path) as f:
+        for line in f:
+            s = line.strip()
+            if not s:
+                continue
+            if s.startswith("#"):
+                fields = s[1:].split()
+                if len(fields) >= 2 and fields[0].rstrip(":") == "NROWS":
+                    rows_hdr = int(float(fields[1]))
+                elif len(fields) >= 2 and fields[0].rstrip(":") == "NCOLS_ODD":
+                    cols_hdr = int(float(fields[1]))
+                elif len(fields) >= 2 and fields[0].rstrip(":") == "XSTEP":
+                    step = float(fields[1])
+                continue
+            vals = s.split()
+            if len(vals) < 9:
+                raise ValueError(
+                    f"malformed .ang data row ({len(vals)} columns): {s[:60]}"
+                )
+            data.append([float(v) for v in vals[:9]])
+    if not data:
+        raise ValueError(f"no data rows in {path}")
+    arr = np.asarray(data, np.float64)
+    eulers = np.degrees(arr[:, 0:3])
+    ci = arr[:, 6]
+    phase = arr[:, 7].astype(np.int64) - 1  # .ang is 1-based
+    success = ci >= 0.0
+    phase = np.where(success, np.maximum(phase, 0), -1)
+    grid = (rows_hdr, cols_hdr) if rows_hdr and cols_hdr else None
+    return VendorMap(eulers, phase, success, grid, step)
+
+
+def read_ctf(path: str) -> VendorMap:
+    """Parse an Oxford Channel Text File ``.ctf`` (the inverse of
+    `write_ctf`).
+
+    Data columns: Phase X Y Bands Error Euler1..3 (degrees) MAD BC BS;
+    phase 0 marks unindexed points (CTF convention). Grid comes from
+    ``XCells``/``YCells``.
+    """
+    rows_hdr = cols_hdr = None
+    step = 1.0
+    data = []
+    in_data = False
+    with open(path) as f:
+        for line in f:
+            s = line.strip()
+            if not s:
+                continue
+            if in_data:
+                vals = s.split()
+                if len(vals) < 9:
+                    raise ValueError(
+                        f"malformed .ctf data row ({len(vals)} columns): "
+                        f"{s[:60]}"
+                    )
+                data.append([float(v) for v in vals[:9]])
+                continue
+            fields = s.split("\t") if "\t" in s else s.split()
+            key = fields[0]
+            if key == "XCells" and len(fields) >= 2:
+                cols_hdr = int(float(fields[1]))
+            elif key == "YCells" and len(fields) >= 2:
+                rows_hdr = int(float(fields[1]))
+            elif key == "XStep" and len(fields) >= 2:
+                step = float(fields[1])
+            elif key == "Phase" and "Euler1" in s:
+                in_data = True  # the column-header line
+    if not data:
+        raise ValueError(f"no data rows in {path}")
+    arr = np.asarray(data, np.float64)
+    phase1 = arr[:, 0].astype(np.int64)
+    success = phase1 > 0
+    eulers = arr[:, 5:8]
+    grid = (rows_hdr, cols_hdr) if rows_hdr and cols_hdr else None
+    return VendorMap(
+        eulers, np.where(success, phase1 - 1, -1), success, grid, step
     )

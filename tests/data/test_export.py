@@ -231,3 +231,81 @@ class TestNativeFormatters:
             tmp_path, write_ctf, res, "edge.ctf"
         )
         assert a == b
+
+
+class TestVendorReaders:
+    """read_ang / read_ctf invert the writers (round-trip pinned)."""
+
+    def test_ang_round_trip(self, tmp_path):
+        from latice_tpu.data import read_ang
+
+        res = _result(8, fail=(3,), phases=np.array([0, 0, 1, 1, 0, 1, 0, 1]))
+        path = str(tmp_path / "rt.ang")
+        write_ang(path, res, grid=(2, 4), step=0.5)
+        vmap = read_ang(path)
+        assert vmap.grid == (2, 4)
+        assert vmap.step == pytest.approx(0.5)
+        # .ang rows carry radians at 5 decimals: ~0.0006 deg quantization.
+        np.testing.assert_allclose(
+            vmap.eulers, res.best_orientation, atol=2e-3
+        )
+        np.testing.assert_array_equal(vmap.success, res.success)
+        want_phase = np.where(res.success, res.phase, -1)
+        np.testing.assert_array_equal(vmap.phase, want_phase)
+
+    def test_ctf_round_trip(self, tmp_path):
+        from latice_tpu.data import read_ctf
+
+        res = _result(8, fail=(0, 6), phases=np.array([1, 0, 1, 0, 0, 1, 0, 1]))
+        path = str(tmp_path / "rt.ctf")
+        write_ctf(path, res, grid=(4, 2), step=0.25)
+        vmap = read_ctf(path)
+        assert vmap.grid == (4, 2)
+        assert vmap.step == pytest.approx(0.25)
+        ok = res.success
+        # .ctf stores degrees at 4 decimals; failures are zeroed by the
+        # writer (CTF convention), so compare indexed rows only.
+        np.testing.assert_allclose(
+            vmap.eulers[ok], res.best_orientation[ok], atol=1e-3
+        )
+        np.testing.assert_array_equal(vmap.success, ok)
+        np.testing.assert_array_equal(
+            vmap.phase, np.where(ok, res.phase, -1)
+        )
+
+    def test_ang_single_phase_defaults(self, tmp_path):
+        from latice_tpu.data import read_ang
+
+        res = _result(6)
+        path = str(tmp_path / "sp.ang")
+        write_ang(path, res, grid=(2, 3))
+        vmap = read_ang(path)
+        assert vmap.phase.max() == 0 and vmap.success.all()
+
+    def test_extra_trailing_columns_ignored(self, tmp_path):
+        from latice_tpu.data import read_ang
+
+        res = _result(4)
+        path = tmp_path / "extra.ang"
+        write_ang(str(path), res, grid=(2, 2))
+        # Simulate a vendor writing extra columns after the standard ten.
+        lines = path.read_text().splitlines()
+        out = [
+            l if l.startswith("#") else l + "  7.123  0.001"
+            for l in lines
+        ]
+        path.write_text("\n".join(out) + "\n")
+        vmap = read_ang(str(path))
+        assert len(vmap.eulers) == 4
+
+    def test_malformed_rows_rejected(self, tmp_path):
+        from latice_tpu.data import read_ang, read_ctf
+
+        p = tmp_path / "bad.ang"
+        p.write_text("# NROWS: 1\n1.0 2.0 3.0\n")
+        with pytest.raises(ValueError, match="malformed"):
+            read_ang(str(p))
+        p2 = tmp_path / "empty.ctf"
+        p2.write_text("Channel Text File\nXCells\t3\n")
+        with pytest.raises(ValueError, match="no data rows"):
+            read_ctf(str(p2))

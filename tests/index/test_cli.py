@@ -470,6 +470,51 @@ class TestAnalyzeCLI:
         img622 = mpimg.imread(ipf622)
         assert not np.allclose(img622[0, 0, :3], img[0, 0, :3], atol=0.02)
 
+    def test_analyze_vendor_ang_input(self, tmp_path, monkeypatch, capsys):
+        """analyze ingests a TSL .ang directly: grid and phases come from
+        the file header — the practitioner's existing OIM/Channel maps need
+        no npy conversion."""
+        from latice_tpu.data import write_ang
+        from latice_tpu.index import DenseIndexResult
+
+        rng = np.random.default_rng(5)
+        euler = np.empty((6, 8, 3))
+        euler[:, :4] = [10.0, 20.0, 30.0]
+        euler[:, 4:] = [80.0, 60.0, 40.0]
+        euler += rng.normal(scale=0.1, size=euler.shape)
+        n = 48
+        phases = np.repeat([0, 1], 24)
+        res = DenseIndexResult(
+            mean_orientation=euler.reshape(-1, 3),
+            best_orientation=euler.reshape(-1, 3),
+            success=np.ones(n, bool),
+            n_similar=np.full(n, 12, np.int64),
+            indices=np.tile(np.arange(5), (n, 1)),
+            scores=np.full((n, 5), 0.9),
+            phase=phases,
+        )
+        apath = str(tmp_path / "vendor.ang")
+        write_ang(apath, res, grid=(6, 8), step=0.5,
+                  phase_groups=["432", "622"])
+        prefix = str(tmp_path / "va")
+        out = _run(
+            ["analyze", "--orientations", apath, "--out-prefix", prefix,
+             "--phase-groups", "432,622"],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(out.strip().splitlines()[-1])
+        labels = np.load(prefix + "_grains.npy")
+        assert labels.shape == (6, 8)  # grid came from the header
+        # 2 orientation domains (cols 0-3 vs 4-7) x 2 phase domains (rows
+        # 0-2 vs 3-5, from the file's embedded phase column) = 4 grains.
+        assert summary["n_grains"] == 4
+        # .npy maps still demand an explicit grid.
+        opath = tmp_path / "o.npy"
+        np.save(opath, euler.reshape(-1, 3))
+        with pytest.raises(SystemExit, match="--grid"):
+            _run(["analyze", "--orientations", str(opath),
+                  "--out-prefix", prefix], monkeypatch, capsys)
+
     def test_analyze_grain_stats(self, tmp_path, monkeypatch, capsys):
         rng = np.random.default_rng(1)
         euler = np.empty((6, 8, 3))
