@@ -526,7 +526,13 @@ def cmd_simulate(args) -> None:
         from latice_tpu.sim import render_from_master
 
         t0 = time.time()
-        patterns = render_from_master(np.load(args.master), eulers, geometry)
+        master_img = np.load(args.master)
+        if args.master_layout == "square":
+            # One-time import of square-Lambert (EMsoft-style) masters.
+            from latice_tpu.sim import resample_square_lambert
+
+            master_img = resample_square_lambert(master_img)
+        patterns = render_from_master(master_img, eulers, geometry)
         if args.uint8:
             patterns = np.round(patterns * 255.0).astype(np.uint8)
         dt = time.time() - t0
@@ -1405,6 +1411,12 @@ def main() -> None:
         "dynamical simulation resampled to sim.master's equal-area "
         "convention) instead of the kinematical band model; structure/"
         "lattice args are then ignored and --refine is unavailable",
+    )
+    m.add_argument(
+        "--master-layout", default="circle", choices=("circle", "square"),
+        help="--master image layout: 'circle' (sim.master's native "
+        "convention) or 'square' (square-Lambert, EMsoft-style — "
+        "resampled on load)",
     )
     m.set_defaults(fn=cmd_simulate)
 

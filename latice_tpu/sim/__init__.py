@@ -17,6 +17,8 @@ from latice_tpu.sim.master import (
     lambert_to_directions,
     make_kinematical_master,
     render_from_master,
+    resample_square_lambert,
+    square_lambert_to_directions,
 )
 from latice_tpu.sim.dynamical import (
     AtomSite,
@@ -59,5 +61,7 @@ __all__ = [
     "reflectors_from_cell",
     "refine_candidates",
     "refine_orientations",
+    "resample_square_lambert",
     "simulate_patterns",
+    "square_lambert_to_directions",
 ]

@@ -19,8 +19,9 @@ equator (|XY| = sqrt(2)); row index grows with -Y (image convention),
 column with +X. Southern directions use the antipode — correct whenever
 the phase's point group contains inversion or the master was made with
 Friedel symmetry (every Laue group; true for kinematical and standard
-dynamical masters). A master in another layout (e.g. EMsoft's square
-Lambert) must be resampled to this convention once, offline.
+dynamical masters). Masters stored in the *square* Lambert layout
+(EMsoft-style) are imported with `resample_square_lambert` (CLI:
+``simulate --master-layout square``) — a one-time offline resample.
 
 Host-side on purpose: per-pixel texture interpolation is one giant gather
 — the slowest memory pattern on TPU (see the perf-ledger landmines) — and
@@ -46,6 +47,8 @@ __all__ = [
     "lambert_to_directions",
     "make_kinematical_master",
     "render_from_master",
+    "resample_square_lambert",
+    "square_lambert_to_directions",
 ]
 
 
@@ -68,6 +71,106 @@ def lambert_to_directions(xy: np.ndarray) -> np.ndarray:
     return np.stack(
         [xy[..., 0] * f, xy[..., 1] * f, z], axis=-1
     )
+
+
+def square_lambert_to_directions(ab: np.ndarray) -> np.ndarray:
+    """Square-Lambert coordinates (..., 2) in [-1, 1]² → north-hemisphere
+    unit directions.
+
+    The *square* equal-area layout (Roşca's map, the layout dynamical
+    codes like EMsoft store masters in) is the concentric square↔disc map
+    (Shirley–Chiu) composed with the azimuthal equal-area projection this
+    module uses: the square's center is the pole, its boundary the
+    equator, and equal image areas subtend equal solid angles. Axis
+    convention matches the circular layout: +a along +X, +b along +Y.
+    """
+    ab = np.asarray(ab, np.float64)
+    a, b = ab[..., 0], ab[..., 1]
+    # Concentric square -> disc: radius |max(|a|,|b|)|, angle interpolated
+    # along the square's perimeter.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        a_dom = np.abs(a) > np.abs(b)
+        r = np.where(a_dom, a, b)
+        phi = np.where(
+            a_dom,
+            (np.pi / 4.0) * np.where(a != 0, b / np.where(a == 0, 1, a), 0.0),
+            np.pi / 2.0
+            - (np.pi / 4.0)
+            * np.where(b != 0, a / np.where(b == 0, 1, b), 0.0),
+        )
+    u = r * np.cos(phi)
+    v = r * np.sin(phi)
+    return lambert_to_directions(np.stack([u, v], axis=-1) * np.sqrt(2.0))
+
+
+def _directions_to_square_lambert(d: np.ndarray) -> np.ndarray:
+    """Inverse of `square_lambert_to_directions` (north image of each
+    direction), used by the resampler."""
+    xy = directions_to_lambert(d) / np.sqrt(2.0)  # disc of radius 1
+    u, v = xy[..., 0], xy[..., 1]
+    r = np.hypot(u, v)
+    phi = np.arctan2(v, u)
+    phi = np.where(phi < -np.pi / 4.0, phi + 2.0 * np.pi, phi)
+    four_over_pi = 4.0 / np.pi
+    a = np.select(
+        [phi < np.pi / 4.0, phi < 3.0 * np.pi / 4.0, phi < 5.0 * np.pi / 4.0],
+        [r, r * four_over_pi * (np.pi / 2.0 - phi), -r],
+        default=r * four_over_pi * (phi - 3.0 * np.pi / 2.0),
+    )
+    b = np.select(
+        [phi < np.pi / 4.0, phi < 3.0 * np.pi / 4.0, phi < 5.0 * np.pi / 4.0],
+        [r * four_over_pi * phi, r, -r * four_over_pi * (phi - np.pi)],
+        default=-r,
+    )
+    return np.stack([a, b], axis=-1)
+
+
+def resample_square_lambert(square: np.ndarray, size: int | None = None) -> np.ndarray:
+    """Convert a square-Lambert master image to this module's circular
+    equal-area convention (the layout `render_from_master` consumes).
+
+    The one-time import step for externally-computed dynamical masters
+    stored in the square layout (EMsoft-style): resampling is a bilinear
+    lookup per target pixel, exact at the pole and smooth through the
+    equator. Source convention: square spans the north hemisphere, center
+    = pole, boundary = equator, row grows with -b, column with +a (flip
+    the source image first if its axes differ).
+
+    Args:
+        square: ``(N, N)`` square-Lambert master.
+        size: output edge (default: same as input).
+
+    Returns:
+        ``(size, size)`` master in the circular convention.
+    """
+    m = np.asarray(square, np.float64)
+    if m.ndim != 2 or m.shape[0] != m.shape[1] or m.shape[0] < 3:
+        raise ValueError(
+            f"square master must be (N, N) with N >= 3; got {m.shape}"
+        )
+    n_src = m.shape[0]
+    size = size or n_src
+    half = (size - 1) / 2.0
+    ij = (np.arange(size, dtype=np.float64) - half) / half
+    x, y = np.meshgrid(ij, -ij, indexing="xy")  # row grows with -Y
+    d = lambert_to_directions(np.stack([x, y], axis=-1) * np.sqrt(2.0))
+    ab = _directions_to_square_lambert(d)
+    half_src = (n_src - 1) / 2.0
+    col = np.clip(ab[..., 0] * half_src + half_src, 0.0, n_src - 1.0)
+    row = np.clip(-ab[..., 1] * half_src + half_src, 0.0, n_src - 1.0)
+    r0 = np.floor(row).astype(np.int64)
+    c0 = np.floor(col).astype(np.int64)
+    r1 = np.minimum(r0 + 1, n_src - 1)
+    c1 = np.minimum(c0 + 1, n_src - 1)
+    fr = row - r0
+    fc = col - c0
+    out = (
+        m[r0, c0] * (1 - fr) * (1 - fc)
+        + m[r0, c1] * (1 - fr) * fc
+        + m[r1, c0] * fr * (1 - fc)
+        + m[r1, c1] * fr * fc
+    )
+    return out.astype(np.float32)
 
 
 def make_kinematical_master(

@@ -112,3 +112,102 @@ class TestMasterRendering:
             render_from_master(master[:32], np.eye(4)[:1])
         with pytest.raises(ValueError, match="quaternions"):
             render_from_master(master, np.zeros((2, 5)))
+
+
+class TestSquareLambert:
+    def test_round_trip_square_to_dirs(self):
+        from latice_tpu.sim import square_lambert_to_directions
+        from latice_tpu.sim.master import _directions_to_square_lambert
+
+        rng = np.random.default_rng(2)
+        ab = rng.uniform(-0.999, 0.999, size=(2000, 2))
+        d = square_lambert_to_directions(ab)
+        np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-12)
+        assert np.all(d[:, 2] >= -1e-12)
+        back = _directions_to_square_lambert(d)
+        np.testing.assert_allclose(back, ab, atol=1e-9)
+
+    def test_equal_area_property(self):
+        # Uniform points in the square -> uniform hemisphere directions:
+        # E[z] = 1/2 and each z-band holds its share.
+        from latice_tpu.sim import square_lambert_to_directions
+
+        rng = np.random.default_rng(3)
+        ab = rng.uniform(-1, 1, size=(200_000, 2))
+        z = square_lambert_to_directions(ab)[:, 2]
+        assert abs(z.mean() - 0.5) < 5e-3
+        hist, _ = np.histogram(z, bins=10, range=(0, 1))
+        assert hist.min() > 0.9 * len(z) / 10
+
+    def test_center_is_pole_boundary_is_equator(self):
+        from latice_tpu.sim import square_lambert_to_directions
+
+        np.testing.assert_allclose(
+            square_lambert_to_directions(np.zeros(2)), [0, 0, 1], atol=1e-12
+        )
+        for edge in ([1.0, 0.0], [0.0, -1.0], [1.0, 1.0], [-1.0, 0.3]):
+            d = square_lambert_to_directions(np.asarray(edge))
+            assert abs(d[2]) < 1e-9, (edge, d)
+
+    def test_resample_reproduces_direct_master(self):
+        # Build the kinematical band model natively in the SQUARE layout,
+        # resample to the circular convention, and compare against the
+        # directly-rendered circular master away from the equator rim
+        # (bilinear + rim distortion is worst there).
+        from latice_tpu.sim import resample_square_lambert, square_lambert_to_directions
+
+        refl = cubic_reflectors()
+        n = 257
+        half = (n - 1) / 2.0
+        ij = (np.arange(n) - half) / half
+        a, b = np.meshgrid(ij, -ij, indexing="xy")
+        d = square_lambert_to_directions(np.stack([a, b], axis=-1))
+        sines = d @ refl.normals.astype(np.float64).T
+        halfw = refl.sin_theta.astype(np.float64)
+        soft = np.maximum(halfw * 0.25, 1e-6)
+        profile = 1.0 / (1.0 + np.exp(-(halfw - np.abs(sines)) / soft))
+        square = (profile @ refl.intensity.astype(np.float64)).astype(np.float32)
+
+        got = resample_square_lambert(square, size=n)
+        want = make_kinematical_master(size=n, reflectors=refl)
+        x, y = np.meshgrid(ij, ij, indexing="xy")
+        interior = x * x + y * y < 0.85**2
+        err = np.abs(got - want)[interior]
+        scale = want.max() - want.min()
+        assert np.median(err) < 0.01 * scale
+        assert np.percentile(err, 99) < 0.05 * scale
+
+    def test_resampled_master_renders_like_direct(self):
+        from latice_tpu.sim import (
+            render_from_master,
+            resample_square_lambert,
+            square_lambert_to_directions,
+        )
+
+        refl = cubic_reflectors()
+        n = 257
+        half = (n - 1) / 2.0
+        ij = (np.arange(n) - half) / half
+        a, b = np.meshgrid(ij, -ij, indexing="xy")
+        d = square_lambert_to_directions(np.stack([a, b], axis=-1))
+        sines = d @ refl.normals.astype(np.float64).T
+        halfw = refl.sin_theta.astype(np.float64)
+        soft = np.maximum(halfw * 0.25, 1e-6)
+        square = (
+            (1.0 / (1.0 + np.exp(-(halfw - np.abs(sines)) / soft)))
+            @ refl.intensity.astype(np.float64)
+        ).astype(np.float32)
+        circ = resample_square_lambert(square)
+        quats = np.asarray([[1.0, 0, 0, 0], [0.9, 0.3, 0.2, 0.1]])
+        geom = DetectorGeometry(shape=(64, 64))
+        got = render_from_master(circ, quats, geom)
+        want = render_from_master(
+            make_kinematical_master(size=257, reflectors=refl), quats, geom
+        )
+        assert np.median(np.abs(got - want)) < 0.02
+
+    def test_bad_shape_rejected(self):
+        from latice_tpu.sim import resample_square_lambert
+
+        with pytest.raises(ValueError, match="square master"):
+            resample_square_lambert(np.zeros((5, 7)))
