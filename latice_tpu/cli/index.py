@@ -391,6 +391,30 @@ def cmd_query(args) -> None:
 
         write_ctf(args.ctf, result, grid=grid, step=args.step, phase_groups=db_groups)
         summary["ctf_out"] = args.ctf
+    if args.ambiguity:
+        # Pseudo-symmetry diagnostic: score margin to the best genuinely
+        # different candidate (index.diagnostics).
+        from latice_tpu.index import candidate_ambiguity
+
+        amb = candidate_ambiguity(
+            result,
+            db._orientations,
+            phase_groups=db_groups,
+            dictionary_phases=db._phases if db_groups else None,
+        )
+        np.savez(
+            args.ambiguity,
+            angle_deg=amb.angle_deg,
+            score_gap=amb.score_gap,
+            has_rival=amb.has_rival,
+        )
+        flagged = amb.ambiguous(max_gap=args.ambiguity_gap)
+        summary["ambiguity_out"] = args.ambiguity
+        summary["ambiguous_frac"] = round(float(flagged.mean()), 4)
+        logger.info(
+            f"{flagged.sum()} / {len(flagged)} pixels ambiguous "
+            f"(rival within {args.ambiguity_gap} cosine score)"
+        )
     print(json.dumps(summary))
 
 
@@ -681,6 +705,7 @@ def cmd_analyze(args) -> None:
     )
 
     vendor_phase = None
+    vendor_bad = None
     low = args.orientations.lower()
     if low.endswith((".ang", ".ctf")):
         # Vendor result files (TSL/OIM .ang, Channel .ctf) analyze directly
@@ -701,6 +726,7 @@ def cmd_analyze(args) -> None:
                 f"scan grid {vmap.grid[0]}x{vmap.grid[1]} from the file header"
             )
         orients = vmap.eulers
+        vendor_bad = ~vmap.success
         # Unindexed pixels carry phase -1; clamp to 0 for the symmetry
         # lookup (they segment as boundaries through their junk angles
         # either way, matching the .npy path's behavior on failures).
@@ -720,11 +746,10 @@ def cmd_analyze(args) -> None:
                 f"--grid {rows}x{cols} does not hold {len(orients)} points"
             )
         orients = orients.reshape(rows, cols, 3)
-    if args.phases or vendor_phase is not None:
+    multiphase = bool(args.phases) or vendor_phase is not None
+    if multiphase:
         # Multi-phase map (query's <out>_phase.npy): per-phase symmetry,
         # phase boundaries always segment as grain boundaries.
-        from latice_tpu.crystal import misorientation_maps_multiphase
-
         phases = (
             vendor_phase
             if vendor_phase is not None
@@ -738,6 +763,35 @@ def cmd_analyze(args) -> None:
                 f"{len(groups)} point groups — pass --phase-groups with one "
                 "group per phase"
             )
+    cleaned_summary = {}
+    if args.clean is not None:
+        # OIM-style cleanup before any analysis: fill unindexed pixels
+        # (vendor success mask) and dissolve grains under --clean pixels.
+        from latice_tpu.crystal import clean_orientation_map
+
+        bad0 = (
+            vendor_bad.reshape(rows, cols) if vendor_bad is not None else None
+        )
+        orients, filled, cleaned_ph = clean_orientation_map(
+            orients,
+            bad=bad0,
+            min_grain_px=args.clean,
+            group=args.group,
+            threshold_deg=args.gb_threshold,
+            phases=phases if multiphase else None,
+            groups=groups if multiphase else None,
+        )
+        if multiphase:
+            phases = cleaned_ph
+        np.save(f"{args.out_prefix}_cleaned.npy", orients.reshape(-1, 3))
+        cleaned_summary = {
+            "cleaned_px": int(filled.sum()),
+            "cleaned_out": f"{args.out_prefix}_cleaned.npy",
+        }
+        logger.info(f"cleanup replaced {filled.sum()} pixels")
+    if multiphase:
+        from latice_tpu.crystal import misorientation_maps_multiphase
+
         maps = misorientation_maps_multiphase(orients, phases, groups)
     else:
         maps = misorientation_maps(orients, group=args.group)
@@ -755,6 +809,7 @@ def cmd_analyze(args) -> None:
         "boundary_fraction": float(boundaries.mean()),
         "mean_kam_deg": float(kam.mean()),
         "outputs": [f"{prefix}_{s}.npy" for s in ("grains", "kam", "boundaries")],
+        **cleaned_summary,
     }
     if args.grain_stats:
         # Per-grain summary: sizes, ECD, symmetry-aware mean orientation,
@@ -1180,6 +1235,17 @@ def main() -> None:
         "patterns the latent search mis-ranked)",
     )
     q.add_argument(
+        "--ambiguity", default=None, metavar="OUT.npz",
+        help="write the pseudo-symmetry diagnostic (per-pixel angle and "
+        "score gap to the best genuinely different candidate; "
+        "index.diagnostics) and report the ambiguous fraction",
+    )
+    q.add_argument(
+        "--ambiguity-gap", type=float, default=0.02,
+        help="cosine-score margin under which a rival counts as ambiguous "
+        "(default: %(default)s)",
+    )
+    q.add_argument(
         "--nlpar", type=float, default=None, metavar="H",
         help="NLPAR neighborhood denoising before indexing (needs "
         "--scan-grid); H is the smoothing strength in noise sigmas "
@@ -1211,6 +1277,14 @@ def main() -> None:
         "it in their header)",
     )
     a.add_argument("--group", default="432", help="point group")
+    a.add_argument(
+        "--clean", type=int, nargs="?", const=0, default=None,
+        metavar="MIN_GRAIN_PX",
+        help="OIM-style cleanup before analysis: fill unindexed pixels "
+        "(from the .ang/.ctf success mask) and dissolve grains smaller "
+        "than MIN_GRAIN_PX into their largest neighbor (bare --clean "
+        "fills unindexed only); writes <out-prefix>_cleaned.npy",
+    )
     a.add_argument(
         "--phases", default=None,
         help="per-pixel phase-id .npy (query's <out>_phase.npy) for "

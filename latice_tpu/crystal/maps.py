@@ -36,6 +36,7 @@ __all__ = [
     "GrainStatistics",
     "MisorientationMaps",
     "boundary_disorientation_angles",
+    "clean_orientation_map",
     "misorientation_maps",
     "misorientation_maps_multiphase",
     "kernel_average_misorientation",
@@ -340,6 +341,104 @@ def grain_statistics(
         mean_orientation=mean_euler.astype(np.float32),
         gos_deg=gos.astype(np.float32),
     )
+
+
+def clean_orientation_map(
+    euler_deg: np.ndarray,
+    bad: np.ndarray | None = None,
+    min_grain_px: int = 0,
+    group: str = "432",
+    threshold_deg: float = 5.0,
+    phases: np.ndarray | None = None,
+    groups: list[str] | None = None,
+    max_iterations: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Grain-dilation cleanup of an orientation map (OIM-style).
+
+    Two classes of pixels are replaced: explicitly ``bad`` ones (e.g.
+    ``~success`` from the index plane, or the vendor unindexed mask) and
+    members of grains smaller than ``min_grain_px`` (speckle from
+    misindexed single pixels / pseudo-symmetric flips). Each round, every
+    such pixel adopts the orientation (and phase) of its 4-neighbor whose
+    grain is largest among the good neighbors — the standard grain
+    dilation iteration — until all are filled or nothing changes (an
+    all-bad map comes back unchanged).
+
+    Args:
+        euler_deg: ``(H, W, 3)`` zxz Euler degrees.
+        bad: optional ``(H, W)`` bool mask of pixels to replace.
+        min_grain_px: also replace grains with fewer pixels than this.
+        group: point group for the segmentation (single-phase).
+        threshold_deg: grain-boundary threshold for the segmentation.
+        phases: optional ``(H, W)`` phase ids (multi-phase maps; negative =
+            unindexed, implicitly bad). Filled alongside orientations.
+        groups: per-phase point groups (required with ``phases``).
+        max_iterations: dilation-round cap (default: H + W).
+
+    Returns:
+        ``(cleaned_euler, filled_mask, cleaned_phases)`` — ``filled_mask``
+        marks pixels that were replaced; ``cleaned_phases`` is None when
+        ``phases`` is None.
+    """
+    euler = np.array(euler_deg, dtype=np.float64, copy=True)
+    h, w = euler.shape[:2]
+    ph = None if phases is None else np.array(phases, np.int64, copy=True)
+    bad_mask = (
+        np.zeros((h, w), bool) if bad is None else np.array(bad, bool)
+    )
+    if ph is not None:
+        if groups is None:
+            raise ValueError("phases given without per-phase groups")
+        bad_mask = bad_mask | (ph < 0)
+
+    def _segment(e, p):
+        if p is not None:
+            return misorientation_maps_multiphase(e, p, groups)
+        return misorientation_maps(e, group=group)
+
+    labels, n_grains = label_grains(
+        _segment(euler, ph), threshold_deg=threshold_deg
+    )
+    if min_grain_px > 1:
+        sizes = np.bincount(labels.ravel(), minlength=n_grains)
+        bad_mask = bad_mask | (sizes[labels] < min_grain_px)
+    # Bad pixels must not lend their (junk) orientations: track goodness
+    # and grain size, both updated as fills land.
+    good = ~bad_mask
+    sizes_map = np.where(
+        good, np.bincount(labels.ravel(), minlength=n_grains)[labels], 0
+    )
+    filled = np.zeros((h, w), bool)
+    limit = max_iterations if max_iterations is not None else h + w
+
+    for _ in range(limit):
+        todo = ~good
+        if not todo.any():
+            break
+        # For every pixel, the neighbor grain sizes (0 where the neighbor
+        # is bad or off-map) in N/S/W/E order.
+        n_sz = np.zeros((4, h, w), np.int64)
+        n_sz[0, 1:, :] = sizes_map[:-1, :]
+        n_sz[1, :-1, :] = sizes_map[1:, :]
+        n_sz[2, :, 1:] = sizes_map[:, :-1]
+        n_sz[3, :, :-1] = sizes_map[:, 1:]
+        best = np.argmax(n_sz, axis=0)
+        best_sz = np.take_along_axis(n_sz, best[None], axis=0)[0]
+        fill = todo & (best_sz > 0)
+        if not fill.any():
+            break  # isolated bad region with no good contact anywhere
+        ii, jj = np.nonzero(fill)
+        off = np.asarray([[-1, 0], [1, 0], [0, -1], [0, 1]])[best[ii, jj]]
+        si, sj = ii + off[:, 0], jj + off[:, 1]
+        euler[ii, jj] = euler[si, sj]
+        if ph is not None:
+            ph[ii, jj] = ph[si, sj]
+        # Freshly-filled pixels inherit their source grain's size and
+        # become donors in the next round.
+        sizes_map[ii, jj] = sizes_map[si, sj]
+        good[ii, jj] = True
+        filled[ii, jj] = True
+    return euler, filled, ph
 
 
 def label_grains(

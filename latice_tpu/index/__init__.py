@@ -12,6 +12,7 @@ from latice_tpu.index.db import (
     parse_faiss_flat_blob,
 )
 from latice_tpu.index.indexer import DiffractionPatternIndexer, IndexerConfig
+from latice_tpu.index.diagnostics import AmbiguityResult, candidate_ambiguity
 from latice_tpu.index.pipeline import DenseIndexResult, IndexPipeline
 from latice_tpu.index.knn import (
     cosine_topk,
@@ -25,7 +26,9 @@ from latice_tpu.index.result import OrientationResult
 
 __all__ = [
     "ConsensusOutput",
+    "AmbiguityResult",
     "DenseIndexResult",
+    "candidate_ambiguity",
     "IndexPipeline",
     "DiffractionPatternIndexer",
     "IndexerConfig",

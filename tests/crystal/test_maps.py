@@ -276,3 +276,86 @@ class TestDisorientationDistribution:
         assert ang.max() > 175.0
         # Haar mean rotation angle: 90° + 2/π·180/π ... ~126.47°.
         assert abs(ang.mean() - 126.47) < 1.0
+
+
+class TestCleanOrientationMap:
+    def _two_grain(self, h=8, w=10, seed=0):
+        rng = np.random.default_rng(seed)
+        euler = np.empty((h, w, 3))
+        euler[:, : w // 2] = [10.0, 20.0, 30.0]
+        euler[:, w // 2 :] = [80.0, 60.0, 40.0]
+        euler += rng.normal(scale=0.05, size=euler.shape)
+        return euler
+
+    def test_fills_bad_pixels_from_their_grain(self):
+        from latice_tpu.crystal import clean_orientation_map
+
+        euler = self._two_grain()
+        bad = np.zeros((8, 10), bool)
+        bad[2, 2] = bad[5, 7] = True
+        junk = euler.copy()
+        junk[bad] = [200.0, 100.0, 200.0]
+        cleaned, filled, _ = clean_orientation_map(junk, bad=bad)
+        assert filled[2, 2] and filled[5, 7] and filled.sum() == 2
+        # Each fill came from a 4-neighbor inside the same grain.
+        np.testing.assert_allclose(cleaned[2, 2], euler[2, 2], atol=0.5)
+        np.testing.assert_allclose(cleaned[5, 7], euler[5, 7], atol=0.5)
+
+    def test_speckle_grain_removed(self):
+        from latice_tpu.crystal import (
+            clean_orientation_map,
+            label_grains,
+            misorientation_maps,
+        )
+
+        euler = self._two_grain()
+        euler[3, 3] = [150.0, 90.0, 10.0]  # 1-px misindexed speckle
+        cleaned, filled, _ = clean_orientation_map(euler, min_grain_px=2)
+        assert filled[3, 3] and filled.sum() == 1
+        labels, n = label_grains(misorientation_maps(cleaned))
+        assert n == 2
+
+    def test_bad_region_floods_inward(self):
+        from latice_tpu.crystal import clean_orientation_map
+
+        euler = self._two_grain(h=10, w=12)
+        bad = np.zeros((10, 12), bool)
+        bad[3:7, 1:4] = True  # 4x3 hole inside the left grain
+        junk = euler.copy()
+        junk[bad] = 0.0
+        cleaned, filled, _ = clean_orientation_map(junk, bad=bad)
+        assert filled.sum() == bad.sum()
+        np.testing.assert_allclose(
+            cleaned[3:7, 1:4], euler[3:7, 1:4], atol=0.5
+        )
+
+    def test_all_bad_map_returned_unchanged(self):
+        from latice_tpu.crystal import clean_orientation_map
+
+        euler = self._two_grain()
+        bad = np.ones((8, 10), bool)
+        cleaned, filled, _ = clean_orientation_map(euler, bad=bad)
+        assert not filled.any()
+        np.testing.assert_array_equal(cleaned, euler)
+
+    def test_multiphase_fill_carries_phase(self):
+        from latice_tpu.crystal import clean_orientation_map
+
+        euler = self._two_grain()
+        phases = np.zeros((8, 10), np.int64)
+        phases[:, 5:] = 1
+        phases[4, 2] = -1  # unindexed pixel (vendor convention)
+        cleaned, filled, ph = clean_orientation_map(
+            euler, phases=phases, groups=["432", "622"]
+        )
+        assert filled[4, 2] and ph[4, 2] == 0
+        assert (ph >= 0).all()
+        np.testing.assert_allclose(cleaned[4, 2], euler[4, 2], atol=0.5)
+
+    def test_phases_require_groups(self):
+        from latice_tpu.crystal import clean_orientation_map
+
+        with pytest.raises(ValueError, match="groups"):
+            clean_orientation_map(
+                self._two_grain(), phases=np.zeros((8, 10), np.int64)
+            )

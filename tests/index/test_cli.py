@@ -58,6 +58,28 @@ class TestCLI:
         assert "phase_out" not in summary
         assert np.load(out).shape == (24, 3)
 
+    def test_query_ambiguity_diagnostic(self, tmp_path, monkeypatch, capsys):
+        ppath, apath, _ = _write_phase(tmp_path, "dict", 24, seed=0)
+        db = str(tmp_path / "idx.npz")
+        _run(["build", "--patterns", str(ppath), "--angles", str(apath),
+              "--db", db] + SMALL, monkeypatch, capsys)
+        out = str(tmp_path / "o.npy")
+        amb_out = str(tmp_path / "amb.npz")
+        stdout = _run(
+            ["query", "--patterns", str(ppath), "--db", db, "--out", out,
+             "--top-n", "5", "--min-matches", "1",
+             "--ambiguity", amb_out, "--ambiguity-gap", "0.5"] + SMALL,
+            monkeypatch, capsys,
+        )
+        summary = json.loads(stdout.strip().splitlines()[-1])
+        assert 0.0 <= summary["ambiguous_frac"] <= 1.0
+        data = np.load(amb_out)
+        assert set(data.files) == {"angle_deg", "score_gap", "has_rival"}
+        assert data["angle_deg"].shape == (24,)
+        # Random 3-degree-spread dictionary angles: rivals exist, and at a
+        # 0.5 score window effectively every pixel with a rival flags.
+        assert data["has_rival"].any()
+
     def test_build_and_query_over_mesh_match_single_device(
         self, tmp_path, monkeypatch, capsys
     ):
@@ -514,6 +536,46 @@ class TestAnalyzeCLI:
         with pytest.raises(SystemExit, match="--grid"):
             _run(["analyze", "--orientations", str(opath),
                   "--out-prefix", prefix], monkeypatch, capsys)
+
+    def test_analyze_clean(self, tmp_path, monkeypatch, capsys):
+        """--clean fills unindexed pixels (vendor success mask) and
+        dissolves speckle grains before analysis."""
+        from latice_tpu.data import write_ang
+        from latice_tpu.index import DenseIndexResult
+
+        rng = np.random.default_rng(8)
+        euler = np.empty((6, 8, 3))
+        euler[:, :4] = [10.0, 20.0, 30.0]
+        euler[:, 4:] = [80.0, 60.0, 40.0]
+        euler += rng.normal(scale=0.05, size=euler.shape)
+        euler[1, 6] = [150.0, 90.0, 10.0]  # 1-px misindexed speckle
+        n = 48
+        success = np.ones(n, bool)
+        success[10] = False  # one unindexed pixel
+        res = DenseIndexResult(
+            mean_orientation=euler.reshape(-1, 3),
+            best_orientation=euler.reshape(-1, 3),
+            success=success,
+            n_similar=np.where(success, 12, 0).astype(np.int64),
+            indices=np.tile(np.arange(5), (n, 1)),
+            scores=np.full((n, 5), 0.9),
+            phase=None,
+        )
+        apath = str(tmp_path / "dirty.ang")
+        write_ang(apath, res, grid=(6, 8))
+        prefix = str(tmp_path / "cl")
+        out = _run(
+            ["analyze", "--orientations", apath, "--out-prefix", prefix,
+             "--clean", "2"],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(out.strip().splitlines()[-1])
+        # The speckle + the unindexed pixel were replaced; the cleaned map
+        # segments into exactly the two real grains.
+        assert summary["cleaned_px"] == 2
+        assert summary["n_grains"] == 2
+        cleaned = np.load(prefix + "_cleaned.npy").reshape(6, 8, 3)
+        assert abs(cleaned[1, 6, 0] - 80.0) < 1.0
 
     def test_analyze_grain_stats(self, tmp_path, monkeypatch, capsys):
         rng = np.random.default_rng(1)
