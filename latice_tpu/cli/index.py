@@ -296,6 +296,7 @@ def cmd_query(args) -> None:
         from latice_tpu.data import find_pattern_dataset, iter_pattern_batches
 
         f, dset = find_pattern_dataset(args.patterns, args.h5_dataset)
+        slabs = None
         try:
             if getattr(args, "nlpar", None) or refine_steps:
                 # NLPAR averages across scan rows and --refine re-reads the
@@ -315,6 +316,10 @@ def cmd_query(args) -> None:
                 result = concat_dense_results(pipe(s) for s in slabs)
                 x = None
         finally:
+            if slabs is not None:
+                # Joins the prefetch thread so no reader is mid-dset access
+                # when the file closes (h5py is not safe against that).
+                slabs.close()
             f.close()
         n = len(result.success)
     elif args.patterns.lower().endswith(UP_EXTENSIONS):
@@ -342,7 +347,10 @@ def cmd_query(args) -> None:
                 prepare_patterns(slab)
                 for slab in iter_up_batches(pats, args.h5_chunk)
             )
-            result = concat_dense_results(pipe(s) for s in slabs)
+            try:
+                result = concat_dense_results(pipe(s) for s in slabs)
+            finally:
+                slabs.close()
             x = None
         n = len(result.success)
     else:
@@ -658,9 +666,9 @@ def cmd_master(args) -> None:
     )
     t0 = time.time()
     img = dynamical_master_pattern(
-        structure, kv=args.kv, size=args.size, n_beams=args.beams,
+        structure, kv=args.kv, size=args.size,
         depth_nm=args.depth_nm, absorption_ratio=args.absorption,
-        max_hkl=args.max_hkl, min_d=args.min_d,
+        beams=beams,
     )
     dt = time.time() - t0
     out_path = args.out if args.out.endswith(".npy") else args.out + ".npy"
@@ -727,11 +735,12 @@ def cmd_analyze(args) -> None:
             )
         orients = vmap.eulers
         vendor_bad = ~vmap.success
-        # Unindexed pixels carry phase -1; clamp to 0 for the symmetry
-        # lookup (they segment as boundaries through their junk angles
-        # either way, matching the .npy path's behavior on failures).
+        # Unindexed pixels keep their vendor -1 phase id: the multiphase
+        # segmentation isolates every edge touching one, so a contiguous
+        # unindexed blob (vendor files write constant junk Eulers there)
+        # can never fuse into a pseudo-grain.
         if vmap.phase.max() > 0 and args.phases is None:
-            vendor_phase = np.maximum(vmap.phase, 0)
+            vendor_phase = vmap.phase
             # Downstream multi-phase branches key off args.phases; mark it
             # so they engage (the actual ids come from vendor_phase).
             args.phases = f"<phases embedded in {args.orientations}>"
@@ -793,6 +802,18 @@ def cmd_analyze(args) -> None:
         from latice_tpu.crystal import misorientation_maps_multiphase
 
         maps = misorientation_maps_multiphase(orients, phases, groups)
+    elif (
+        vendor_bad is not None
+        and args.clean is None
+        and vendor_bad.any()
+    ):
+        # Single-phase vendor file with unindexed pixels and no --clean:
+        # isolate them through the negative-id convention (their constant
+        # junk Eulers would otherwise fuse into pseudo-grains).
+        from latice_tpu.crystal import misorientation_maps_multiphase
+
+        ph0 = np.where(vendor_bad.reshape(rows, cols), -1, 0)
+        maps = misorientation_maps_multiphase(orients, ph0, [args.group])
     else:
         maps = misorientation_maps(orients, group=args.group)
     labels, n_grains = label_grains(maps, threshold_deg=args.gb_threshold)
@@ -819,6 +840,7 @@ def cmd_analyze(args) -> None:
         from latice_tpu.crystal import grain_statistics
 
         flat_labels = labels.reshape(-1)
+        flat_e = orients.reshape(-1, 3)
         _, seed_idx = np.unique(flat_labels, return_index=True)
         if args.phases:
             grain_phase = phases.reshape(-1)[seed_idx]
@@ -826,16 +848,26 @@ def cmd_analyze(args) -> None:
         else:
             grain_phase = None
             grain_group = np.full(n_grains, args.group)
-        stats = None
+        sizes = np.zeros(n_grains, np.int64)
+        ecd = np.zeros(n_grains, np.float32)
+        mean_ori = np.zeros((n_grains, 3), np.float32)
+        gos = np.zeros(n_grains, np.float32)
+        # One grain_statistics pass per distinct point group, each over
+        # only that group's grains (not the full map per group). Labels
+        # compact to 0..k-1 monotonically, and the subset keeps every pixel
+        # of a selected grain, so the seed-pixel (global first occurrence)
+        # convention survives intact.
         for g in np.unique(grain_group):
-            s = grain_statistics(orients, labels, group=str(g))
-            if stats is None:
-                stats = [np.array(a) for a in s]
-            else:
-                sel = grain_group == g
-                stats[2][sel] = s.mean_orientation[sel]
-                stats[3][sel] = s.gos_deg[sel]
-        sizes, ecd, mean_ori, gos = stats
+            gsel = grain_group == g
+            px = gsel[flat_labels]
+            remap = np.cumsum(gsel) - 1
+            s = grain_statistics(
+                flat_e[px], remap[flat_labels[px]], group=str(g)
+            )
+            sizes[gsel] = s.sizes_px
+            ecd[gsel] = s.equivalent_diameter_px
+            mean_ori[gsel] = s.mean_orientation
+            gos[gsel] = s.gos_deg
         stats_out = f"{prefix}_grain_stats.npz"
         payload = dict(
             sizes_px=sizes,
@@ -902,6 +934,11 @@ def cmd_analyze(args) -> None:
         ]
     if args.taylor:
         # Full-constraints Taylor factor map (Bishop-Hill maximum work).
+        if args.phases:
+            raise SystemExit(
+                "--taylor evaluates one phase's slip systems; run it on "
+                "single-phase maps (extract one phase's pixels first)"
+            )
         from latice_tpu.crystal import taylor_factors
 
         try:
@@ -970,7 +1007,12 @@ def cmd_analyze(args) -> None:
             raise SystemExit(str(e))
         np.save(f"{prefix}_gnd.npy", gres.density)
         np.save(f"{prefix}_nye.npy", gres.alpha)
-        summary["mean_gnd_per_m2"] = float(np.nanmean(gres.density))
+        finite = np.isfinite(gres.density)
+        # None (not NaN) when every pixel is masked — the JSON summary must
+        # stay RFC-8259 parseable for strict clients.
+        summary["mean_gnd_per_m2"] = (
+            float(gres.density[finite].mean()) if finite.any() else None
+        )
         summary["gnd_valid_fraction"] = round(float(gres.valid.mean()), 4)
         summary["outputs"] += [f"{prefix}_gnd.npy", f"{prefix}_nye.npy"]
     if args.csl:
@@ -1040,6 +1082,11 @@ def cmd_analyze(args) -> None:
         summary["mean_boundary_disorientation_deg"] = round(float(angles.mean()), 3)
     if args.schmid:
         # Micromechanics overlay: max Schmid factor + active system index.
+        if args.phases:
+            raise SystemExit(
+                "--schmid evaluates one phase's slip systems; run it on "
+                "single-phase maps (extract one phase's pixels first)"
+            )
         from latice_tpu.crystal import schmid_factors
 
         try:
@@ -1057,6 +1104,12 @@ def cmd_analyze(args) -> None:
         ]
     if args.components:
         # Named-texture-component volume fractions (Cube/Goss/Brass/...).
+        if args.phases:
+            raise SystemExit(
+                "--components matches one point group's named components; "
+                "run it on single-phase maps (extract one phase's pixels "
+                "first, or use --odf-sections with --odf-phase)"
+            )
         from latice_tpu.crystal import texture_component_fractions
 
         comps = (

@@ -166,7 +166,9 @@ def _ang_rows(euler_rad, x, y, iq, ci, phase1, n_similar) -> str:
         return native.format_ang_rows_native(
             euler_rad, x, y, iq, ci, phase1, n_similar
         )
-    except ImportError:
+    except (ImportError, ValueError):
+        # ValueError = a row overflowed the native formatter's fixed
+        # buffer (pathological magnitudes); the Python path has no limit.
         pass
     return "".join(
         f"  {euler_rad[i, 0]:.5f}  {euler_rad[i, 1]:.5f}"
@@ -257,7 +259,7 @@ def _ctf_rows(phase, x, y, bands, err, euler_deg, mad) -> str:
         return native.format_ctf_rows_native(
             phase, x, y, bands, err, euler_deg, mad
         )
-    except ImportError:
+    except (ImportError, ValueError):
         pass
     return "".join(
         f"{int(phase[i])}\t{x[i]:.4f}\t{y[i]:.4f}\t{int(bands[i])}"

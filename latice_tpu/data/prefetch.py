@@ -69,8 +69,13 @@ def prefetch_host(iterable: Iterable[Any], size: int = 2) -> Iterator[Any]:
     serializes read → device → read.
 
     Order is preserved; producer exceptions re-raise at the consumption
-    point; abandoning the iterator (break / GC) stops the thread promptly
-    instead of leaving it blocked on a full queue.
+    point; abandoning the iterator (break / GC / ``close()``) stops the
+    thread promptly instead of leaving it blocked on a full queue. Closing
+    the generator also *joins* the worker, so once ``close()`` returns no
+    thread is still touching the underlying iterable — callers that close
+    a resource the producer reads from (an HDF5 dataset, a memmap) must
+    close this generator first (h5py is not safe against closing a file
+    out from under a reader in another thread).
     """
     if size < 1:
         raise ValueError(f"prefetch size must be >= 1, got {size}")
@@ -111,3 +116,13 @@ def prefetch_host(iterable: Iterable[Any], size: int = 2) -> Iterator[Any]:
             yield payload
     finally:
         stop.set()
+        # Unblock a worker mid-put, then wait for it to leave the iterable
+        # (it may be inside one disk read; those terminate). The timeout is
+        # a deadlock backstop only — an unresponsive producer is already a
+        # bug, and proceeding then is no worse than the pre-join behavior.
+        while True:
+            try:
+                q.get_nowait()
+            except queue_mod.Empty:
+                break
+        thread.join(timeout=30.0)

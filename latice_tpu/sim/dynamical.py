@@ -501,6 +501,7 @@ def dynamical_master_pattern(
     min_d: float = 0.4,
     chunk: int = 2048,
     normalize: bool = True,
+    beams: DynamicalBeams | None = None,
 ) -> np.ndarray:
     """Compute a north-hemisphere dynamical master pattern.
 
@@ -519,12 +520,16 @@ def dynamical_master_pattern(
         normalize: min-max normalize to [0, 1] (relative contrast is the
             physical content; `render_from_master` re-normalizes per
             pattern anyway).
+        beams: precomputed `dynamical_beams` result — pass it to skip the
+            host beam-selection sweep (the structure/kv/n_beams/max_hkl/
+            min_d arguments are then ignored for selection).
     """
     if size < 3:
         raise ValueError(f"master size must be >= 3, got {size}")
-    beams = dynamical_beams(
-        structure, kv=kv, n_beams=n_beams, max_hkl=max_hkl, min_d=min_d
-    )
+    if beams is None:
+        beams = dynamical_beams(
+            structure, kv=kv, n_beams=n_beams, max_hkl=max_hkl, min_d=min_d
+        )
     half = (size - 1) / 2.0
     ij = (np.arange(size, dtype=np.float64) - half) / half  # [-1, 1]
     x, y = np.meshgrid(ij, -ij, indexing="xy")  # row grows with -Y

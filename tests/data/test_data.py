@@ -280,3 +280,25 @@ class TestPrefetchHost:
             time.sleep(0.05)
         overlapped = time.time() - t0
         assert overlapped < 0.45  # serial would be >= 0.5
+
+    def test_close_joins_worker_thread(self):
+        """close() must not return while the producer thread can still
+        touch the underlying iterable — callers close files (h5py) right
+        after, and a reader mid-access would segfault."""
+        import threading
+        import time
+
+        from latice_tpu.data import prefetch_host
+
+        workers = []
+
+        def gen():
+            workers.append(threading.current_thread())
+            yield 1
+            time.sleep(0.3)  # "mid disk read" when the consumer bails
+            yield 2
+
+        it = prefetch_host(gen(), size=1)
+        assert next(it) == 1
+        it.close()
+        assert workers and not workers[0].is_alive()

@@ -309,3 +309,39 @@ class TestVendorReaders:
         p2.write_text("Channel Text File\nXCells\t3\n")
         with pytest.raises(ValueError, match="no data rows"):
             read_ctf(str(p2))
+
+
+class TestFormatterOverflowFallback:
+    """A native-formatter buffer overflow (ValueError) must fall back to
+    the unlimited Python path, not crash the export."""
+
+    def test_ang_overflow_falls_back(self, tmp_path, monkeypatch):
+        import latice_tpu.native as native_mod
+
+        def _overflow(*a, **k):
+            raise ValueError("native .ang formatting overflowed its buffer")
+
+        monkeypatch.setattr(
+            native_mod, "format_ang_rows_native", _overflow, raising=False
+        )
+        res = _result(8, fail=(1,), phases=np.array([0, 0, 1, 1, 0, 1, 0, 1]))
+        p = tmp_path / "o.ang"
+        write_ang(str(p), res, grid=(2, 4), step=0.25)
+        data = [l for l in p.read_text().splitlines() if not l.startswith("#")]
+        assert len(data) == 8
+
+    def test_ctf_overflow_falls_back(self, tmp_path, monkeypatch):
+        import latice_tpu.native as native_mod
+
+        def _overflow(*a, **k):
+            raise ValueError("native .ctf formatting overflowed its buffer")
+
+        monkeypatch.setattr(
+            native_mod, "format_ctf_rows_native", _overflow, raising=False
+        )
+        res = _result(8, fail=(0,), phases=np.array([0, 1, 1, 0, 0, 1, 0, 1]))
+        p = tmp_path / "o.ctf"
+        write_ctf(str(p), res, grid=(2, 4), step=0.25)
+        text = p.read_text().splitlines()
+        first = next(i for i, l in enumerate(text) if l.startswith("Phase\t"))
+        assert len(text) - first - 1 == 8

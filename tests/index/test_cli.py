@@ -935,3 +935,130 @@ class TestSinglePhaseGroup:
         )
         summary = json.loads(out.strip().splitlines()[-1])
         assert summary["n_grains"] == 2  # identical orientations; phase split
+
+
+class TestReviewFixesR3c:
+    """Regressions pinned from the round-3 review of the analysis plane."""
+
+    @staticmethod
+    def _vendor_ang_with_blob(tmp_path, multiphase: bool):
+        """A 6x8 vendor .ang whose rows 2-3 x cols 2-4 are unindexed.
+
+        write_ang emits constant (0,0,0) Eulers + CI=-1 for failed pixels —
+        the exact pattern that fused into a pseudo-grain when phase ids were
+        clamped to 0 before segmentation.
+        """
+        from latice_tpu.data import write_ang
+        from latice_tpu.index import DenseIndexResult
+
+        rng = np.random.default_rng(11)
+        euler = np.empty((6, 8, 3))
+        euler[:, :4] = [10.0, 20.0, 30.0]
+        euler[:, 4:] = [80.0, 60.0, 40.0]
+        euler += rng.normal(scale=0.05, size=euler.shape)
+        success = np.ones((6, 8), bool)
+        success[2:4, 2:5] = False  # 6-px contiguous unindexed blob
+        euler[~success] = np.nan  # write_ang nan_to_num's these to 0,0,0
+        phase = np.repeat([0, 1], 24) if multiphase else None
+        res = DenseIndexResult(
+            mean_orientation=euler.reshape(-1, 3),
+            best_orientation=euler.reshape(-1, 3),
+            success=success.reshape(-1),
+            n_similar=np.where(success.reshape(-1), 12, 0).astype(np.int64),
+            indices=np.tile(np.arange(5), (48, 1)),
+            scores=np.full((48, 5), 0.9),
+            phase=phase,
+        )
+        apath = str(tmp_path / "blob.ang")
+        kw = {"phase_groups": ["432", "622"]} if multiphase else {}
+        write_ang(apath, res, grid=(6, 8), step=0.5, **kw)
+        return apath
+
+    def test_unindexed_blob_never_fuses_multiphase(
+        self, tmp_path, monkeypatch, capsys
+    ):
+        """Vendor -1 phase ids reach the segmentation intact: the 6-px
+        unindexed blob segments as 6 isolated pixels, not one pseudo-grain
+        counted alongside the real grains."""
+        apath = self._vendor_ang_with_blob(tmp_path, multiphase=True)
+        prefix = str(tmp_path / "mp")
+        out = _run(
+            ["analyze", "--orientations", apath, "--out-prefix", prefix,
+             "--phase-groups", "432,622"],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(out.strip().splitlines()[-1])
+        labels = np.load(prefix + "_grains.npy")
+        blob = labels[2:4, 2:5]
+        # Every blob pixel is its own boundary-ringed grain.
+        assert len(np.unique(blob)) == blob.size
+        # 2 orientation domains x 2 phase rows... the blob straddles the
+        # phase split, so real grains = 4ish; the key claim is the blob
+        # contributes 6 singletons rather than 1 fused grain.
+        assert summary["n_grains"] >= 4 + blob.size
+
+    def test_unindexed_blob_never_fuses_single_phase(
+        self, tmp_path, monkeypatch, capsys
+    ):
+        """Single-phase vendor files take the same isolation path via the
+        success mask (no phase column needed)."""
+        apath = self._vendor_ang_with_blob(tmp_path, multiphase=False)
+        prefix = str(tmp_path / "sp")
+        out = _run(
+            ["analyze", "--orientations", apath, "--out-prefix", prefix],
+            monkeypatch, capsys,
+        )
+        json.loads(out.strip().splitlines()[-1])
+        labels = np.load(prefix + "_grains.npy")
+        blob = labels[2:4, 2:5]
+        assert len(np.unique(blob)) == blob.size
+
+    @pytest.mark.parametrize("flag", [
+        ["--schmid", "0", "0", "1"],
+        ["--taylor"],
+        ["--components", "all"],
+    ])
+    def test_single_phase_analyses_refuse_multiphase_maps(
+        self, tmp_path, monkeypatch, capsys, flag
+    ):
+        """--schmid/--taylor/--components are single-group math; on a
+        multi-phase map they must refuse instead of silently mixing
+        phases (consistent with --csl/--gnd/--youngs)."""
+        euler = np.tile([10.0, 30.0, 50.0], (4, 6, 1))
+        phases = np.zeros((4, 6), np.int64)
+        phases[:, 3:] = 1
+        opath = tmp_path / "o.npy"
+        fpath = tmp_path / "p.npy"
+        np.save(opath, euler.reshape(-1, 3))
+        np.save(fpath, phases.ravel())
+        with pytest.raises(SystemExit, match="single-phase"):
+            _run(
+                ["analyze", "--orientations", str(opath), "--grid", "4", "6",
+                 "--phases", str(fpath), "--phase-groups", "432,622",
+                 "--out-prefix", str(tmp_path / "x")] + flag,
+                monkeypatch, capsys,
+            )
+
+    def test_gnd_all_masked_reports_null_not_nan(
+        self, tmp_path, monkeypatch, capsys
+    ):
+        """A map where every forward difference crosses a boundary yields an
+        all-NaN GND field; the JSON summary must say null, not bare NaN."""
+        euler = np.zeros((4, 4, 3))
+        # Checkerboard of two far-apart orientations: every edge is a
+        # boundary, so no pixel has a valid curvature stencil.
+        ii, jj = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")
+        euler[(ii + jj) % 2 == 1] = [60.0, 40.0, 20.0]
+        opath = tmp_path / "o.npy"
+        np.save(opath, euler.reshape(-1, 3))
+        out = _run(
+            ["analyze", "--orientations", str(opath), "--grid", "4", "4",
+             "--out-prefix", str(tmp_path / "g"), "--gnd", "0.25"],
+            monkeypatch, capsys,
+        )
+        line = out.strip().splitlines()[-1]
+        summary = json.loads(line, parse_constant=lambda s: pytest.fail(
+            f"non-strict JSON constant {s!r} in the analyze summary"
+        ))
+        assert summary["mean_gnd_per_m2"] is None
+        assert summary["gnd_valid_fraction"] == 0.0
