@@ -66,13 +66,13 @@ def bench_index_throughput(batch_size: int = 1024, dict_size: int = 100_000) -> 
     x_dev = jnp.asarray(rng.uniform(size=(batch_size, 128, 128, 1)).astype(np.float32))
 
     run = pipe._run
-    out = run(pipe._params, x_dev)
+    out = run(pipe._params, pipe._dict_dev, x_dev)
     float(out[0].sum())  # warm + sync
 
     n_iter = 30
     t0 = time.time()
     for _ in range(n_iter):
-        out = run(pipe._params, x_dev)
+        out = run(pipe._params, pipe._dict_dev, x_dev)
     float(out[0].sum())  # host sync closes the dispatch chain
     dt = (time.time() - t0) / n_iter
     return batch_size / dt

@@ -204,6 +204,18 @@ def main(scaled: bool = False):
                              batch_size=512, consensus_weight_power=power)
         last_res = eval_pipe(pipe, q_angles, q, f"off-grid power={power}")
 
+    # Pattern-space DI baseline (index.pattern_di): NCC of the same noisy
+    # off-grid queries against the raw dictionary stack — no encoder. The
+    # physics yardstick the latent engine is judged against.
+    print("== pattern-space DI baseline (NCC, no encoder) ==")
+    from latice_tpu.index import PatternDictionaryIndexer
+
+    di = PatternDictionaryIndexer(
+        dict_patterns, dict_angles, top_n=10,
+        orientation_threshold=5.0, min_required_matches=3, batch_size=512,
+    )
+    eval_pipe(di, q_angles, q, "off-grid DI")
+
     if _RENDER == "dynamical":
         # Model-mismatch robustness: the encoder/dictionary saw dynamical
         # profiles; query with *kinematical* renders of the same

@@ -14,6 +14,11 @@ from latice_tpu.index.db import (
 from latice_tpu.index.indexer import DiffractionPatternIndexer, IndexerConfig
 from latice_tpu.index.diagnostics import AmbiguityResult, candidate_ambiguity
 from latice_tpu.index.pipeline import DenseIndexResult, IndexPipeline
+from latice_tpu.index.pattern_di import (
+    PatternDictionaryIndexer,
+    build_pattern_dictionary,
+    ncc_feature_fn,
+)
 from latice_tpu.index.knn import (
     cosine_topk,
     cosine_topk_approx,
@@ -30,6 +35,9 @@ __all__ = [
     "DenseIndexResult",
     "candidate_ambiguity",
     "IndexPipeline",
+    "PatternDictionaryIndexer",
+    "build_pattern_dictionary",
+    "ncc_feature_fn",
     "DiffractionPatternIndexer",
     "IndexerConfig",
     "LatentVectorDatabaseBase",

@@ -1,0 +1,234 @@
+"""Pattern-space dictionary indexing (DI): NCC against raw patterns.
+
+The classic dictionary-indexing baseline (the role of EMsoft's EMDI):
+index an experimental pattern by normalized cross-correlation (NCC)
+directly against every simulated dictionary pattern — no trained encoder
+in the loop. The reference framework has no such engine; its retrieval is
+latent-space only (reference faiss_db.py:135-139, chroma_db.py:116-131).
+Here DI completes the native dictionary loop (``index.py sample`` →
+``simulate`` → ``di``) and doubles as the accuracy yardstick the VAE
+pipeline is judged against: same dictionary, same consensus, features
+swapped from 16-d latents to the pixels themselves.
+
+TPU mapping: zero-mean + L2-normalize each pattern and NCC *is* cosine
+similarity, so the whole search plane is the latent k-NN machinery with
+``D = H*W / bin²`` features — one MXU matmul per batch against a
+dictionary matrix held in bf16 (half residency, full MXU rate; NCC
+rankings tolerate bf16 input rounding, pinned by test). Compute per query
+is ~D/16 times the latent engine's, which is exactly the trade DI buys:
+no training, physics-faithful scores, at brute-force cost. The
+`IndexPipeline` does the heavy lifting via its ``feature_fn`` hook, so
+batching/padding, the two-phase dispatch, multi-phase dictionaries, the
+``preprocess=`` stage, mesh sharding, and the exact/approx/int8 engines
+all compose with DI unchanged. (The "fused" Pallas engine is excluded:
+its VMEM score tiles assume a narrow feature axis; at D ≥ 4096 the
+(tile_n, D) dictionary slab alone overflows VMEM.)
+
+NCC is invariant to any per-pattern affine intensity transform (the zero
+mean removes offset, the norm removes gain), so uint8 detector frames
+need no /255 and no background gain correction changes the ranking —
+only *structured* corrections (hot pixels, static background shape) do,
+and those run through ``preprocess=`` before the features.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latice_tpu.index.pipeline import DenseIndexResult, IndexPipeline
+
+__all__ = [
+    "ncc_feature_fn",
+    "build_pattern_dictionary",
+    "PatternDictionaryIndexer",
+]
+
+
+def ncc_feature_fn(bin_factor: int = 1) -> Callable[[jax.Array], jax.Array]:
+    """A jittable ``(B, H, W, C) -> (B, D)`` NCC feature map.
+
+    Mean-pools by ``bin_factor`` (the standard DI speed knob — EMsoft bins
+    detector frames before correlating), then flattens, removes each
+    pattern's mean and L2-normalizes, so a dot product of two feature rows
+    is exactly their NCC.
+    """
+    if bin_factor < 1:
+        raise ValueError(f"bin_factor must be >= 1, got {bin_factor}")
+
+    def fn(x: jax.Array) -> jax.Array:
+        x = x.astype(jnp.float32)
+        if bin_factor > 1:
+            b, h, w, c = x.shape
+            if h % bin_factor or w % bin_factor:
+                raise ValueError(
+                    f"bin_factor {bin_factor} does not divide {h}x{w}"
+                )
+            x = x.reshape(
+                b, h // bin_factor, bin_factor, w // bin_factor, bin_factor, c
+            ).mean(axis=(2, 4))
+        v = x.reshape(x.shape[0], -1)
+        v = v - v.mean(axis=1, keepdims=True)
+        norm = jnp.linalg.norm(v, axis=1, keepdims=True)
+        return v / jnp.maximum(norm, 1e-12)
+
+    return fn
+
+
+def build_pattern_dictionary(
+    patterns: np.ndarray | jax.Array,
+    bin_factor: int = 1,
+    batch_size: int = 512,
+    preprocess: Any = None,
+    as_numpy: bool = True,
+    dtype: Any = jnp.float32,
+) -> np.ndarray | jax.Array:
+    """NCC feature rows for a dictionary pattern stack, computed on device.
+
+    Args:
+        patterns: ``(N, H, W)`` or ``(N, H, W, 1)`` stack, any real dtype
+            (uint8 simulate output included — NCC is gain/offset invariant,
+            so no /255 is needed). A device-resident jax.Array is chunked
+            in place without a host copy.
+        bin_factor: mean-pool factor applied before flattening.
+        batch_size: patterns per device dispatch.
+        preprocess: optional jittable ``(B, H, W, C) -> (B, H', W', C)``
+            correction applied before the features (must match the
+            ``preprocess=`` given to the indexer, or the dictionary and
+            the queries live in different feature spaces).
+        as_numpy: return host numpy float32 (persistable) — pass False to
+            keep the rows on device, which skips a gigabytes-scale host
+            round trip at unbinned DI sizes (100k x 16384 f32 = 6.5 GB).
+        dtype: device-path feature dtype (``as_numpy=False`` only; bf16
+            halves the residency and is what the indexer stores anyway).
+
+    Returns:
+        ``(N, D)`` feature rows (unit-norm, zero-mean), numpy f32 or
+        device array per ``as_numpy``. Feed to `PatternDictionaryIndexer`.
+    """
+    x = patterns if isinstance(patterns, jax.Array) else np.asarray(patterns)
+    if x.ndim == 3:
+        x = x[..., None]
+    feat = ncc_feature_fn(bin_factor)
+
+    def staged(p):
+        if preprocess is not None:
+            p = preprocess(p.astype(jnp.float32))
+        return feat(p).astype(dtype)
+
+    run = jax.jit(staged)
+    out = []
+    for start in range(0, len(x), batch_size):
+        chunk = x[start : start + batch_size]
+        n = len(chunk)
+        if n < batch_size:
+            if isinstance(chunk, jax.Array):
+                chunk = jnp.pad(chunk, ((0, batch_size - n),) + ((0, 0),) * 3)
+            else:
+                pad = np.zeros(
+                    (batch_size - n,) + chunk.shape[1:], chunk.dtype
+                )
+                chunk = np.concatenate([chunk, pad])
+        out.append((n, run(jnp.asarray(chunk))))
+    if as_numpy:
+        return np.concatenate([np.asarray(r[:n], np.float32) for n, r in out])
+    return jnp.concatenate([r[:n] for n, r in out])
+
+
+class PatternDictionaryIndexer:
+    """Brute-force NCC dictionary indexer over raw patterns.
+
+    A thin assembly over `IndexPipeline(feature_fn=...)`: call it with a
+    pattern stack exactly like a pipeline and get a `DenseIndexResult`
+    whose ``scores`` are NCC values.
+
+    Args:
+        dictionary_patterns: ``(N, H, W[, 1])`` simulated dictionary stack
+            (``index.py simulate`` output), OR precomputed ``(N, D)``
+            feature rows from `build_pattern_dictionary` (pass
+            ``bin_factor`` consistently in that case).
+        dictionary_orientations: ``(N, 3)`` zxz Euler degrees.
+        bin_factor: mean-pool factor for both dictionary and queries.
+        engine: "exact" (default), "approx", or "int8" — see
+            `IndexPipeline`; "fused" is rejected (VMEM tiles assume a
+            narrow feature axis).
+        search_dtype: "bfloat16" (default — DI is residency/MXU bound and
+            NCC ranking tolerates input rounding) or "float32".
+        preprocess: optional on-device correction for the *queries only*
+            — detector corrections (hot pixels, backgrounds) map raw
+            experimental frames toward the ideal space a simulated
+            dictionary already lives in, so the dictionary stays clean by
+            default. Pass ``dict_preprocess`` when the dictionary stack
+            is itself raw detector data and needs the same correction.
+            Corrections must preserve the frame shape queries and
+            dictionary share (bin via ``bin_factor``, which applies to
+            both sides inside the features, not via a recipe ``bin=``).
+        dict_preprocess: optional correction for the dictionary stack
+            (see above; ignored when precomputed feature rows are given).
+        Everything else (top_n, orientation_threshold,
+        min_required_matches, batch_size, mesh, dictionary_phases,
+        phase_symmetries, consensus_weight_power, ...) forwards to
+        `IndexPipeline` unchanged.
+    """
+
+    def __init__(
+        self,
+        dictionary_patterns: np.ndarray,
+        dictionary_orientations: np.ndarray,
+        bin_factor: int = 1,
+        engine: str = "exact",
+        search_dtype: str = "bfloat16",
+        preprocess: Any = None,
+        dict_preprocess: Any = None,
+        dict_batch_size: int = 512,
+        **pipeline_kw: Any,
+    ) -> None:
+        if engine == "fused":
+            raise ValueError(
+                "pattern DI cannot use the fused engine: its VMEM score "
+                "tiles assume a narrow feature axis (use exact/approx/int8)"
+            )
+        pats = (
+            dictionary_patterns
+            if isinstance(dictionary_patterns, jax.Array)
+            else np.asarray(dictionary_patterns)
+        )
+        if pats.ndim == 2:
+            vectors = pats  # precomputed rows (host or device)
+        else:
+            # Build device-resident: the rows go straight into the pipeline
+            # (which casts/quantizes per engine), never visiting the host.
+            # Build in the engine dtype directly — an f32 intermediate at
+            # unbinned sizes (100k x 16384 = 6.5 GB, doubled by the
+            # concatenate) would exhaust a 16 GB chip.
+            feature_dtype = (
+                jnp.bfloat16
+                if search_dtype == "bfloat16" and engine != "int8"
+                else jnp.float32
+            )
+            vectors = build_pattern_dictionary(
+                pats,
+                bin_factor=bin_factor,
+                batch_size=dict_batch_size,
+                preprocess=dict_preprocess,
+                as_numpy=False,
+                dtype=feature_dtype,
+            )
+        self.bin_factor = bin_factor
+        self.pipeline = IndexPipeline(
+            model=None,
+            params=None,
+            dictionary_vectors=vectors,
+            dictionary_orientations=dictionary_orientations,
+            engine=engine,
+            search_dtype=search_dtype,
+            preprocess=preprocess,
+            feature_fn=ncc_feature_fn(bin_factor),
+            **pipeline_kw,
+        )
+
+    def __call__(self, patterns: np.ndarray) -> DenseIndexResult:
+        return self.pipeline(patterns)

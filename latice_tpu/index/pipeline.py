@@ -113,6 +113,20 @@ class IndexPipeline:
         phase_symmetries: optional list of point-group names (one per phase
             id, `crystal.ROTATION_GROUPS` keys) selecting each phase's
             symmetry operators; defaults to cubic "432" for every phase.
+        feature_fn: optional jittable ``(B, H, W, C) -> (B, D)`` map used
+            INSTEAD of the VAE encode (pass ``model=None, params=None``).
+            This is the hook behind pattern-space dictionary indexing
+            (`index.pattern_di`), where the features are the zero-mean
+            L2-normalized pixels themselves; any differentiable/jittable
+            embedding works. Runs after the uint8 ``/255`` and
+            ``preprocess`` stages, inside the pipeline's single program.
+        search_dtype: storage/matmul dtype for the exact and approx engines
+            — "float32" (default; reference-parity `precision=HIGHEST`
+            scores) or "bfloat16" (half the dictionary HBM residency and
+            ~2x MXU rate; scores accumulate in f32 but carry bf16 input
+            rounding, so near-tied candidates may swap order). The int8
+            engine has its own quantization and the fused kernel manages
+            its own tiles; both ignore this knob.
     """
 
     def __init__(
@@ -134,11 +148,19 @@ class IndexPipeline:
         engine: str = "exact",
         recall_target: float = 0.95,
         preprocess: Any = None,
+        feature_fn: Any = None,
+        search_dtype: str = "float32",
     ) -> None:
         from latice_tpu.crystal import from_euler_zxz_deg, stack_symmetry_tables
 
         if engine not in ("exact", "approx", "int8", "fused"):
             raise ValueError(f"unknown engine {engine!r}")
+        if search_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown search_dtype {search_dtype!r}")
+        if feature_fn is None and model is None:
+            raise ValueError("pass a model or a feature_fn")
+        if feature_fn is not None and model is not None:
+            raise ValueError("model and feature_fn are mutually exclusive")
         self.batch_size = batch_size
         self._n = len(dictionary_vectors)
         self.mesh = mesh
@@ -177,11 +199,24 @@ class IndexPipeline:
             sym_tables = stack_symmetry_tables(phase_symmetries)
         self.n_phases = None if dictionary_phases is None else n_phases
 
-        dict_host = jnp.asarray(np.asarray(dictionary_vectors, np.float32))
+        if isinstance(dictionary_vectors, jax.Array):
+            # Already device-resident (e.g. a pattern-DI feature build):
+            # never round-trip it through host numpy — at DI sizes that is
+            # gigabytes over the host link — and cast straight to the
+            # engine dtype (a bf16 build must not balloon through f32).
+            dict_host = dictionary_vectors
+        else:
+            dict_host = jnp.asarray(np.asarray(dictionary_vectors, np.float32))
         if engine == "int8":
             from latice_tpu.index.knn import quantize_dictionary_int8
 
-            dict_host, _ = quantize_dictionary_int8(dict_host)
+            dict_host, _ = quantize_dictionary_int8(
+                dict_host.astype(jnp.float32)
+            )
+        elif search_dtype == "bfloat16" and engine in ("exact", "approx"):
+            dict_host = dict_host.astype(jnp.bfloat16)
+        elif dict_host.dtype != jnp.float32:
+            dict_host = dict_host.astype(jnp.float32)
         if mesh is not None:
             from latice_tpu.parallel import replicate, shard_dictionary
 
@@ -191,7 +226,8 @@ class IndexPipeline:
                     f"{mesh.devices.size}"
                 )
             dict_dev = shard_dictionary(dict_host, mesh)
-            params = replicate(params, mesh)
+            if params is not None:
+                params = replicate(params, mesh)
         else:
             dict_dev = dict_host
         orient_dev = jnp.asarray(
@@ -215,7 +251,12 @@ class IndexPipeline:
                 axis=1,
             )
 
-        def _run(p, patterns):
+        # The dictionary is a runtime ARGUMENT, not a closure capture: a
+        # closed-over array is baked into the lowered program as a constant
+        # (at pattern-DI sizes that is gigabytes of lowering/compile bloat
+        # and a re-lower per recompile); as an argument it is donated-free,
+        # device-resident once, and shared across recompiles.
+        def _run(p, dict_arg, patterns):
             if jnp.issubdtype(patterns.dtype, jnp.integer):
                 # uint8 input path: patterns ship over the host link in their
                 # native byte form (4x less transfer than f32 — the tunnel,
@@ -225,7 +266,10 @@ class IndexPipeline:
                 patterns = patterns.astype(jnp.float32) / 255.0
             if preprocess is not None:
                 patterns = preprocess(patterns)
-            mu, _ = model.apply({"params": p}, patterns, method="encode")
+            if feature_fn is not None:
+                mu = feature_fn(patterns)
+            else:
+                mu, _ = model.apply({"params": p}, patterns, method="encode")
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
 
@@ -242,7 +286,7 @@ class IndexPipeline:
                     mu, NamedSharding(mesh, PartitionSpec())
                 )
                 scores, indices = sharded_cosine_topk_inner(
-                    mu, dict_dev, k, mesh, n_valid=self._n,
+                    mu, dict_arg, k, mesh, n_valid=self._n,
                     engine=engine, recall_target=recall_target,
                 )
             elif engine == "fused":
@@ -252,7 +296,7 @@ class IndexPipeline:
                 # the XLA matmul+top_k pair (ROADMAP "Selection").
                 from latice_tpu.ops.topk_fused import cosine_topk_fused
 
-                scores, indices = cosine_topk_fused(mu, dict_dev, k)
+                scores, indices = cosine_topk_fused(mu, dict_arg, k)
             else:
                 q = l2_normalize(mu)
                 if engine == "int8":
@@ -260,16 +304,25 @@ class IndexPipeline:
                         jnp.round(q * 127.0), -127, 127
                     ).astype(jnp.int8)
                     acc = jax.lax.dot_general(
-                        qi, dict_dev,
+                        qi, dict_arg,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.int32,
                     )
                     scores = acc.astype(jnp.float32) / (127.0 * 127.0)
+                elif search_dtype == "bfloat16":
+                    # Half the dictionary residency + full MXU rate; the
+                    # accumulator stays f32 so only the inputs round.
+                    scores = jnp.einsum(
+                        "bd,nd->bn",
+                        q.astype(jnp.bfloat16),
+                        dict_arg,
+                        preferred_element_type=jnp.float32,
+                    )
                 else:
                     scores = jnp.einsum(
                         "bd,nd->bn",
                         q,
-                        dict_dev,
+                        dict_arg,
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST,
                     )
@@ -346,13 +399,15 @@ class IndexPipeline:
             self._run = jax.jit(
                 _run,
                 in_shardings=(
-                    NamedSharding(mesh, PartitionSpec()),       # params
-                    NamedSharding(mesh, PartitionSpec(axis)),   # batch
+                    NamedSharding(mesh, PartitionSpec()),          # params
+                    NamedSharding(mesh, PartitionSpec(axis, None)),  # dict rows
+                    NamedSharding(mesh, PartitionSpec(axis)),      # batch
                 ),
             )
         else:
             self._run = jax.jit(_run)
         self._params = params
+        self._dict_dev = dict_dev
 
     def __call__(self, patterns: np.ndarray) -> DenseIndexResult:
         """Index a stack of NHWC patterns; handles padding + chunking.
@@ -387,7 +442,9 @@ class IndexPipeline:
                 chunk = np.concatenate(
                     [chunk, np.zeros((self.batch_size - n,) + chunk.shape[1:], chunk.dtype)]
                 )
-            pending.append((n, self._run(self._params, jnp.asarray(chunk))))
+            pending.append(
+                (n, self._run(self._params, self._dict_dev, jnp.asarray(chunk)))
+            )
         outs = [tuple(np.asarray(r[:n]) for r in res) for n, res in pending]
 
         n_fields = len(outs[0])

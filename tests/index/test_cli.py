@@ -1062,3 +1062,98 @@ class TestReviewFixesR3c:
         ))
         assert summary["mean_gnd_per_m2"] is None
         assert summary["gnd_valid_fraction"] == 0.0
+
+
+class TestPatternDICli:
+    """index.py di — the zero-training native loop (sample -> simulate -> di)."""
+
+    def test_native_di_loop(self, tmp_path, monkeypatch, capsys):
+        ang = str(tmp_path / "fcc.txt")
+        _run(["sample", "--group", "432", "--resolution", "20",
+              "--out", ang], monkeypatch, capsys)
+        pat = str(tmp_path / "fcc.npy")
+        _run(["simulate", "--angles", ang, "--out", pat,
+              "--structure", "fcc", "--max-hkl", "2", "--min-d", "1.0",
+              "--uint8"], monkeypatch, capsys)
+        out = str(tmp_path / "di.npy")
+        angf = str(tmp_path / "di.ang")
+        stdout = _run(
+            ["di", "--dict-patterns", pat, "--dict-angles", ang,
+             "--patterns", pat, "--out", out, "--top-n", "3",
+             "--min-matches", "1", "--batch-size", "16", "--ang", angf],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(stdout.strip().splitlines()[-1])
+        assert summary["success_rate"] == 1.0
+        # Self-queries: the top NCC is the pattern itself.
+        assert summary["mean_top_ncc"] > 0.999
+        from scipy.spatial.transform import Rotation as R
+
+        from latice_tpu.data import parse_angle_file, read_ang
+
+        truth = parse_angle_file(ang)
+        got = np.load(out)
+        err = np.degrees(
+            (
+                R.from_euler("zxz", got, degrees=True).inv()
+                * R.from_euler("zxz", truth, degrees=True)
+            ).magnitude()
+        )
+        # Self-queries on a 20-deg grid: no other candidate sits within the
+        # 3-deg consensus threshold, so the mean IS the truth row.
+        assert np.median(err) < 0.1
+        vmap = read_ang(angf)
+        assert vmap.success.all()
+
+    def test_di_bin_and_int8(self, tmp_path, monkeypatch, capsys):
+        ang = str(tmp_path / "fcc.txt")
+        _run(["sample", "--group", "432", "--resolution", "25",
+              "--out", ang], monkeypatch, capsys)
+        pat = str(tmp_path / "fcc.npy")
+        _run(["simulate", "--angles", ang, "--out", pat,
+              "--structure", "fcc", "--max-hkl", "2", "--min-d", "1.0",
+              "--uint8"], monkeypatch, capsys)
+        out = str(tmp_path / "di.npy")
+        stdout = _run(
+            ["di", "--dict-patterns", pat, "--dict-angles", ang,
+             "--patterns", pat, "--out", out, "--bin", "2",
+             "--engine", "int8", "--top-n", "3", "--min-matches", "1",
+             "--batch-size", "16"],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(stdout.strip().splitlines()[-1])
+        assert summary["mean_top_ncc"] > 0.99
+
+    def test_di_multiphase(self, tmp_path, monkeypatch, capsys):
+        paths = {}
+        for structure, group in [("fcc", "432"), ("hcp", "622")]:
+            ang = str(tmp_path / f"{structure}.txt")
+            _run(["sample", "--group", group, "--resolution", "25",
+                  "--out", ang], monkeypatch, capsys)
+            pat = str(tmp_path / f"{structure}.npy")
+            _run(["simulate", "--angles", ang, "--out", pat,
+                  "--structure", structure, "--max-hkl", "2",
+                  "--min-d", "1.0", "--uint8"], monkeypatch, capsys)
+            paths[structure] = (pat, ang)
+        out = str(tmp_path / "mp.npy")
+        stdout = _run(
+            ["di",
+             "--dict-patterns", paths["fcc"][0], "--dict-angles", paths["fcc"][1],
+             "--dict-patterns", paths["hcp"][0], "--dict-angles", paths["hcp"][1],
+             "--phase-groups", "432,622",
+             "--patterns", paths["hcp"][0], "--out", out,
+             "--top-n", "3", "--min-matches", "1", "--batch-size", "16"],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(stdout.strip().splitlines()[-1])
+        phases = np.load(out.replace(".npy", "") + "_phase.npy")
+        # Pattern-space NCC separates the phases at least as well as the
+        # latent engine: hcp self-queries come back phase 1.
+        assert (phases == 1).mean() > 0.9
+        assert "phase_counts" in summary
+
+    def test_di_pair_mismatch_rejected(self, tmp_path, monkeypatch, capsys):
+        with pytest.raises(SystemExit, match="same number"):
+            _run(["di", "--dict-patterns", "a.npy",
+                  "--dict-patterns", "b.npy", "--dict-angles", "a.txt",
+                  "--patterns", "q.npy"], monkeypatch, capsys)

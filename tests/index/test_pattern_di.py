@@ -1,0 +1,227 @@
+"""Pattern-space dictionary indexing (index.pattern_di): NCC features,
+engine/mesh composition, and the IndexPipeline feature_fn hook."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latice_tpu.index import (
+    IndexPipeline,
+    PatternDictionaryIndexer,
+    build_pattern_dictionary,
+    ncc_feature_fn,
+)
+
+H = W = 32
+
+
+@pytest.fixture(scope="module")
+def setup():
+    """10 clusters x 5 near-duplicate patterns with clustered angles, so NCC
+    retrieval + consensus genuinely succeeds (same shape as the pipeline
+    equivalence fixtures)."""
+    rng = np.random.default_rng(7)
+    patterns, angles = [], []
+    for _ in range(10):
+        base = rng.uniform(size=(H, W))
+        base_angle = rng.uniform([0, 20, 0], [340, 140, 340])
+        for _ in range(5):
+            patterns.append(base + rng.normal(size=(H, W)) * 0.01)
+            angles.append(base_angle + rng.uniform(-0.3, 0.3, 3))
+    return np.asarray(patterns, np.float32), np.asarray(angles)
+
+
+class TestNccFeatures:
+    def test_rows_are_zero_mean_unit_norm(self, setup):
+        patterns, _ = setup
+        feats = np.asarray(ncc_feature_fn()(jnp.asarray(patterns[..., None])))
+        assert feats.shape == (50, H * W)
+        np.testing.assert_allclose(feats.mean(axis=1), 0.0, atol=1e-6)
+        np.testing.assert_allclose(
+            np.linalg.norm(feats, axis=1), 1.0, atol=1e-5
+        )
+
+    def test_affine_intensity_invariance(self, setup):
+        """NCC features must not change under per-pattern gain/offset — the
+        property that lets uint8 frames skip /255 entirely."""
+        patterns, _ = setup
+        fn = ncc_feature_fn()
+        a = np.asarray(fn(jnp.asarray(patterns[..., None])))
+        scaled = patterns * 37.5 + 11.0
+        b = np.asarray(fn(jnp.asarray(scaled[..., None])))
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+    def test_binning_shape_and_divisibility(self, setup):
+        patterns, _ = setup
+        feats = ncc_feature_fn(2)(jnp.asarray(patterns[..., None]))
+        assert feats.shape == (50, H * W // 4)
+        with pytest.raises(ValueError, match="does not divide"):
+            ncc_feature_fn(5)(jnp.asarray(patterns[..., None]))
+
+    def test_build_matches_direct(self, setup):
+        patterns, _ = setup
+        rows = build_pattern_dictionary(patterns, batch_size=16)
+        direct = np.asarray(ncc_feature_fn()(jnp.asarray(patterns[..., None])))
+        np.testing.assert_allclose(rows, direct, atol=1e-6)
+
+
+class TestPatternDI:
+    def test_self_query_succeeds(self, setup):
+        patterns, angles = setup
+        di = PatternDictionaryIndexer(
+            patterns, angles,
+            top_n=5, min_required_matches=4, batch_size=25,
+        )
+        out = di(patterns)
+        assert out.success.all()
+        # Top-1 NCC of a dictionary member is itself.
+        np.testing.assert_array_equal(out.indices[:, 0], np.arange(50))
+        # mean_orientation is canonicalized to scipy ranges; compare with
+        # 360-wrap on the z axes.
+        d = (out.mean_orientation - angles + 180.0) % 360.0 - 180.0
+        assert np.abs(d).max() < 1.0  # cluster spread is +-0.3 deg
+        assert out.scores.max() <= 1.0 + 1e-3
+
+    def test_uint8_equals_float(self, setup):
+        """uint8 frames ride the device /255 path; NCC's affine invariance
+        makes the scores identical to the f32 stack's."""
+        patterns, angles = setup
+        u8 = (patterns * 255).astype(np.uint8)
+        f32 = u8.astype(np.float32) / 255.0
+        di = PatternDictionaryIndexer(
+            f32, angles, top_n=5, min_required_matches=4, batch_size=25,
+            search_dtype="float32",
+        )
+        a, b = di(u8), di(f32)
+        np.testing.assert_array_equal(a.indices, b.indices)
+        np.testing.assert_allclose(a.scores, b.scores, atol=1e-6)
+
+    def test_precomputed_rows_equal_raw_stack(self, setup):
+        patterns, angles = setup
+        rows = build_pattern_dictionary(patterns)
+        kw = dict(top_n=5, min_required_matches=4, batch_size=25)
+        a = PatternDictionaryIndexer(patterns, angles, **kw)(patterns)
+        b = PatternDictionaryIndexer(rows, angles, **kw)(patterns)
+        np.testing.assert_array_equal(a.indices, b.indices)
+        np.testing.assert_allclose(a.scores, b.scores, atol=1e-5)
+
+    def test_binned_di_still_indexes(self, setup):
+        patterns, angles = setup
+        di = PatternDictionaryIndexer(
+            patterns, angles, bin_factor=2,
+            top_n=5, min_required_matches=4, batch_size=25,
+        )
+        out = di(patterns)
+        assert out.success.all()
+        np.testing.assert_array_equal(out.indices[:, 0], np.arange(50))
+
+    def test_int8_engine_recall(self, setup):
+        patterns, angles = setup
+        kw = dict(top_n=5, min_required_matches=4, batch_size=25)
+        exact = PatternDictionaryIndexer(
+            patterns, angles, search_dtype="float32", **kw
+        )(patterns)
+        q = PatternDictionaryIndexer(patterns, angles, engine="int8", **kw)(
+            patterns
+        )
+        hits = np.mean([
+            len(set(q.indices[i]) & set(exact.indices[i])) / 5.0
+            for i in range(len(patterns))
+        ])
+        assert hits >= 0.9
+
+    def test_bf16_vs_f32_top1_agrees(self, setup):
+        patterns, angles = setup
+        kw = dict(top_n=5, min_required_matches=4, batch_size=25)
+        a = PatternDictionaryIndexer(
+            patterns, angles, search_dtype="bfloat16", **kw
+        )(patterns)
+        b = PatternDictionaryIndexer(
+            patterns, angles, search_dtype="float32", **kw
+        )(patterns)
+        # Self-match at NCC=1 is far above bf16 rounding.
+        np.testing.assert_array_equal(a.indices[:, 0], b.indices[:, 0])
+
+    def test_fused_engine_rejected(self, setup):
+        patterns, angles = setup
+        with pytest.raises(ValueError, match="fused"):
+            PatternDictionaryIndexer(patterns, angles, engine="fused")
+
+    def test_mesh_composition_matches_single_device(self, setup):
+        from jax.sharding import Mesh
+
+        patterns, angles = setup
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+        kw = dict(
+            top_n=5, min_required_matches=4, batch_size=24,
+            search_dtype="float32",
+        )
+        single = PatternDictionaryIndexer(patterns, angles, **kw)(patterns)
+        sharded = PatternDictionaryIndexer(patterns, angles, mesh=mesh, **kw)(
+            patterns
+        )
+        np.testing.assert_array_equal(single.indices, sharded.indices)
+        np.testing.assert_allclose(
+            single.mean_orientation, sharded.mean_orientation, atol=1e-4
+        )
+
+    def test_preprocess_applies_to_queries_only(self, setup):
+        """The standard DI setup: clean simulated dictionary, raw detector
+        queries — `preprocess` corrects the queries toward the dictionary's
+        ideal space and must NOT touch the dictionary."""
+        patterns, angles = setup
+        hot = patterns.copy()
+        hot[:, 0, 0] = 1000.0  # hot pixel on every experimental frame
+
+        def zap(x):
+            return x.at[:, 0, 0, :].set(x[:, 1, 1, :])
+
+        di = PatternDictionaryIndexer(
+            patterns, angles, preprocess=zap,
+            top_n=5, min_required_matches=4, batch_size=25,
+        )
+        out = di(hot)
+        assert out.success.all()
+        # With the hot pixel zapped, the query's nearest dictionary pattern
+        # is its own clean original.
+        np.testing.assert_array_equal(out.indices[:, 0], np.arange(50))
+
+    def test_dict_preprocess_corrects_raw_dictionaries(self, setup):
+        """dict_preprocess applies the same correction when the dictionary
+        stack is itself raw detector data."""
+        patterns, angles = setup
+        hot = patterns.copy()
+        hot[:, 0, 0] = 1000.0
+
+        def zap(x):
+            return x.at[:, 0, 0, :].set(x[:, 1, 1, :])
+
+        di = PatternDictionaryIndexer(
+            hot, angles, preprocess=zap, dict_preprocess=zap,
+            top_n=5, min_required_matches=4, batch_size=25,
+        )
+        out = di(hot)
+        assert out.success.all()
+        np.testing.assert_array_equal(out.indices[:, 0], np.arange(50))
+
+
+class TestFeatureFnHook:
+    def test_model_and_feature_fn_mutually_exclusive(self, setup):
+        patterns, angles = setup
+        rows = build_pattern_dictionary(patterns)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            IndexPipeline(
+                object(), None, rows, angles, feature_fn=ncc_feature_fn()
+            )
+        with pytest.raises(ValueError, match="model or a feature_fn"):
+            IndexPipeline(None, None, rows, angles)
+
+    def test_bad_search_dtype(self, setup):
+        patterns, angles = setup
+        rows = build_pattern_dictionary(patterns)
+        with pytest.raises(ValueError, match="search_dtype"):
+            IndexPipeline(
+                None, None, rows, angles,
+                feature_fn=ncc_feature_fn(), search_dtype="float16",
+            )
