@@ -587,6 +587,96 @@ def cmd_di(args) -> None:
     print(json.dumps(summary))
 
 
+def cmd_quality(args) -> None:
+    """Hough/Radon pattern-quality maps (data.hough).
+
+    The vendor-software standard: a Radon transform finds the Kikuchi
+    bands and their mean peak response is the Image Quality practitioners
+    map to see grain boundaries, strain and surface damage — computed
+    here from the detector frames themselves (``query``'s .ang IQ column
+    is similarity-derived; this is the real one). One MXU matmul per
+    batch; no indexing required.
+    """
+    from latice_tpu.data import (
+        HDF5_EXTENSIONS,
+        UP_EXTENSIONS,
+        BandDetector,
+        prepare_patterns,
+    )
+
+    low = args.patterns.lower()
+    if low.endswith(HDF5_EXTENSIONS):
+        from latice_tpu.data import find_pattern_dataset
+
+        f, dset = find_pattern_dataset(args.patterns, args.h5_dataset)
+        try:
+            raw = dset[...]
+        finally:
+            f.close()
+    elif low.endswith(UP_EXTENSIONS):
+        from latice_tpu.data import open_up_patterns
+
+        header, pats = open_up_patterns(args.patterns)
+        if not args.scan_grid and header.scan_grid:
+            args.scan_grid = list(header.scan_grid)
+        raw = np.asarray(pats[...])
+    else:
+        raw = np.load(args.patterns)
+    x = prepare_patterns(raw)
+    h, w = x.shape[1], x.shape[2]
+
+    t0 = time.time()
+    det = BandDetector(
+        height=h, width=w, n_theta=args.n_theta, n_rho=args.n_rho,
+        k=args.bands, band_width_px=args.band_width,
+        batch_size=args.batch_size,
+    )
+    res = det(x)
+    dt = time.time() - t0
+    iq = res.iq
+    count = res.band_count
+    if args.scan_grid:
+        rows, cols = args.scan_grid
+        if rows * cols != len(iq):
+            raise SystemExit(
+                f"--scan-grid {rows}x{cols} does not hold {len(iq)} patterns"
+            )
+        iq = iq.reshape(rows, cols)
+        count = count.reshape(rows, cols)
+    prefix = args.out_prefix
+    np.save(f"{prefix}_iq.npy", iq)
+    np.savez(
+        f"{prefix}_bands.npz",
+        theta_deg=res.theta_deg,
+        rho_px=res.rho_px,
+        strength=res.strength,
+        band_count=res.band_count,
+    )
+    summary = {
+        "n_patterns": len(res.iq),
+        "mean_iq": round(float(res.iq.mean()), 4),
+        "min_iq": round(float(res.iq.min()), 4),
+        "max_iq": round(float(res.iq.max()), 4),
+        "mean_band_count": round(float(res.band_count.mean()), 2),
+        "seconds": round(dt, 2),
+        "outputs": [f"{prefix}_iq.npy", f"{prefix}_bands.npz"],
+    }
+    if args.iq_map:
+        if not args.scan_grid:
+            raise SystemExit("--iq-map needs --scan-grid ROWS COLS")
+        from latice_tpu.utils._mpl import ensure_headless_backend
+
+        ensure_headless_backend()
+        import matplotlib.image as mpimg
+
+        lo, hi = float(iq.min()), float(iq.max())
+        mpimg.imsave(
+            args.iq_map, (iq - lo) / max(hi - lo, 1e-9), cmap="gray"
+        )
+        summary["iq_map"] = args.iq_map
+    print(json.dumps(summary))
+
+
 def cmd_sample(args) -> None:
     """Generate a dictionary orientation grid over a fundamental zone.
 
@@ -1546,6 +1636,38 @@ def main() -> None:
     )
     d.add_argument("--step", type=float, default=1.0, help="scan step (um)")
     d.set_defaults(fn=cmd_di)
+
+    qu = sub.add_parser(
+        "quality",
+        help="Hough/Radon band detection + Image Quality maps (no indexing)",
+    )
+    qu.add_argument(
+        "--patterns", required=True,
+        help=".npy stack, HDF5 scan, or EDAX .up1/.up2",
+    )
+    qu.add_argument("--h5-dataset", default=None)
+    qu.add_argument("--out-prefix", default="quality")
+    qu.add_argument(
+        "--scan-grid", type=int, nargs=2, metavar=("ROWS", "COLS"),
+        default=None, help="reshape IQ to the scan map (UP headers autofill)",
+    )
+    qu.add_argument(
+        "--bands", type=int, default=10,
+        help="bands detected per pattern (strongest first)",
+    )
+    qu.add_argument(
+        "--band-width", type=float, default=8.0,
+        help="expected Kikuchi band width in pixels (butterfly plateau)",
+    )
+    qu.add_argument("--n-theta", type=int, default=90)
+    qu.add_argument("--n-rho", type=int, default=96)
+    qu.add_argument("--batch-size", type=int, default=256)
+    qu.add_argument(
+        "--iq-map", default=None, metavar="OUT.png",
+        help="also render the IQ map as a grayscale image (needs "
+        "--scan-grid)",
+    )
+    qu.set_defaults(fn=cmd_quality)
 
     a = sub.add_parser(
         "analyze", help="grain analysis of an indexed orientation map"

@@ -16,6 +16,12 @@ from latice_tpu.data.h5io import (
 )
 from latice_tpu.data.augment import AugmentConfig, make_augment_fn
 from latice_tpu.data.dataset import DPdataset, parse_angle_file
+from latice_tpu.data.hough import (
+    BandDetection,
+    BandDetector,
+    butterfly_kernel,
+    radon_matrix,
+)
 from latice_tpu.data.nlpar import estimate_noise_sigma, nlpar_denoise
 from latice_tpu.data.prefetch import prefetch_host, prefetch_to_device
 from latice_tpu.data.preprocess import (
@@ -49,9 +55,13 @@ from latice_tpu.data.transforms import (
 
 __all__ = [
     "AugmentConfig",
+    "BandDetection",
+    "BandDetector",
     "DPDataModule",
     "DPdataset",
     "PreprocessConfig",
+    "butterfly_kernel",
+    "radon_matrix",
     "batch_iterator",
     "bin_patterns",
     "center_crop",

@@ -1157,3 +1157,60 @@ class TestPatternDICli:
             _run(["di", "--dict-patterns", "a.npy",
                   "--dict-patterns", "b.npy", "--dict-angles", "a.txt",
                   "--patterns", "q.npy"], monkeypatch, capsys)
+
+
+class TestQualityCli:
+    """index.py quality — Hough band detection + IQ maps."""
+
+    def test_quality_on_simulated_patterns(self, tmp_path, monkeypatch, capsys):
+        """Kinematical renders have real Kikuchi bands: the detector must
+        find several per pattern, and IQ must drop when noise is added."""
+        ang = str(tmp_path / "a.txt")
+        _run(["sample", "--group", "432", "--resolution", "30",
+              "--out", ang], monkeypatch, capsys)
+        pat = str(tmp_path / "p.npy")
+        _run(["simulate", "--angles", ang, "--out", pat,
+              "--structure", "fcc", "--max-hkl", "2", "--min-d", "1.0"],
+             monkeypatch, capsys)
+        clean = np.load(pat)
+        rng = np.random.default_rng(4)
+        noisy = clean + rng.normal(scale=0.5, size=clean.shape).astype(
+            clean.dtype
+        )
+        np.save(tmp_path / "noisy.npy", noisy)
+        out_clean = _run(
+            ["quality", "--patterns", pat,
+             "--out-prefix", str(tmp_path / "qc"), "--batch-size", "8"],
+            monkeypatch, capsys,
+        )
+        out_noisy = _run(
+            ["quality", "--patterns", str(tmp_path / "noisy.npy"),
+             "--out-prefix", str(tmp_path / "qn"), "--batch-size", "8"],
+            monkeypatch, capsys,
+        )
+        sc = json.loads(out_clean.strip().splitlines()[-1])
+        sn = json.loads(out_noisy.strip().splitlines()[-1])
+        assert sc["mean_band_count"] >= 2.0
+        assert sc["mean_iq"] > sn["mean_iq"]
+        bands = np.load(str(tmp_path / "qc") + "_bands.npz")
+        assert bands["theta_deg"].shape[1] == 10
+
+    def test_quality_grid_and_map(self, tmp_path, monkeypatch, capsys):
+        rng = np.random.default_rng(0)
+        pats = rng.uniform(size=(6, 96, 96)).astype(np.float32)
+        p = tmp_path / "p.npy"
+        np.save(p, pats)
+        png = str(tmp_path / "iq.png")
+        out = _run(
+            ["quality", "--patterns", str(p), "--scan-grid", "2", "3",
+             "--out-prefix", str(tmp_path / "q"), "--batch-size", "4",
+             "--iq-map", png],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(out.strip().splitlines()[-1])
+        iq = np.load(str(tmp_path / "q") + "_iq.npy")
+        assert iq.shape == (2, 3)
+        assert summary["iq_map"] == png
+        import os
+
+        assert os.path.exists(png)
