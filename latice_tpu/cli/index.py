@@ -248,6 +248,25 @@ def cmd_query(args) -> None:
         preprocess=preprocess,
         **phase_kw,
     )
+    hough_state: dict = {"det": None, "iq": [], "bands": []}
+
+    def _hough(s):
+        """Accumulate detector-side Hough IQ alongside the indexing stream
+        (--hough-iq): runs per slab, so streamed scans get real IQ too."""
+        if not getattr(args, "hough_iq", False):
+            return s
+        from latice_tpu.data import BandDetector
+
+        if hough_state["det"] is None:
+            hough_state["det"] = BandDetector(
+                height=s.shape[1], width=s.shape[2],
+                batch_size=min(args.batch_size, 256),
+            )
+        det = hough_state["det"](s)
+        hough_state["iq"].append(det.iq)
+        hough_state["bands"].append(det.band_count)
+        return s
+
     def _nlpar(x):
         """Optional NLPAR neighborhood denoising over the scan grid."""
         if not getattr(args, "nlpar", None):
@@ -302,7 +321,7 @@ def cmd_query(args) -> None:
                 # NLPAR averages across scan rows and --refine re-reads the
                 # patterns after indexing, so the map must materialize once.
                 logger.info("materializing the HDF5 scan on host")
-                x = _nlpar(prepare_patterns(dset[...]))
+                x = _nlpar(_hough(prepare_patterns(dset[...])))
                 result = pipe(x)
             else:
                 # Background-thread prefetch: the next slab's disk read +
@@ -313,7 +332,7 @@ def cmd_query(args) -> None:
                     prepare_patterns(slab)
                     for slab in iter_pattern_batches(dset, args.h5_chunk)
                 )
-                result = concat_dense_results(pipe(s) for s in slabs)
+                result = concat_dense_results(pipe(_hough(s)) for s in slabs)
                 x = None
         finally:
             if slabs is not None:
@@ -338,7 +357,7 @@ def cmd_query(args) -> None:
                 "from the UP header"
             )
         if getattr(args, "nlpar", None) or refine_steps:
-            x = _nlpar(prepare_patterns(np.asarray(pats[...])))
+            x = _nlpar(_hough(prepare_patterns(np.asarray(pats[...]))))
             result = pipe(x)
         else:
             from latice_tpu.data import prefetch_host
@@ -348,13 +367,13 @@ def cmd_query(args) -> None:
                 for slab in iter_up_batches(pats, args.h5_chunk)
             )
             try:
-                result = concat_dense_results(pipe(s) for s in slabs)
+                result = concat_dense_results(pipe(_hough(s)) for s in slabs)
             finally:
                 slabs.close()
             x = None
         n = len(result.success)
     else:
-        x = _nlpar(prepare_patterns(np.load(args.patterns)))
+        x = _nlpar(_hough(prepare_patterns(np.load(args.patterns))))
         result = pipe(x)
         n = len(x)
     dt = time.time() - t0
@@ -389,15 +408,31 @@ def cmd_query(args) -> None:
         if db.config.phase_symmetries is not None
         else None
     )
+    ang_kw: dict = {}
+    ctf_kw: dict = {}
+    if getattr(args, "hough_iq", False) and hough_state["iq"]:
+        # Detector-side quality measured on the raw frames (pre-NLPAR):
+        # the vendor .ang IQ / .ctf Bands semantics, not the similarity
+        # stand-ins.
+        hiq = np.concatenate(hough_state["iq"])
+        hbands = np.concatenate(hough_state["bands"])
+        iq_out = args.out.replace(".npy", "") + "_iq.npy"
+        np.save(iq_out, hiq)
+        summary["hough_iq_out"] = iq_out
+        summary["mean_iq"] = round(float(hiq.mean()), 4)
+        ang_kw = {"iq": hiq}
+        ctf_kw = {"bands": hbands}
     if args.ang:
         from latice_tpu.data import write_ang
 
-        write_ang(args.ang, result, grid=grid, step=args.step, phase_groups=db_groups)
+        write_ang(args.ang, result, grid=grid, step=args.step,
+                  phase_groups=db_groups, **ang_kw)
         summary["ang_out"] = args.ang
     if args.ctf:
         from latice_tpu.data import write_ctf
 
-        write_ctf(args.ctf, result, grid=grid, step=args.step, phase_groups=db_groups)
+        write_ctf(args.ctf, result, grid=grid, step=args.step,
+                  phase_groups=db_groups, **ctf_kw)
         summary["ctf_out"] = args.ctf
     if args.ambiguity:
         # Pseudo-symmetry diagnostic: score margin to the best genuinely
@@ -1548,6 +1583,13 @@ def main() -> None:
         "--ambiguity-gap", type=float, default=0.02,
         help="cosine-score margin under which a rival counts as ambiguous "
         "(default: %(default)s)",
+    )
+    q.add_argument(
+        "--hough-iq", action="store_true",
+        help="compute the detector-side Hough Image Quality alongside "
+        "indexing (streams with the scan): writes <out>_iq.npy and fills "
+        "the .ang IQ / .ctf Bands columns with real values instead of "
+        "similarity stand-ins",
     )
     q.add_argument(
         "--nlpar", type=float, default=None, metavar="H",

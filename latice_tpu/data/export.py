@@ -79,11 +79,14 @@ def write_ang(
     phase_names: list[str] | None = None,
     phase_groups: list[str] | None = None,
     phase_lattices: list[tuple[float, float, float]] | None = None,
+    iq: np.ndarray | None = None,
 ) -> None:
     """Write a `DenseIndexResult` as a TSL/OIM ``.ang`` file.
 
     Columns: phi1 Phi phi2 (radians) x y IQ CI phase intensity fit. IQ
-    carries the top candidate similarity, CI the mean candidate similarity
+    carries the top candidate similarity by default — pass ``iq`` (e.g.
+    the Hough IQ from `data.hough.BandDetector`) for the detector-side
+    value vendors write; CI the mean candidate similarity
     (-1 where indexing failed, TSL's unindexed marker), fit the consensus
     match count.
 
@@ -108,7 +111,14 @@ def write_ang(
     x, y = _grid_xy(n, grid, step)
     euler_rad = np.deg2rad(np.nan_to_num(result.best_orientation))
     ci = np.where(result.success, _confidence(result), -1.0)
-    iq = np.clip(result.scores[:, 0], 0.0, 1.0)
+    if iq is None:
+        # Similarity-derived stand-in; pass a real detector-side IQ
+        # (data.hough / `index.py query --hough-iq`) when available.
+        iq = np.clip(result.scores[:, 0], 0.0, 1.0)
+    else:
+        iq = np.asarray(iq, np.float64)
+        if iq.shape != (n,):
+            raise ValueError(f"iq must be ({n},), got {iq.shape}")
     phases = (
         result.phase
         if result.phase is not None
@@ -187,12 +197,15 @@ def write_ctf(
     phase_names: list[str] | None = None,
     phase_groups: list[str] | None = None,
     phase_lattices: list[tuple[float, float, float]] | None = None,
+    bands: np.ndarray | None = None,
 ) -> None:
     """Write a `DenseIndexResult` as an Oxford Channel Text File (``.ctf``).
 
     Columns: Phase X Y Bands Error Euler1 Euler2 Euler3 MAD BC BS — Euler in
     degrees, phase 1-based (0 = unindexed, the CTF convention), Bands carries
-    the consensus match count, MAD the (1 - mean similarity) residual.
+    the consensus match count (or the real detected band count when
+    ``bands`` is passed — `data.hough`), MAD the (1 - mean similarity)
+    residual.
     ``phase_groups`` names each phase's proper rotation point group so the
     header carries the right Laue class and lattice angles (default cubic).
     ``phase_lattices`` gives each phase's true (a, b, c) in Angstrom; the
@@ -244,7 +257,14 @@ def write_ctf(
     phase_col = np.where(ok, np.asarray(phases, np.int64) + 1, 0)
     err_col = np.where(ok, 0, 3)  # 3: "no solution" in Channel files
     euler_col = np.where(ok[:, None], euler, 0.0)
-    bands = np.asarray(result.n_similar, np.int64)
+    if bands is None:
+        # Consensus match count as a stand-in; pass the real detected band
+        # count (data.hough) for the vendor semantic of this column.
+        bands = np.asarray(result.n_similar, np.int64)
+    else:
+        bands = np.asarray(bands, np.int64)
+        if bands.shape != (n,):
+            raise ValueError(f"bands must be ({n},), got {bands.shape}")
     with open(path, "w") as f:
         f.write("\n".join(header) + "\n")
         f.write(_ctf_rows(phase_col, x, y, bands, err_col, euler_col, mad))

@@ -1214,3 +1214,53 @@ class TestQualityCli:
         import os
 
         assert os.path.exists(png)
+
+
+class TestHoughIqInQuery:
+    """query --hough-iq: detector-side IQ rides the indexing stream and
+    lands in the .ang IQ / .ctf Bands columns."""
+
+    def test_materialized_scan(self, tmp_path, monkeypatch, capsys):
+        ppath, apath, patterns = _write_phase(tmp_path, "dict", 24, seed=0)
+        db = str(tmp_path / "idx.npz")
+        _run(["build", "--patterns", str(ppath), "--angles", str(apath),
+              "--db", db] + SMALL, monkeypatch, capsys)
+        out = str(tmp_path / "o.npy")
+        angf = str(tmp_path / "o.ang")
+        ctff = str(tmp_path / "o.ctf")
+        stdout = _run(
+            ["query", "--patterns", str(ppath), "--db", db, "--out", out,
+             "--top-n", "5", "--min-matches", "1", "--hough-iq",
+             "--ang", angf, "--ctf", ctff, "--scan-grid", "4", "6"] + SMALL,
+            monkeypatch, capsys,
+        )
+        summary = json.loads(stdout.strip().splitlines()[-1])
+        hiq = np.load(summary["hough_iq_out"])
+        assert hiq.shape == (24,)
+        assert np.isfinite(hiq).all()
+        # The .ang IQ column carries the Hough values (column 6).
+        rows = [l.split() for l in open(angf) if not l.startswith("#")]
+        ang_iq = np.array([float(r[5]) for r in rows])
+        np.testing.assert_allclose(ang_iq, hiq, atol=5e-4)
+
+    def test_streamed_h5_scan(self, tmp_path, monkeypatch, capsys):
+        h5py = pytest.importorskip("h5py")
+        ppath, apath, patterns = _write_phase(tmp_path, "dict", 24, seed=1)
+        db = str(tmp_path / "idx.npz")
+        _run(["build", "--patterns", str(ppath), "--angles", str(apath),
+              "--db", db] + SMALL, monkeypatch, capsys)
+        h5path = str(tmp_path / "scan.h5")
+        with h5py.File(h5path, "w") as f:
+            f.create_dataset("Scan 1/EBSD/Data/Pattern", data=patterns)
+        out = str(tmp_path / "o.npy")
+        stdout = _run(
+            ["query", "--patterns", h5path, "--db", db, "--out", out,
+             "--top-n", "5", "--min-matches", "1", "--hough-iq",
+             "--h5-chunk", "10"] + SMALL,
+            monkeypatch, capsys,
+        )
+        summary = json.loads(stdout.strip().splitlines()[-1])
+        hiq = np.load(summary["hough_iq_out"])
+        # Streamed slab-by-slab (10+10+4) yet one IQ row per pattern.
+        assert hiq.shape == (24,)
+        assert summary["n_patterns"] == 24
