@@ -31,6 +31,13 @@ With --kinematical (physical Kikuchi bands via latice_tpu.sim, round 3):
                       floor scales with noise, not with the grid spacing)
     --scaled 64-d   : 2.04 deg on-grid, 2.02 deg off-grid, 0.588 deg
                       refined (better inits from the larger latent)
+    pattern DI      : 100% success, **0.335 deg off-grid median** (p90
+                      0.56) with no encoder at all — NCC's top-10
+                      similarities interpolate between grid points far
+                      better than latent cosines, at D/16 = 1024x the
+                      per-query compute (still 30k patterns/s on-chip).
+                      The accuracy yardstick: latent indexing buys speed
+                      and >HBM dictionaries, DI buys accuracy per entry.
 
 Run: PYTHONPATH=.:/root/.axon_site python examples/accuracy_benchmark.py
 """

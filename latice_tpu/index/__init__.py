@@ -16,6 +16,7 @@ from latice_tpu.index.diagnostics import AmbiguityResult, candidate_ambiguity
 from latice_tpu.index.pipeline import DenseIndexResult, IndexPipeline
 from latice_tpu.index.pattern_di import (
     PatternDictionaryIndexer,
+    StreamedPatternDI,
     build_pattern_dictionary,
     ncc_feature_fn,
 )
@@ -24,6 +25,7 @@ from latice_tpu.index.knn import (
     cosine_topk_approx,
     cosine_topk_blocked,
     cosine_topk_int8,
+    cosine_topk_streamed,
     l2_normalize,
     quantize_dictionary_int8,
 )
@@ -36,6 +38,7 @@ __all__ = [
     "candidate_ambiguity",
     "IndexPipeline",
     "PatternDictionaryIndexer",
+    "StreamedPatternDI",
     "build_pattern_dictionary",
     "ncc_feature_fn",
     "DiffractionPatternIndexer",
@@ -51,6 +54,7 @@ __all__ = [
     "cosine_topk_approx",
     "cosine_topk_blocked",
     "cosine_topk_int8",
+    "cosine_topk_streamed",
     "quantize_dictionary_int8",
     "l2_normalize",
 ]

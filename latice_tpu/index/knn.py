@@ -26,6 +26,7 @@ __all__ = [
     "cosine_topk_approx",
     "cosine_topk_blocked",
     "cosine_topk_int8",
+    "cosine_topk_streamed",
     "quantize_dictionary_int8",
 ]
 
@@ -170,3 +171,84 @@ def cosine_topk_blocked(
     # Mask any padded-row hits (only possible when k > n).
     valid = indices < n
     return jnp.where(valid, scores, -jnp.inf), jnp.where(valid, indices, 0)
+
+
+def cosine_topk_streamed(
+    queries: jax.Array | np.ndarray,
+    dictionary: np.ndarray,
+    k: int,
+    chunk_rows: int = 131072,
+    prefetch: int = 2,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact cosine top-k over a HOST-resident dictionary streamed in chunks.
+
+    For feature tables beyond device memory — pattern-DI at 1M+ entries
+    (1M x 16384 bf16 = 33 GB) or >HBM latent tables: the dictionary stays
+    in host RAM (or an ``np.memmap`` straight off disk), rows stream
+    through the device ``chunk_rows`` at a time with a running (B, k)
+    merge, and the next chunk's transfer overlaps the current matmul
+    (double-buffered `data.prefetch_to_device`). Device residency is
+    O(chunk_rows x D + B x k), independent of N.
+
+    Args:
+        queries: ``(B, D)`` — L2-normalized here (f32 math).
+        dictionary: ``(N, D)`` numpy array or memmap, rows already
+            L2-normalized; any float dtype (bf16 halves host RAM and
+            link traffic; f32 chunks use ``precision=HIGHEST`` for
+            `cosine_topk` parity).
+        k: neighbours.
+        chunk_rows: rows per device transfer (the residency knob).
+        prefetch: chunks in flight.
+
+    Returns:
+        ``(scores, indices)`` device arrays — identical to `cosine_topk`
+        over the whole matrix (exact; pinned by test).
+    """
+    from latice_tpu.data.prefetch import prefetch_to_device
+
+    n, d = dictionary.shape
+    if n == 0:
+        raise ValueError("empty dictionary")
+    chunk_rows = min(chunk_rows, n)
+    k = min(k, n)
+    q = l2_normalize(jnp.asarray(queries, jnp.float32))
+    b = q.shape[0]
+    k_local = min(k, chunk_rows)
+
+    @jax.jit
+    def step(qq, chunk, base, n_valid, run_s, run_i):
+        if chunk.dtype == jnp.float32:
+            scores = jnp.einsum(
+                "bd,nd->bn", qq, chunk,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            scores = jnp.einsum(
+                "bd,nd->bn", qq.astype(chunk.dtype), chunk,
+                preferred_element_type=jnp.float32,
+            )
+        col = jnp.arange(chunk.shape[0])
+        scores = jnp.where(col[None, :] < n_valid, scores, -jnp.inf)
+        s, i = jax.lax.top_k(scores, k_local)
+        i = i.astype(jnp.int32) + base
+        ms, sel = jax.lax.top_k(jnp.concatenate([run_s, s], axis=1), k)
+        mi = jnp.take_along_axis(
+            jnp.concatenate([run_i, i], axis=1), sel, axis=1
+        )
+        return ms, mi
+
+    def chunks():
+        for start in range(0, n, chunk_rows):
+            c = dictionary[start : start + chunk_rows]
+            nv = len(c)
+            if nv < chunk_rows:
+                pad = np.zeros((chunk_rows - nv, d), dtype=c.dtype)
+                c = np.concatenate([np.asarray(c), pad])
+            yield np.asarray(c), np.int32(start), np.int32(nv)
+
+    run_s = jnp.full((b, k), -jnp.inf, jnp.float32)
+    run_i = jnp.zeros((b, k), jnp.int32)
+    for c_dev, base, nv in prefetch_to_device(chunks(), size=prefetch):
+        run_s, run_i = step(q, c_dev, base, nv, run_s, run_i)
+    return run_s, run_i

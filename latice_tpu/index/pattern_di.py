@@ -45,6 +45,7 @@ __all__ = [
     "ncc_feature_fn",
     "build_pattern_dictionary",
     "PatternDictionaryIndexer",
+    "StreamedPatternDI",
 ]
 
 
@@ -99,15 +100,18 @@ def build_pattern_dictionary(
             correction applied before the features (must match the
             ``preprocess=`` given to the indexer, or the dictionary and
             the queries live in different feature spaces).
-        as_numpy: return host numpy float32 (persistable) — pass False to
-            keep the rows on device, which skips a gigabytes-scale host
-            round trip at unbinned DI sizes (100k x 16384 f32 = 6.5 GB).
-        dtype: device-path feature dtype (``as_numpy=False`` only; bf16
-            halves the residency and is what the indexer stores anyway).
+        as_numpy: return host numpy (persistable / streamable) — pass
+            False to keep the rows on device, which skips a
+            gigabytes-scale host round trip at unbinned DI sizes
+            (100k x 16384 f32 = 6.5 GB).
+        dtype: feature dtype — f32 default; bf16 halves residency (and
+            host RAM for `StreamedPatternDI` tables; numpy carries it as
+            ml_dtypes.bfloat16).
 
     Returns:
-        ``(N, D)`` feature rows (unit-norm, zero-mean), numpy f32 or
-        device array per ``as_numpy``. Feed to `PatternDictionaryIndexer`.
+        ``(N, D)`` feature rows (unit-norm, zero-mean), numpy or device
+        array per ``as_numpy``. Feed to `PatternDictionaryIndexer` or
+        `StreamedPatternDI`.
     """
     x = patterns if isinstance(patterns, jax.Array) else np.asarray(patterns)
     if x.ndim == 3:
@@ -134,7 +138,7 @@ def build_pattern_dictionary(
                 chunk = np.concatenate([chunk, pad])
         out.append((n, run(jnp.asarray(chunk))))
     if as_numpy:
-        return np.concatenate([np.asarray(r[:n], np.float32) for n, r in out])
+        return np.concatenate([np.asarray(r[:n]) for n, r in out])
     return jnp.concatenate([r[:n] for n, r in out])
 
 
@@ -232,3 +236,146 @@ class PatternDictionaryIndexer:
 
     def __call__(self, patterns: np.ndarray) -> DenseIndexResult:
         return self.pipeline(patterns)
+
+
+class StreamedPatternDI:
+    """Pattern DI over dictionaries beyond device memory.
+
+    The NCC feature rows live in HOST RAM or an ``np.memmap`` on disk and
+    stream through the device in fixed chunks with a running top-k merge
+    (`index.knn.cosine_topk_streamed`) — device residency is
+    O(chunk x D), independent of N, so a single chip serves dictionaries
+    the resident engine cannot hold (1M x 128² bf16 = 33 GB vs 16 GB
+    HBM). Each query batch makes one full pass over the rows, so use a
+    LARGE ``batch_size`` (1024+) to amortize the stream; below-HBM
+    dictionaries should prefer `PatternDictionaryIndexer` (no
+    re-transfer per batch). Single-phase; mesh sharding composes at the
+    resident engine instead (rows/n per chip).
+
+    Args:
+        dictionary_rows: ``(N, D)`` host feature rows from
+            `build_pattern_dictionary(..., as_numpy=True)` (bf16 dtype
+            halves RAM and link traffic), or any L2-normalized table.
+        dictionary_orientations: ``(N, 3)`` zxz Euler degrees (host).
+        bin_factor: must match the build's.
+        chunk_rows: dictionary rows per device transfer.
+        top_n / orientation_threshold / min_required_matches /
+        max_iterations: consensus knobs (reference defaults).
+        batch_size: static query compile batch.
+        preprocess: optional jittable query correction (see
+            `PatternDictionaryIndexer`).
+    """
+
+    def __init__(
+        self,
+        dictionary_rows: np.ndarray,
+        dictionary_orientations: np.ndarray,
+        bin_factor: int = 1,
+        chunk_rows: int = 131072,
+        top_n: int = 20,
+        orientation_threshold: float = 3.0,
+        min_required_matches: int = 18,
+        max_iterations: int = 3,
+        batch_size: int = 1024,
+        preprocess: Any = None,
+    ) -> None:
+        if dictionary_rows.ndim != 2:
+            raise ValueError(
+                "StreamedPatternDI takes precomputed (N, D) feature rows "
+                "(build_pattern_dictionary(..., as_numpy=True)); got "
+                f"shape {dictionary_rows.shape}"
+            )
+        self.rows = dictionary_rows
+        self.orientations = np.asarray(dictionary_orientations, np.float32)
+        if len(self.orientations) != len(self.rows):
+            raise ValueError(
+                f"{len(self.rows)} rows vs {len(self.orientations)} angles"
+            )
+        self.chunk_rows = chunk_rows
+        self.batch_size = batch_size
+        self.k = min(top_n, len(self.rows))
+        feat = ncc_feature_fn(bin_factor)
+
+        def _features(x):
+            if jnp.issubdtype(x.dtype, jnp.integer):
+                x = x.astype(jnp.float32) / 255.0
+            if preprocess is not None:
+                x = preprocess(x)
+            return feat(x)
+
+        self._features = jax.jit(_features)
+
+        from latice_tpu.index.consensus import consensus_from_euler
+
+        def _consensus(cand_euler):
+            cons = consensus_from_euler(
+                cand_euler,
+                orientation_threshold,
+                min_required_matches=min_required_matches,
+                max_iterations=min(max_iterations, self.k),
+            )
+            from latice_tpu.crystal import from_euler_zxz_deg, to_euler_zxz_deg
+
+            top1 = to_euler_zxz_deg(from_euler_zxz_deg(cand_euler[:, 0]))
+            best = jnp.where(cons.success[:, None], cons.mean_euler, top1)
+            return (
+                cons.mean_euler,
+                best,
+                cons.success,
+                cons.similar_mask.sum(axis=1),
+            )
+
+        self._consensus = jax.jit(_consensus)
+
+    def __call__(self, patterns: np.ndarray) -> DenseIndexResult:
+        from latice_tpu.index.knn import cosine_topk_streamed
+
+        x = np.asarray(patterns)
+        if x.ndim == 3:
+            x = x[..., None]
+        parts = []
+        for start in range(0, len(x), self.batch_size):
+            chunk = x[start : start + self.batch_size]
+            n = len(chunk)
+            if n < self.batch_size:
+                pad = np.zeros(
+                    (self.batch_size - n,) + chunk.shape[1:], chunk.dtype
+                )
+                chunk = np.concatenate([chunk, pad])
+            feats = self._features(jnp.asarray(chunk))
+            scores, indices = cosine_topk_streamed(
+                feats, self.rows, self.k, chunk_rows=self.chunk_rows
+            )
+            idx_host = np.asarray(indices)
+            # Candidate angles gather on HOST (a (B, K) gather from the
+            # (N, 3) table is the TPU slow-gather landmine; the table may
+            # not even fit on device at streamed sizes).
+            cand = self.orientations[idx_host.reshape(-1)].reshape(
+                idx_host.shape + (3,)
+            )
+            mean, best, success, n_sim = self._consensus(jnp.asarray(cand))
+            parts.append(
+                (
+                    n,
+                    np.asarray(mean)[:n],
+                    np.asarray(best)[:n],
+                    np.asarray(success)[:n],
+                    np.asarray(n_sim)[:n],
+                    idx_host[:n],
+                    np.asarray(scores)[:n],
+                )
+            )
+        _, mean, best, success, n_sim, indices, scores = (
+            np.concatenate([p[i] for p in parts]) if i else None
+            for i in range(7)
+        )
+        mean = np.where(success[:, None], mean, np.nan).astype(np.float64)
+        return DenseIndexResult(
+            mean_orientation=mean,
+            best_orientation=best.astype(np.float64),
+            success=success.astype(bool),
+            n_similar=n_sim.astype(np.int64),
+            indices=indices.astype(np.int64),
+            scores=scores.astype(np.float64),
+            phase=None,
+        )

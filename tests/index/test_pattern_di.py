@@ -225,3 +225,77 @@ class TestFeatureFnHook:
                 None, None, rows, angles,
                 feature_fn=ncc_feature_fn(), search_dtype="float16",
             )
+
+
+class TestStreamedDI:
+    """>HBM path: host-resident dictionary rows streamed in chunks with a
+    running top-k merge must be EXACT."""
+
+    def test_streamed_topk_matches_resident(self, setup):
+        from latice_tpu.index import cosine_topk, cosine_topk_streamed
+
+        patterns, _ = setup
+        rows = build_pattern_dictionary(patterns)  # (50, D) f32 host
+        q = rows[::7]
+        s_ref, i_ref = cosine_topk(jnp.asarray(q), jnp.asarray(rows), 5)
+        # Chunk size that does NOT divide N: the padded tail must mask.
+        s_st, i_st = cosine_topk_streamed(q, rows, 5, chunk_rows=13)
+        np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_st))
+        np.testing.assert_allclose(
+            np.asarray(s_ref), np.asarray(s_st), atol=1e-6
+        )
+
+    def test_streamed_topk_bf16_rows(self, setup):
+        from latice_tpu.index import cosine_topk_streamed
+
+        patterns, _ = setup
+        rows16 = build_pattern_dictionary(patterns, dtype=jnp.bfloat16)
+        assert rows16.dtype == jnp.bfloat16  # ml_dtypes on host
+        s, i = cosine_topk_streamed(
+            np.asarray(rows16[:8], np.float32), rows16, 3, chunk_rows=16
+        )
+        # Self-match survives bf16 rounding by a wide margin.
+        np.testing.assert_array_equal(np.asarray(i)[:, 0], np.arange(8))
+
+    def test_streamed_memmap_dictionary(self, setup, tmp_path):
+        """np.memmap rows: the dictionary never fully materializes in RAM."""
+        from latice_tpu.index import cosine_topk_streamed
+
+        patterns, _ = setup
+        rows = build_pattern_dictionary(patterns)
+        path = tmp_path / "rows.dat"
+        mm = np.memmap(path, np.float32, "w+", shape=rows.shape)
+        mm[:] = rows
+        mm.flush()
+        ro = np.memmap(path, np.float32, "r", shape=rows.shape)
+        s, i = cosine_topk_streamed(rows[:4], ro, 3, chunk_rows=17)
+        np.testing.assert_array_equal(np.asarray(i)[:, 0], np.arange(4))
+
+    def test_streamed_di_matches_resident_indexer(self, setup):
+        from latice_tpu.index import StreamedPatternDI
+
+        patterns, angles = setup
+        rows = build_pattern_dictionary(patterns)
+        resident = PatternDictionaryIndexer(
+            patterns, angles, search_dtype="float32",
+            top_n=5, min_required_matches=4, batch_size=25,
+        )(patterns)
+        streamed = StreamedPatternDI(
+            rows, angles, chunk_rows=13,
+            top_n=5, min_required_matches=4, batch_size=25,
+        )(patterns)
+        np.testing.assert_array_equal(resident.indices, streamed.indices)
+        np.testing.assert_array_equal(resident.success, streamed.success)
+        np.testing.assert_allclose(
+            resident.mean_orientation, streamed.mean_orientation, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            resident.scores, streamed.scores, atol=1e-5
+        )
+
+    def test_streamed_di_rejects_raw_stacks(self, setup):
+        from latice_tpu.index import StreamedPatternDI
+
+        patterns, angles = setup
+        with pytest.raises(ValueError, match="feature rows"):
+            StreamedPatternDI(patterns, angles)
