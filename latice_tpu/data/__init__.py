@@ -1,6 +1,11 @@
 """Data pipeline: vectorized pattern loading, transforms, splits, batching."""
 
-from latice_tpu.data.datamodule import DPDataModule, batch_iterator, pad_batch
+from latice_tpu.data.datamodule import (
+    DPDataModule,
+    batch_iterator,
+    pad_batch,
+    padded_batches,
+)
 from latice_tpu.data.export import (
     VendorMap,
     read_ang,
@@ -63,6 +68,7 @@ __all__ = [
     "butterfly_kernel",
     "radon_matrix",
     "batch_iterator",
+    "padded_batches",
     "bin_patterns",
     "center_crop",
     "equalize_histogram",

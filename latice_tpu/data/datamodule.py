@@ -20,7 +20,32 @@ from latice_tpu.data.dataset import DPdataset
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["DPDataModule", "batch_iterator", "pad_batch"]
+__all__ = ["DPDataModule", "batch_iterator", "pad_batch", "padded_batches"]
+
+
+def padded_batches(x, batch_size: int):
+    """Yield ``(n_real, padded_chunk)`` fixed-shape batches of ``x``.
+
+    The repo's pad-never-recompile convention as one iterator: every chunk
+    a jitted program sees has the same leading dimension; the caller trims
+    results back to ``n_real``. Accepts host numpy or device jax arrays
+    (device chunks pad on device — no host round trip).
+    """
+    for start in range(0, len(x), batch_size):
+        chunk = x[start : start + batch_size]
+        n = len(chunk)
+        if n < batch_size:
+            if isinstance(chunk, np.ndarray):
+                pad = np.zeros(
+                    (batch_size - n,) + chunk.shape[1:], chunk.dtype
+                )
+                chunk = np.concatenate([chunk, pad])
+            else:
+                import jax.numpy as jnp
+
+                pads = ((0, batch_size - n),) + ((0, 0),) * (chunk.ndim - 1)
+                chunk = jnp.pad(chunk, pads)
+        yield n, chunk
 
 
 def pad_batch(

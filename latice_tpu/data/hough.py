@@ -230,23 +230,12 @@ class BandDetector:
             raise ValueError(
                 f"expected {self.shape} frames, got {x.shape[1:]}"
             )
-        pending = []
-        for start in range(0, len(x), self.batch_size):
-            chunk = x[start : start + self.batch_size]
-            n = len(chunk)
-            if n < self.batch_size:
-                pad = np.zeros(
-                    (self.batch_size - n,) + chunk.shape[1:], chunk.dtype
-                )
-                chunk = np.concatenate([chunk, pad])
-            pending.append(
-                (
-                    n,
-                    self._run(
-                        self._a_dev, self._mask_dev, jnp.asarray(chunk)
-                    ),
-                )
-            )
+        from latice_tpu.data.datamodule import padded_batches
+
+        pending = [
+            (n, self._run(self._a_dev, self._mask_dev, jnp.asarray(chunk)))
+            for n, chunk in padded_batches(x, self.batch_size)
+        ]
         outs = [tuple(np.asarray(r[:n]) for r in res) for n, res in pending]
         theta, rho, s, iq, count = (
             np.concatenate([o[i] for o in outs]) for i in range(5)

@@ -85,12 +85,18 @@ def cosine_topk_approx(
 
 def quantize_dictionary_int8(
     dictionary: np.ndarray | jax.Array,
-) -> tuple[jax.Array, float]:
+) -> tuple[np.ndarray | jax.Array, float]:
     """Symmetric int8 quantization of an L2-normalized dictionary.
 
     Normalized rows lie in [-1, 1], so a single global scale of 127 applies.
-    Returns the int8 matrix and the dequantization scale (1/127).
+    Returns the int8 matrix and the dequantization scale (1/127). Host
+    numpy stays host (so a >HBM table can quantize before mesh placement);
+    device arrays quantize on device.
     """
+    if isinstance(dictionary, np.ndarray):
+        d = dictionary.astype(np.float32, copy=False)
+        q = np.clip(np.round(d * 127.0), -127, 127).astype(np.int8)
+        return q, 1.0 / 127.0
     d = jnp.asarray(dictionary, jnp.float32)
     q = jnp.clip(jnp.round(d * 127.0), -127, 127).astype(jnp.int8)
     return q, 1.0 / 127.0
@@ -211,32 +217,9 @@ def cosine_topk_streamed(
         raise ValueError("empty dictionary")
     chunk_rows = min(chunk_rows, n)
     k = min(k, n)
-    q = l2_normalize(jnp.asarray(queries, jnp.float32))
+    q = _normalize_jit(jnp.asarray(queries, jnp.float32))
     b = q.shape[0]
     k_local = min(k, chunk_rows)
-
-    @jax.jit
-    def step(qq, chunk, base, n_valid, run_s, run_i):
-        if chunk.dtype == jnp.float32:
-            scores = jnp.einsum(
-                "bd,nd->bn", qq, chunk,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        else:
-            scores = jnp.einsum(
-                "bd,nd->bn", qq.astype(chunk.dtype), chunk,
-                preferred_element_type=jnp.float32,
-            )
-        col = jnp.arange(chunk.shape[0])
-        scores = jnp.where(col[None, :] < n_valid, scores, -jnp.inf)
-        s, i = jax.lax.top_k(scores, k_local)
-        i = i.astype(jnp.int32) + base
-        ms, sel = jax.lax.top_k(jnp.concatenate([run_s, s], axis=1), k)
-        mi = jnp.take_along_axis(
-            jnp.concatenate([run_i, i], axis=1), sel, axis=1
-        )
-        return ms, mi
 
     def chunks():
         for start in range(0, n, chunk_rows):
@@ -250,5 +233,37 @@ def cosine_topk_streamed(
     run_s = jnp.full((b, k), -jnp.inf, jnp.float32)
     run_i = jnp.zeros((b, k), jnp.int32)
     for c_dev, base, nv in prefetch_to_device(chunks(), size=prefetch):
-        run_s, run_i = step(q, c_dev, base, nv, run_s, run_i)
+        # Module-level jitted step: same (shape, dtype, k) -> one compile
+        # for the whole stream AND across calls (StreamedPatternDI calls
+        # this once per query batch; a per-call closure would recompile a
+        # minutes-long program every batch on remote backends).
+        run_s, run_i = _streamed_topk_step(
+            q, c_dev, base, nv, run_s, run_i, k=k, k_local=k_local
+        )
     return run_s, run_i
+
+
+_normalize_jit = jax.jit(l2_normalize)
+
+
+@partial(jax.jit, static_argnames=("k", "k_local"))
+def _streamed_topk_step(qq, chunk, base, n_valid, run_s, run_i, *, k, k_local):
+    """One fold of `cosine_topk_streamed`: score a chunk, merge top-k."""
+    if chunk.dtype == jnp.float32:
+        scores = jnp.einsum(
+            "bd,nd->bn", qq, chunk,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        scores = jnp.einsum(
+            "bd,nd->bn", qq.astype(chunk.dtype), chunk,
+            preferred_element_type=jnp.float32,
+        )
+    col = jnp.arange(chunk.shape[0])
+    scores = jnp.where(col[None, :] < n_valid, scores, -jnp.inf)
+    s, i = jax.lax.top_k(scores, k_local)
+    i = i.astype(jnp.int32) + base
+    ms, sel = jax.lax.top_k(jnp.concatenate([run_s, s], axis=1), k)
+    mi = jnp.take_along_axis(jnp.concatenate([run_i, i], axis=1), sel, axis=1)
+    return ms, mi

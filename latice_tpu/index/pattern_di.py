@@ -113,33 +113,47 @@ def build_pattern_dictionary(
         array per ``as_numpy``. Feed to `PatternDictionaryIndexer` or
         `StreamedPatternDI`.
     """
+    from latice_tpu.data.datamodule import padded_batches
+
     x = patterns if isinstance(patterns, jax.Array) else np.asarray(patterns)
     if x.ndim == 3:
         x = x[..., None]
+    preprocess = _as_preprocess_fn(preprocess)
     feat = ncc_feature_fn(bin_factor)
 
     def staged(p):
+        # Mirror IndexPipeline._run's input semantics EXACTLY (uint8 /255
+        # before the correction): a background estimated in /255 units
+        # must see /255 data on the dictionary side too, or dictionary
+        # and queries land in different feature spaces.
+        if jnp.issubdtype(p.dtype, jnp.integer):
+            p = p.astype(jnp.float32) / 255.0
         if preprocess is not None:
             p = preprocess(p.astype(jnp.float32))
         return feat(p).astype(dtype)
 
     run = jax.jit(staged)
-    out = []
-    for start in range(0, len(x), batch_size):
-        chunk = x[start : start + batch_size]
-        n = len(chunk)
-        if n < batch_size:
-            if isinstance(chunk, jax.Array):
-                chunk = jnp.pad(chunk, ((0, batch_size - n),) + ((0, 0),) * 3)
-            else:
-                pad = np.zeros(
-                    (batch_size - n,) + chunk.shape[1:], chunk.dtype
-                )
-                chunk = np.concatenate([chunk, pad])
-        out.append((n, run(jnp.asarray(chunk))))
+    out = [
+        (n, run(jnp.asarray(chunk)))
+        for n, chunk in padded_batches(x, batch_size)
+    ]
     if as_numpy:
         return np.concatenate([np.asarray(r[:n]) for n, r in out])
     return jnp.concatenate([r[:n] for n, r in out])
+
+
+def _as_preprocess_fn(preprocess: Any) -> Any:
+    """Accept a callable or a `data.PreprocessConfig` (pipeline parity)."""
+    if preprocess is None or callable(preprocess):
+        return preprocess
+    from latice_tpu.data.preprocess import PreprocessConfig, make_preprocess_fn
+
+    if not isinstance(preprocess, PreprocessConfig):
+        raise TypeError(
+            "preprocess must be a callable or a data.PreprocessConfig, "
+            f"got {type(preprocess).__name__}"
+        )
+    return make_preprocess_fn(preprocess)
 
 
 class PatternDictionaryIndexer:
@@ -203,11 +217,14 @@ class PatternDictionaryIndexer:
         if pats.ndim == 2:
             vectors = pats  # precomputed rows (host or device)
         else:
-            # Build device-resident: the rows go straight into the pipeline
-            # (which casts/quantizes per engine), never visiting the host.
             # Build in the engine dtype directly — an f32 intermediate at
             # unbinned sizes (100k x 16384 = 6.5 GB, doubled by the
-            # concatenate) would exhaust a 16 GB chip.
+            # concatenate) would exhaust a 16 GB chip. Single device:
+            # device-resident rows go straight into the pipeline (no host
+            # round trip). Mesh: build to HOST and let shard_dictionary
+            # place each shard on its own device — a device-side build
+            # would commit the full table to chip 0, OOMing at exactly
+            # the >HBM sizes the mesh targets.
             feature_dtype = (
                 jnp.bfloat16
                 if search_dtype == "bfloat16" and engine != "int8"
@@ -218,7 +235,7 @@ class PatternDictionaryIndexer:
                 bin_factor=bin_factor,
                 batch_size=dict_batch_size,
                 preprocess=dict_preprocess,
-                as_numpy=False,
+                as_numpy=pipeline_kw.get("mesh") is not None,
                 dtype=feature_dtype,
             )
         self.bin_factor = bin_factor
@@ -294,6 +311,7 @@ class StreamedPatternDI:
         self.chunk_rows = chunk_rows
         self.batch_size = batch_size
         self.k = min(top_n, len(self.rows))
+        preprocess = _as_preprocess_fn(preprocess)
         feat = ncc_feature_fn(bin_factor)
 
         def _features(x):
@@ -328,20 +346,25 @@ class StreamedPatternDI:
         self._consensus = jax.jit(_consensus)
 
     def __call__(self, patterns: np.ndarray) -> DenseIndexResult:
+        from latice_tpu.data.datamodule import padded_batches
         from latice_tpu.index.knn import cosine_topk_streamed
 
         x = np.asarray(patterns)
         if x.ndim == 3:
             x = x[..., None]
+        if len(x) == 0:
+            k = self.k
+            return DenseIndexResult(
+                mean_orientation=np.zeros((0, 3), np.float64),
+                best_orientation=np.zeros((0, 3), np.float64),
+                success=np.zeros((0,), bool),
+                n_similar=np.zeros((0,), np.int64),
+                indices=np.zeros((0, k), np.int64),
+                scores=np.zeros((0, k), np.float64),
+                phase=None,
+            )
         parts = []
-        for start in range(0, len(x), self.batch_size):
-            chunk = x[start : start + self.batch_size]
-            n = len(chunk)
-            if n < self.batch_size:
-                pad = np.zeros(
-                    (self.batch_size - n,) + chunk.shape[1:], chunk.dtype
-                )
-                chunk = np.concatenate([chunk, pad])
+        for n, chunk in padded_batches(x, self.batch_size):
             feats = self._features(jnp.asarray(chunk))
             scores, indices = cosine_topk_streamed(
                 feats, self.rows, self.k, chunk_rows=self.chunk_rows

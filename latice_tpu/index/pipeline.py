@@ -206,13 +206,18 @@ class IndexPipeline:
             # engine dtype (a bf16 build must not balloon through f32).
             dict_host = dictionary_vectors
         else:
-            dict_host = jnp.asarray(np.asarray(dictionary_vectors, np.float32))
+            # Host tables STAY host until placement: under a mesh every
+            # shard then device_puts straight onto its own device (a
+            # single-device commit first would OOM chip 0 at exactly the
+            # >HBM sizes the mesh exists for); single-device commits once
+            # below. bf16 host tables keep their dtype (no f32 balloon).
+            dict_host = np.asarray(dictionary_vectors)
+            if dict_host.dtype not in (np.float32, jnp.bfloat16):
+                dict_host = dict_host.astype(np.float32)
         if engine == "int8":
             from latice_tpu.index.knn import quantize_dictionary_int8
 
-            dict_host, _ = quantize_dictionary_int8(
-                dict_host.astype(jnp.float32)
-            )
+            dict_host, _ = quantize_dictionary_int8(dict_host)
         elif search_dtype == "bfloat16" and engine in ("exact", "approx"):
             dict_host = dict_host.astype(jnp.bfloat16)
         elif dict_host.dtype != jnp.float32:
@@ -229,7 +234,7 @@ class IndexPipeline:
             if params is not None:
                 params = replicate(params, mesh)
         else:
-            dict_dev = dict_host
+            dict_dev = jnp.asarray(dict_host)
         orient_dev = jnp.asarray(
             np.asarray(dictionary_orientations, np.float32)
         )
@@ -434,17 +439,12 @@ class IndexPipeline:
                 scores=np.zeros((0, k), np.float64),
                 phase=None if self.n_phases is None else np.zeros((0,), np.int64),
             )
-        pending = []
-        for start in range(0, len(x), self.batch_size):
-            chunk = x[start : start + self.batch_size]
-            n = len(chunk)
-            if n < self.batch_size:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((self.batch_size - n,) + chunk.shape[1:], chunk.dtype)]
-                )
-            pending.append(
-                (n, self._run(self._params, self._dict_dev, jnp.asarray(chunk)))
-            )
+        from latice_tpu.data.datamodule import padded_batches
+
+        pending = [
+            (n, self._run(self._params, self._dict_dev, jnp.asarray(chunk)))
+            for n, chunk in padded_batches(x, self.batch_size)
+        ]
         outs = [tuple(np.asarray(r[:n]) for r in res) for n, res in pending]
 
         n_fields = len(outs[0])

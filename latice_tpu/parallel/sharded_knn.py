@@ -17,6 +17,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from latice_tpu.index.knn import l2_normalize
@@ -24,7 +25,9 @@ from latice_tpu.index.knn import l2_normalize
 __all__ = ["shard_dictionary", "sharded_cosine_topk", "sharded_cosine_topk_inner"]
 
 
-def shard_dictionary(dictionary: jax.Array, mesh: Mesh) -> jax.Array:
+def shard_dictionary(
+    dictionary: jax.Array | np.ndarray, mesh: Mesh
+) -> jax.Array:
     """Place an (N, D) dictionary row-sharded over the mesh.
 
     Non-divisible N is padded with zero rows; the search functions mask the
@@ -39,7 +42,18 @@ def shard_dictionary(dictionary: jax.Array, mesh: Mesh) -> jax.Array:
     n = mesh.devices.size
     if dictionary.shape[0] % n != 0:
         pad = n - dictionary.shape[0] % n
-        dictionary = jnp.pad(dictionary, ((0, pad), (0, 0)))
+        if isinstance(dictionary, np.ndarray):
+            # Host tables pad on host: device_put below then places each
+            # shard straight on its own device, so a >HBM table never
+            # commits to a single chip.
+            dictionary = np.concatenate(
+                [
+                    dictionary,
+                    np.zeros((pad, dictionary.shape[1]), dictionary.dtype),
+                ]
+            )
+        else:
+            dictionary = jnp.pad(dictionary, ((0, pad), (0, 0)))
     return jax.device_put(dictionary, NamedSharding(mesh, P(axis)))
 
 

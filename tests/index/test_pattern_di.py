@@ -299,3 +299,105 @@ class TestStreamedDI:
         patterns, angles = setup
         with pytest.raises(ValueError, match="feature rows"):
             StreamedPatternDI(patterns, angles)
+
+
+class TestReviewFixesR3d:
+    """Regressions from the round-3 session review of the DI/streamed work."""
+
+    def test_streamed_step_compiles_once_across_calls(self, setup):
+        """The merge step is module-level jitted: repeated streamed searches
+        (one per query batch) must reuse ONE compiled program."""
+        from latice_tpu.index import cosine_topk_streamed
+        from latice_tpu.index.knn import _streamed_topk_step
+
+        patterns, _ = setup
+        rows = build_pattern_dictionary(patterns)
+        before = _streamed_topk_step._cache_size()
+        cosine_topk_streamed(rows[:4], rows, 3, chunk_rows=16)
+        after_first = _streamed_topk_step._cache_size()
+        cosine_topk_streamed(rows[4:8], rows, 3, chunk_rows=16)
+        cosine_topk_streamed(rows[8:12], rows, 3, chunk_rows=16)
+        assert _streamed_topk_step._cache_size() == after_first
+        assert after_first - before <= 1
+
+    def test_uint8_dict_preprocess_in_model_units(self):
+        """The dictionary build must apply /255 BEFORE the correction, like
+        the query side does — a scale-sensitive correction (clip at 0.5)
+        would otherwise see 0-255 data and flatten everything."""
+        rng = np.random.default_rng(3)
+        u8 = rng.integers(0, 255, size=(6, 16, 16), dtype=np.uint8)
+
+        def clip_half(x):
+            return jnp.minimum(x, 0.5)
+
+        rows = build_pattern_dictionary(u8, preprocess=clip_half)
+        expect = np.asarray(
+            ncc_feature_fn()(
+                clip_half(jnp.asarray(u8[..., None], jnp.float32) / 255.0)
+            )
+        )
+        np.testing.assert_allclose(rows, expect, atol=1e-6)
+
+    def test_preprocess_config_accepted(self, setup):
+        from latice_tpu.data import PreprocessConfig
+
+        patterns, angles = setup
+        cfg = PreprocessConfig(clip_sigma=4.0)
+        rows = build_pattern_dictionary(patterns, preprocess=cfg)
+        assert rows.shape == (50, H * W)
+        di = PatternDictionaryIndexer(
+            patterns, angles, preprocess=cfg, dict_preprocess=cfg,
+            top_n=5, min_required_matches=4, batch_size=25,
+        )
+        out = di(patterns)
+        np.testing.assert_array_equal(out.indices[:, 0], np.arange(50))
+
+    def test_mesh_di_places_from_host(self, setup):
+        """Under a mesh the feature table must shard from HOST — no
+        single-device commit of the full table (the >HBM case)."""
+        from jax.sharding import Mesh
+
+        patterns, angles = setup
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+        di = PatternDictionaryIndexer(
+            patterns, angles, mesh=mesh, batch_size=24,
+            top_n=5, min_required_matches=4,
+        )
+        dd = di.pipeline._dict_dev
+        assert len(dd.sharding.device_set) == 8
+        out = di(patterns)
+        np.testing.assert_array_equal(out.indices[:, 0], np.arange(50))
+
+    def test_mesh_int8_host_table(self, setup):
+        """Host np tables quantize on host and shard per-device (int8 x
+        mesh composition for >HBM tables)."""
+        from jax.sharding import Mesh
+
+        from latice_tpu.index.knn import quantize_dictionary_int8
+
+        patterns, angles = setup
+        rows = build_pattern_dictionary(patterns)
+        q, scale = quantize_dictionary_int8(rows)
+        assert isinstance(q, np.ndarray) and q.dtype == np.int8
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+        di = PatternDictionaryIndexer(
+            rows, angles, engine="int8", mesh=mesh, batch_size=24,
+            top_n=5, min_required_matches=4,
+        )
+        assert di.pipeline._dict_dev.dtype == jnp.int8
+        out = di(patterns)
+        # int8 rounding can tie near-duplicate cluster members, so pin the
+        # CLUSTER (5 members each), not the exact row.
+        np.testing.assert_array_equal(
+            out.indices[:, 0] // 5, np.arange(50) // 5
+        )
+
+    def test_streamed_di_empty_input(self, setup):
+        from latice_tpu.index import StreamedPatternDI
+
+        patterns, angles = setup
+        rows = build_pattern_dictionary(patterns)
+        di = StreamedPatternDI(rows, angles, top_n=5, batch_size=8)
+        out = di(np.zeros((0, H, W), np.float32))
+        assert out.indices.shape == (0, 5)
+        assert out.success.shape == (0,)
