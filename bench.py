@@ -157,6 +157,41 @@ def bench_scaled_train(batch_size: int = 256) -> float:
     return 1.0 / ((time.time() - t0) / n_iter)
 
 
+def bench_di_throughput(dict_size: int = 100_000, batch_size: int = 256) -> float:
+    """Pattern-DI (NCC, bin 2) patterns/sec against a 100k dictionary.
+
+    The zero-training engine's chip-side rate: uint8 dictionary generated
+    on device (no 1.6 GB tunnel upload), features built device-resident,
+    device-resident query batch, chained dispatches + one host sync.
+    """
+    import jax.random as jrandom
+
+    from latice_tpu.index import PatternDictionaryIndexer
+
+    rng = np.random.default_rng(0)
+    key = jrandom.key(0)
+    dict_dev = jrandom.randint(
+        key, (dict_size, 128, 128), 0, 255, dtype=jnp.uint8
+    )
+    orients = rng.uniform([0, 20, 0], [340, 140, 340], size=(dict_size, 3))
+    di = PatternDictionaryIndexer(
+        dict_dev, orients, bin_factor=2,
+        top_n=10, min_required_matches=1, batch_size=batch_size,
+    )
+    q = jrandom.randint(
+        jrandom.key(1), (batch_size, 128, 128, 1), 0, 255, dtype=jnp.uint8
+    )
+    run = di.pipeline._run
+    out = run(None, di.pipeline._dict_dev, q)
+    float(out[0].sum())  # warm + sync
+    n_iter = 20
+    t0 = time.time()
+    for _ in range(n_iter):
+        out = run(None, di.pipeline._dict_dev, q)
+    float(out[0].sum())
+    return batch_size / ((time.time() - t0) / n_iter)
+
+
 def bench_dispatch_overhead() -> float:
     """Per-dispatch overhead of the host<->device link, ms.
 
@@ -184,6 +219,7 @@ def main() -> None:
     steps_per_sec = bench_train_steps()
     scaled_encode = bench_scaled_encode()
     scaled_steps = bench_scaled_train()
+    di_per_sec = bench_di_throughput()
     result = {
         "metric": "encode+top10-index throughput (100k dict, b1024, bf16)",
         "value": round(patterns_per_sec, 1),
@@ -193,6 +229,7 @@ def main() -> None:
         "patterns_per_min": round(patterns_per_sec * 60),
         "scaled_encode_patterns_per_sec": round(scaled_encode, 1),
         "scaled_train_steps_per_sec": round(scaled_steps, 2),
+        "di_patterns_per_sec": round(di_per_sec, 1),
         "dispatch_ms_per_iter": round(dispatch_ms, 3),
         "device": str(jax.devices()[0]),
     }

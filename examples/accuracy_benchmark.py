@@ -38,6 +38,10 @@ With --kinematical (physical Kikuchi bands via latice_tpu.sim, round 3):
                       per-query compute (still 30k patterns/s on-chip).
                       The accuracy yardstick: latent indexing buys speed
                       and >HBM dictionaries, DI buys accuracy per entry.
+                      NCC^4-weighted consensus (di --weight-power 4)
+                      sharpens it to 0.237 deg (p90 0.40); large powers
+                      regress (0.834 at P=256 — they collapse onto the
+                      top candidate and lose the interpolation).
 
 Run: PYTHONPATH=.:/root/.axon_site python examples/accuracy_benchmark.py
 """

@@ -242,6 +242,7 @@ def cmd_query(args) -> None:
         top_n=args.top_n,
         orientation_threshold=args.threshold,
         min_required_matches=args.min_matches,
+        consensus_weight_power=args.weight_power,
         batch_size=args.batch_size,
         mesh=mesh,
         engine=getattr(args, "engine", "exact"),
@@ -578,6 +579,7 @@ def cmd_di(args) -> None:
         top_n=args.top_n,
         orientation_threshold=args.threshold,
         min_required_matches=args.min_matches,
+        consensus_weight_power=args.weight_power,
         batch_size=args.batch_size,
         mesh=mesh,
         **phase_kw,
@@ -1551,6 +1553,11 @@ def main() -> None:
     q.add_argument("--threshold", type=float, default=3.0)
     q.add_argument("--min-matches", type=int, default=18)
     q.add_argument(
+        "--weight-power", type=float, default=None, metavar="P",
+        help="similarity^P-weighted consensus mean (sub-grid refinement; "
+        "default: reference-parity uniform mean)",
+    )
+    q.add_argument(
         "--engine", default="exact", choices=("exact", "fused", "approx", "int8"),
         help="candidate-search engine (approx/int8 trade ~2-6%% recall@10 "
         "for speed/residency at very large dictionaries)",
@@ -1655,6 +1662,13 @@ def main() -> None:
     d.add_argument("--top-n", type=int, default=20)
     d.add_argument("--threshold", type=float, default=3.0)
     d.add_argument("--min-matches", type=int, default=18)
+    d.add_argument(
+        "--weight-power", type=float, default=None, metavar="P",
+        help="NCC^P-weighted consensus mean — measured 0.335 -> 0.237 deg "
+        "median off-grid at P=4 on the kinematical benchmark (large P "
+        "over-concentrates on the top candidate and loses the "
+        "interpolation; default: uniform mean)",
+    )
     d.add_argument(
         "--devices", type=int, default=None,
         help="data-parallel mesh: batch-sharded features + row-sharded "

@@ -36,6 +36,7 @@ FLOORS = {
     "train_steps_per_sec_b256": 26.1,
     "scaled_encode_patterns_per_sec": 20_000.0,
     "scaled_train_steps_per_sec": 11.5,
+    "di_patterns_per_sec": 60_000.0,  # pattern-DI bin2, 100k dict
     "vs_baseline": 5.16,
 }
 
@@ -50,6 +51,7 @@ RECORD = {
     "train_steps_per_sec_b256": 28.41,
     "scaled_encode_patterns_per_sec": 21_931.2,
     "scaled_train_steps_per_sec": 12.53,
+    "di_patterns_per_sec": 65_302.0,  # r3 pattern-DI bin2 (ROADMAP)
     "vs_baseline": 5.637,
 }
 
