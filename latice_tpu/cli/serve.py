@@ -29,8 +29,30 @@ logger = logging.getLogger(__name__)
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--db", required=True, help="dictionary npz (index.py build)")
+    p.add_argument(
+        "--db", default=None,
+        help="dictionary npz (index.py build); omit when serving "
+        "pattern-DI via --di-dict",
+    )
     p.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
+    p.add_argument(
+        "--di-dict", action="append", default=None,
+        help="serve pattern-DI instead of the latent engine: simulated "
+        "dictionary .npy stack, repeated once per phase (zero training — "
+        "no --db/--checkpoint needed; /encode and /reload answer 400)",
+    )
+    p.add_argument(
+        "--di-angles", action="append", default=None,
+        help="angle file paired with --di-dict (repeat per phase)",
+    )
+    p.add_argument(
+        "--di-bin", type=int, default=1,
+        help="DI mean-pool factor (compute and residency drop bin^2-fold)",
+    )
+    p.add_argument(
+        "--phase-groups", default=None,
+        help="comma-separated point groups for multi-phase --di-dict",
+    )
     p.add_argument(
         "--host", default="127.0.0.1",
         help="bind address. The plane has no authentication: anyone who can "
@@ -88,12 +110,58 @@ def main() -> None:
     from latice_tpu.index import LatentVectorDatabaseConfig, TpuLatentVectorDatabase
     from latice_tpu.serve import IndexService, make_server
 
-    model, params = _load_model(args.checkpoint, args.inplanes, args.latent_dim)
-    db = TpuLatentVectorDatabase(
-        LatentVectorDatabaseConfig(npz_path=args.db, dimension=args.latent_dim)
-    )
-    if db.get_count() == 0:
-        raise SystemExit(f"dictionary {args.db} is empty — build it first")
+    di_dictionary = None
+    if args.di_dict:
+        import numpy as np
+
+        from latice_tpu.data import parse_angle_file
+
+        if args.db:
+            raise SystemExit("--di-dict and --db are mutually exclusive")
+        if not args.di_angles or len(args.di_angles) != len(args.di_dict):
+            raise SystemExit(
+                "--di-dict and --di-angles must be given the same number "
+                "of times"
+            )
+        groups = args.phase_groups.split(",") if args.phase_groups else None
+        multiphase = len(args.di_dict) > 1 or groups is not None
+        if multiphase and (not groups or len(groups) < len(args.di_dict)):
+            raise SystemExit(
+                f"{len(args.di_dict)} DI phases need --phase-groups with "
+                "one group per phase"
+            )
+        stacks, angle_parts, phase_parts = [], [], []
+        for pid, (pp, ap) in enumerate(zip(args.di_dict, args.di_angles)):
+            s = np.load(pp)
+            a = parse_angle_file(str(ap))
+            if len(s) != len(a):
+                raise SystemExit(
+                    f"{pp} holds {len(s)} patterns but {ap} lists "
+                    f"{len(a)} angles"
+                )
+            stacks.append(s)
+            angle_parts.append(a)
+            phase_parts.append(np.full(len(s), pid, np.int32))
+        di_dictionary = (
+            np.concatenate(stacks),
+            np.concatenate(angle_parts),
+            np.concatenate(phase_parts) if multiphase else None,
+            groups,
+        )
+        model = params = db = None
+    elif not args.db:
+        raise SystemExit("pass --db (latent engine) or --di-dict (pattern DI)")
+    else:
+        model, params = _load_model(
+            args.checkpoint, args.inplanes, args.latent_dim
+        )
+        db = TpuLatentVectorDatabase(
+            LatentVectorDatabaseConfig(
+                npz_path=args.db, dimension=args.latent_dim
+            )
+        )
+        if db.get_count() == 0:
+            raise SystemExit(f"dictionary {args.db} is empty — build it first")
 
     mesh = None
     if args.shard_dictionary:
@@ -139,13 +207,15 @@ def main() -> None:
         min_required_matches=args.min_matches,
         batch_size=args.batch_size,
         mesh=mesh,
-        param_loader=param_loader,
+        param_loader=param_loader if db is not None else None,
         checkpoint_root=checkpoint_root,
         max_body_bytes=args.max_body_mb << 20,
         engine=args.engine,
         preprocess=preprocess,
         nlpar_h=args.nlpar,
         nlpar_radius=args.nlpar_radius,
+        di_dictionary=di_dictionary,
+        di_bin=args.di_bin,
     )
     warm_s = service.warmup()
     server = make_server(service, args.host, args.port)
@@ -153,8 +223,13 @@ def main() -> None:
         json.dumps(
             {
                 "status": "serving",
+                "mode": "pattern-di" if di_dictionary is not None else "latent",
                 "addr": f"http://{args.host}:{server.server_address[1]}",
-                "count": db.get_count(),
+                "count": (
+                    len(di_dictionary[1])
+                    if di_dictionary is not None
+                    else db.get_count()
+                ),
                 "warmup_s": round(warm_s, 1),
             }
         ),

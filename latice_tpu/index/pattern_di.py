@@ -254,6 +254,10 @@ class PatternDictionaryIndexer:
     def __call__(self, patterns: np.ndarray) -> DenseIndexResult:
         return self.pipeline(patterns)
 
+    @property
+    def batch_size(self) -> int:
+        return self.pipeline.batch_size
+
 
 class StreamedPatternDI:
     """Pattern DI over dictionaries beyond device memory.

@@ -86,6 +86,14 @@ class IndexService:
             indexing (3-D bodies index unchanged). The first scan request
             of a given shape pays the slab-kernel compile.
         nlpar_radius: NLPAR search-window half-width (default 1 = 3x3).
+        di_dictionary: optional ``(patterns, angles)`` or ``(patterns,
+            angles, phases, groups)`` tuple switching the service to
+            pattern-DI mode (`index.pattern_di`): ``/index`` correlates
+            bodies directly against the raw dictionary stack — zero
+            training, no checkpoint. Pass ``model=None, params=None,
+            db=None``; ``/encode`` and ``/reload`` then answer 400 (there
+            is no encoder to run or swap).
+        di_bin: DI mean-pool factor (both sides; the DI speed knob).
     """
 
     def __init__(
@@ -106,8 +114,15 @@ class IndexService:
         preprocess: Any = None,
         nlpar_h: float | None = None,
         nlpar_radius: int = 1,
+        di_dictionary: tuple | None = None,
+        di_bin: int = 1,
     ) -> None:
         import jax
+
+        if di_dictionary is None and (model is None or db is None):
+            raise ValueError(
+                "pass model/params/db, or di_dictionary for pattern-DI mode"
+            )
 
         # Captured before compiling the recipe: scan-mode NLPAR must repair
         # hot pixels BEFORE averaging (see data.nlpar.nlpar_denoise).
@@ -124,8 +139,17 @@ class IndexService:
         self._model = model
         self._params = params
         self._db = db
+        self._di = di_dictionary
+        self._di_bin = int(di_bin)
         phase_kw = {}
-        if getattr(db, "_has_phases", False):
+        if di_dictionary is not None and len(di_dictionary) == 4:
+            di_phases, di_groups = di_dictionary[2], di_dictionary[3]
+            if di_phases is not None:
+                phase_kw = dict(
+                    dictionary_phases=di_phases,
+                    phase_symmetries=di_groups,
+                )
+        elif getattr(db, "_has_phases", False):
             phase_kw = dict(
                 dictionary_phases=db._phases,
                 phase_symmetries=db.config.phase_symmetries,
@@ -147,7 +171,16 @@ class IndexService:
         self.checkpoint_root = checkpoint_root
         self.max_body_bytes = int(max_body_bytes)
         self.model_version = 0
+        self._quality_detector = None
         self.pipeline = self._build_pipeline(params)
+        if model is None:
+            # Pattern-DI mode: no encoder exists; /encode and /reload
+            # answer 400 through the ValueError path.
+            self._encode = None
+            self.started = time.time()
+            self.requests = 0
+            self.patterns_indexed = 0
+            return
 
         def _encode_impl(p, x):
             import jax.numpy as jnp
@@ -183,6 +216,15 @@ class IndexService:
         self.patterns_indexed = 0
 
     def _build_pipeline(self, params):
+        if self._di is not None:
+            from latice_tpu.index import PatternDictionaryIndexer
+
+            return PatternDictionaryIndexer(
+                self._di[0],
+                self._di[1],
+                bin_factor=self._di_bin,
+                **self._pipeline_kw,
+            )
         from latice_tpu.index import IndexPipeline
 
         return IndexPipeline(
@@ -257,6 +299,8 @@ class IndexService:
     def _compile_all(self, pipeline) -> None:
         h, w = self.image_size
         self._warm_pipeline(pipeline)
+        if self._encode is None:
+            return
         for dtype in (np.float32, np.uint8):  # jit traces per input dtype
             np.asarray(
                 self._encode(
@@ -348,6 +392,10 @@ class IndexService:
         uint8 stacks stay uint8 across the host link — the jitted encoder
         does the /255 on device (ToTensor semantics), same as ``/index``.
         """
+        if self._encode is None:
+            raise ValueError(
+                "this server runs pattern-DI (no encoder); POST /index"
+            )
         x = self._prepare(patterns)
         if x.dtype != np.uint8:
             x = x.astype(np.float32)
@@ -368,16 +416,52 @@ class IndexService:
         lat = np.concatenate(outs)[: len(x)]
         return {"n": int(len(x)), "latents": lat.tolist()}
 
+    def quality(self, patterns: np.ndarray) -> dict:
+        """Hough band detection + Image Quality for a stack (data.hough)."""
+        x = self._prepare(patterns)
+        t0 = time.time()
+        with self._lock:
+            if self._quality_detector is None:
+                from latice_tpu.data import BandDetector
+
+                # Lazily built: quality costs a Radon-matrix precompute +
+                # one compile, paid only if the endpoint is used.
+                self._quality_detector = BandDetector(
+                    height=self.image_size[0],
+                    width=self.image_size[1],
+                    batch_size=min(self.pipeline.batch_size, 256),
+                )
+            det = self._quality_detector(x)
+            self.requests += 1
+        return {
+            "n": int(len(x)),
+            "iq": det.iq.tolist(),
+            "band_count": det.band_count.tolist(),
+            "mean_iq": float(det.iq.mean()) if len(x) else None,
+            "seconds": time.time() - t0,
+        }
+
     def health(self) -> dict:
         from latice_tpu.utils import get_platform
 
+        if self._db is None:
+            count = int(len(self._di[1]))
+            dimension = int(self.pipeline.pipeline._dict_dev.shape[1])
+            multiphase = len(self._di) == 4 and self._di[2] is not None
+            mode = "pattern-di"
+        else:
+            count = int(self._db.get_count())
+            dimension = int(self._db.dimension)
+            multiphase = bool(getattr(self._db, "_has_phases", False))
+            mode = "latent"
         return {
             "status": "ok",
-            "count": int(self._db.get_count()),
-            "dimension": int(self._db.dimension),
+            "mode": mode,
+            "count": count,
+            "dimension": dimension,
             "platform": get_platform(),
             "batch_size": int(self.pipeline.batch_size),
-            "multiphase": bool(getattr(self._db, "_has_phases", False)),
+            "multiphase": multiphase,
             "mesh_devices": 0 if self.mesh is None else int(self.mesh.size),
             "model_version": self.model_version,
             "uptime_s": time.time() - self.started,
@@ -445,7 +529,12 @@ class _Handler(BaseHTTPRequestHandler):
                 logger.exception("reload failed")
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
             return
-        if self.path not in ("/index", "/encode"):
+        routes = {
+            "/index": self.service.index,
+            "/encode": self.service.encode,
+            "/quality": self.service.quality,
+        }
+        if self.path not in routes:
             self._reply(404, {"error": f"unknown path {self.path}"})
             return
         try:
@@ -454,8 +543,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(400, {"error": f"body must be .npy bytes: {e}"})
             return
         try:
-            fn = self.service.index if self.path == "/index" else self.service.encode
-            self._reply(200, fn(patterns))
+            self._reply(200, routes[self.path](patterns))
         except ValueError as e:
             self._reply(400, {"error": str(e)})
         except Exception as e:

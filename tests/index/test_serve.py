@@ -549,3 +549,69 @@ class TestHotReload:
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(f"{url}/reload", data=b"{}", timeout=30)
         assert e.value.code == 400
+
+
+@pytest.fixture(scope="module")
+def served_di():
+    """A live pattern-DI server (no encoder, no db) over 24 patterns."""
+    rng = np.random.default_rng(5)
+    base = rng.uniform(size=(1, 64, 64)).astype(np.float32)
+    patterns = (base + rng.normal(size=(24, 64, 64)) * 0.02).astype(np.float32)
+    orientations = rng.uniform([10, 20, 10], [170, 140, 170], size=(24, 3))
+    service = IndexService(
+        None, None, None,
+        di_dictionary=(patterns, orientations),
+        top_n=5, orientation_threshold=3.0, min_required_matches=1,
+        batch_size=16, image_size=(64, 64),
+    )
+    service.warmup()
+    server = make_server(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    yield url, patterns, orientations
+    server.shutdown()
+
+
+class TestPatternDIServe:
+    def test_health_reports_di_mode(self, served_di):
+        url, *_ = served_di
+        h = json.load(urllib.request.urlopen(f"{url}/healthz", timeout=30))
+        assert h["mode"] == "pattern-di"
+        assert h["count"] == 24
+        assert h["dimension"] == 64 * 64
+
+    def test_index_works_without_encoder(self, served_di):
+        url, patterns, orientations = served_di
+        out = _post(f"{url}/index", _npy_bytes(patterns[:6]))
+        assert out["n"] == 6 and all(out["success"])
+        np.testing.assert_allclose(
+            np.asarray(out["orientations"])[0], orientations[0], atol=1e-3
+        )
+
+    def test_encode_is_400(self, served_di):
+        url, patterns, _ = served_di
+        code, body = _post_error(f"{url}/encode", _npy_bytes(patterns[:2]))
+        assert code == 400
+        assert "pattern-DI" in body["error"]
+
+    def test_reload_is_400(self, served_di):
+        url, *_ = served_di
+        code, _ = _post_error(
+            f"{url}/reload", json.dumps({"checkpoint": "x"}).encode()
+        )
+        assert code == 400
+
+    def test_quality_endpoint(self, served_di):
+        url, patterns, _ = served_di
+        out = _post(f"{url}/quality", _npy_bytes(patterns[:4]))
+        assert out["n"] == 4
+        assert len(out["iq"]) == 4 and len(out["band_count"]) == 4
+        assert all(np.isfinite(out["iq"]))
+
+
+class TestQualityOnLatentServe:
+    def test_quality_endpoint_latent_mode(self, served):
+        url, patterns, *_ = served
+        out = _post(f"{url}/quality", _npy_bytes(patterns[:3]))
+        assert out["n"] == 3 and len(out["iq"]) == 3
