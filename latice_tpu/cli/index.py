@@ -624,6 +624,32 @@ def cmd_di(args) -> None:
     print(json.dumps(summary))
 
 
+def _load_raw_pattern_stack(args) -> np.ndarray:
+    """Load ``args.patterns`` (.npy stack, HDF5 scan, or EDAX .up1/.up2),
+    autofilling ``args.scan_grid`` from UP headers when absent."""
+    from latice_tpu.data import HDF5_EXTENSIONS, UP_EXTENSIONS
+
+    low = args.patterns.lower()
+    if low.endswith(HDF5_EXTENSIONS):
+        from latice_tpu.data import find_pattern_dataset
+
+        f, dset = find_pattern_dataset(
+            args.patterns, getattr(args, "h5_dataset", None)
+        )
+        try:
+            return dset[...]
+        finally:
+            f.close()
+    if low.endswith(UP_EXTENSIONS):
+        from latice_tpu.data import open_up_patterns
+
+        header, pats = open_up_patterns(args.patterns)
+        if not args.scan_grid and header.scan_grid:
+            args.scan_grid = list(header.scan_grid)
+        return np.asarray(pats[...])
+    return np.load(args.patterns)
+
+
 def cmd_quality(args) -> None:
     """Hough/Radon pattern-quality maps (data.hough).
 
@@ -634,31 +660,9 @@ def cmd_quality(args) -> None:
     is similarity-derived; this is the real one). One MXU matmul per
     batch; no indexing required.
     """
-    from latice_tpu.data import (
-        HDF5_EXTENSIONS,
-        UP_EXTENSIONS,
-        BandDetector,
-        prepare_patterns,
-    )
+    from latice_tpu.data import BandDetector, prepare_patterns
 
-    low = args.patterns.lower()
-    if low.endswith(HDF5_EXTENSIONS):
-        from latice_tpu.data import find_pattern_dataset
-
-        f, dset = find_pattern_dataset(args.patterns, args.h5_dataset)
-        try:
-            raw = dset[...]
-        finally:
-            f.close()
-    elif low.endswith(UP_EXTENSIONS):
-        from latice_tpu.data import open_up_patterns
-
-        header, pats = open_up_patterns(args.patterns)
-        if not args.scan_grid and header.scan_grid:
-            args.scan_grid = list(header.scan_grid)
-        raw = np.asarray(pats[...])
-    else:
-        raw = np.load(args.patterns)
+    raw = _load_raw_pattern_stack(args)
     x = prepare_patterns(raw)
     h, w = x.shape[1], x.shape[2]
 
@@ -711,6 +715,120 @@ def cmd_quality(args) -> None:
             args.iq_map, (iq - lo) / max(hi - lo, 1e-9), cmap="gray"
         )
         summary["iq_map"] = args.iq_map
+    print(json.dumps(summary))
+
+
+def cmd_hough(args) -> None:
+    """Band-based (Hough) orientation indexing — the vendor OIM/AZtec
+    algorithm, TPU-native (index.hough_indexing).
+
+    Zero training and zero dictionary patterns: only a reflector table
+    (from the structure/lattice flags, like ``simulate``) and the detector
+    geometry. Completes the indexing triangle next to ``query`` (latent
+    k-NN) and ``di`` (pattern NCC): bands are found by the Radon matmul,
+    orientations solved by MXU grid voting + Davenport q-method
+    refinement. Results export to .ang/.ctf like the other planes.
+    """
+    from latice_tpu.data import BandDetector, prepare_patterns
+    from latice_tpu.index import HoughIndexer
+    from latice_tpu.index.pipeline import DenseIndexResult
+    from latice_tpu.sim import (
+        DetectorGeometry,
+        cubic_reflectors,
+        hexagonal_reflectors,
+    )
+
+    raw = _load_raw_pattern_stack(args)
+    x = prepare_patterns(raw)
+    h, w = x.shape[1], x.shape[2]
+
+    if args.structure == "hcp":
+        c = args.lattice_c if args.lattice_c else 1.587 * args.lattice
+        reflectors = hexagonal_reflectors(
+            a=args.lattice, c=c, kv=args.kv, max_hkl=args.max_hkl,
+            min_d=args.min_d,
+        )
+        group = "622"
+    else:
+        reflectors = cubic_reflectors(
+            args.structure, a=args.lattice, kv=args.kv,
+            max_hkl=args.max_hkl, min_d=args.min_d,
+        )
+        group = "432"
+
+    geometry = DetectorGeometry(
+        shape=(h, w), pcx=args.pc[0], pcy=args.pc[1], dd=args.pc[2],
+        tilt=args.tilt,
+    )
+    detector = BandDetector(
+        height=h, width=w, n_theta=args.n_theta, n_rho=args.n_rho,
+        k=args.bands, band_width_px=args.band_width,
+        batch_size=args.batch_size,
+    )
+    t0 = time.time()
+    indexer = HoughIndexer(
+        reflectors, geometry, group=group,
+        grid_resolution_deg=args.grid_resolution, n_bands=args.bands,
+        tolerance_deg=args.tolerance, min_bands=args.min_bands,
+        batch_size=args.batch_size, detector=detector,
+    )
+    t_build = time.time() - t0
+    t0 = time.time()
+    res = indexer(x)
+    dt = time.time() - t0
+    n = len(res.success)
+    logger.info(
+        f"Hough-indexed {n} patterns in {dt:.2f}s ({n/max(dt, 1e-9):,.0f}/s)"
+    )
+    np.save(args.out, res.eulers_deg)
+    np.savez(
+        args.out.replace(".npy", "") + "_detail.npz",
+        quaternions=res.quaternions,
+        eulers_deg=res.eulers_deg,
+        fit_deg=res.fit_deg,
+        n_matched=res.n_matched,
+        vote_score=res.vote_score,
+        success=res.success,
+        iq=res.bands.iq,
+    )
+    summary = {
+        "n_patterns": n,
+        "success_rate": float(res.success.mean()),
+        "mean_fit_deg": round(float(res.fit_deg[res.success].mean()), 3)
+        if res.success.any()
+        else None,
+        "mean_bands_matched": round(float(res.n_matched.mean()), 2),
+        "build_seconds": round(t_build, 2),
+        "seconds": round(dt, 2),
+        "out": args.out,
+    }
+    if args.ang or args.ctf:
+        # Adapt to the export plane's result vocabulary: confidence =
+        # 1 - fit/tolerance (a [0, 1] residual score), real Hough IQ.
+        conf = np.clip(1.0 - res.fit_deg / args.tolerance, 0.0, 1.0)
+        dense = DenseIndexResult(
+            mean_orientation=np.where(
+                res.success[:, None], res.eulers_deg, np.nan
+            ),
+            best_orientation=res.eulers_deg,
+            success=res.success,
+            n_similar=res.n_matched,
+            indices=np.zeros((n, 1), np.int64),
+            scores=conf[:, None],
+        )
+        grid = tuple(args.scan_grid) if args.scan_grid else None
+        if args.ang:
+            from latice_tpu.data import write_ang
+
+            write_ang(args.ang, dense, grid=grid, step=args.step,
+                      phase_groups=[group], iq=res.bands.iq)
+            summary["ang_out"] = args.ang
+        if args.ctf:
+            from latice_tpu.data import write_ctf
+
+            write_ctf(args.ctf, dense, grid=grid, step=args.step,
+                      phase_groups=[group])
+            summary["ctf_out"] = args.ctf
     print(json.dumps(summary))
 
 
@@ -1724,6 +1842,78 @@ def main() -> None:
         "--scan-grid)",
     )
     qu.set_defaults(fn=cmd_quality)
+
+    ho = sub.add_parser(
+        "hough",
+        help="band-based (Hough) orientation indexing — no training, no "
+        "dictionary (the vendor OIM/AZtec algorithm)",
+    )
+    ho.add_argument(
+        "--patterns", required=True,
+        help=".npy stack, HDF5 scan, or EDAX .up1/.up2",
+    )
+    ho.add_argument("--h5-dataset", default=None)
+    ho.add_argument("--out", default="hough_orientations.npy")
+    ho.add_argument(
+        "--structure", default="fcc", choices=("fcc", "bcc", "sc", "hcp"),
+        help="lattice/structure (hcp votes in point group 622)",
+    )
+    ho.add_argument(
+        "--lattice", type=float, default=3.52,
+        help="lattice parameter a, Angstrom (default: nickel)",
+    )
+    ho.add_argument(
+        "--lattice-c", type=float, default=None,
+        help="hcp c parameter, Angstrom (default: 1.587*a)",
+    )
+    ho.add_argument("--kv", type=float, default=20.0, help="beam kV")
+    ho.add_argument(
+        "--pc", type=float, nargs=3, default=(0.5, 0.5, 0.7),
+        metavar=("PCX", "PCY", "DD"),
+        help="pattern center + detector distance, detector-width units",
+    )
+    ho.add_argument(
+        "--tilt", type=float, default=0.0,
+        help="detector tilt about the horizontal axis, degrees",
+    )
+    ho.add_argument("--max-hkl", type=int, default=3)
+    ho.add_argument(
+        "--min-d", type=float, default=0.8,
+        help="drop reflectors with d-spacing below this (Angstrom)",
+    )
+    ho.add_argument(
+        "--grid-resolution", type=float, default=3.0,
+        help="voting-grid mean spacing, degrees (refinement solves below it)",
+    )
+    ho.add_argument(
+        "--bands", type=int, default=8,
+        help="bands detected and used per pattern",
+    )
+    ho.add_argument(
+        "--tolerance", type=float, default=3.0,
+        help="band-to-reflector residual counted as a match, degrees",
+    )
+    ho.add_argument(
+        "--min-bands", type=int, default=4,
+        help="matched bands below which a pattern is marked unindexed",
+    )
+    ho.add_argument(
+        "--band-width", type=float, default=8.0,
+        help="expected Kikuchi band width in pixels (butterfly plateau)",
+    )
+    ho.add_argument("--n-theta", type=int, default=90)
+    ho.add_argument("--n-rho", type=int, default=96)
+    ho.add_argument("--batch-size", type=int, default=256)
+    ho.add_argument(
+        "--scan-grid", type=int, nargs=2, metavar=("ROWS", "COLS"),
+        default=None, help="scan shape for .ang/.ctf x/y (UP autofills)",
+    )
+    ho.add_argument("--step", type=float, default=1.0, help="scan step, um")
+    ho.add_argument("--ang", default=None, help="also write a TSL .ang file")
+    ho.add_argument(
+        "--ctf", default=None, help="also write a Channel .ctf file"
+    )
+    ho.set_defaults(fn=cmd_hough)
 
     a = sub.add_parser(
         "analyze", help="grain analysis of an indexed orientation map"

@@ -84,10 +84,16 @@ def sample_so3_halton(n: int) -> np.ndarray:
 def reduce_to_fundamental_zone(quats: np.ndarray, group: str) -> np.ndarray:
     """Map each orientation to its fundamental-zone representative.
 
-    The representative is the symmetry image ``s * q`` (s over the group's
-    proper rotations) with the largest ``|w|`` — the disorientation-from-
-    identity criterion — canonicalized to ``w >= 0``. Orientations equal up
-    to crystal symmetry therefore map to the same row.
+    The representative is the crystal-symmetry image ``q * s`` (s over the
+    group's proper rotations, composed on the CRYSTAL side — the action
+    under which this repo's active crystal→detector orientations are
+    physically equivalent) with the largest ``|w|`` — the disorientation-
+    from-identity criterion — canonicalized to ``w >= 0``. Orientations
+    equal up to crystal symmetry map to the same row, and the returned
+    representative IS the input orientation (zero misorientation), not a
+    different one. Note the scalar part of a quaternion product is
+    order-symmetric (``w(s⊗q) = w(q⊗s)``), so zone membership agrees with
+    the sample-side reduction; only the representative differs.
     """
     try:
         sym = np.asarray(ROTATION_GROUPS[group], np.float64)
@@ -97,15 +103,15 @@ def reduce_to_fundamental_zone(quats: np.ndarray, group: str) -> np.ndarray:
         ) from None
     q = np.asarray(quats, np.float64)
     q = q / np.linalg.norm(q, axis=-1, keepdims=True)
-    # Batched quaternion product s ⊗ q for all (S, N) pairs.
+    # Batched quaternion product q ⊗ s for all (S, N) pairs.
     sw, sx, sy, sz = sym[:, None].transpose(2, 0, 1)
     qw, qx, qy, qz = q[None].transpose(2, 0, 1)
     prod = np.stack(
         [
-            sw * qw - sx * qx - sy * qy - sz * qz,
-            sw * qx + sx * qw + sy * qz - sz * qy,
-            sw * qy - sx * qz + sy * qw + sz * qx,
-            sw * qz + sx * qy - sy * qx + sz * qw,
+            qw * sw - qx * sx - qy * sy - qz * sz,
+            qw * sx + qx * sw + qy * sz - qz * sy,
+            qw * sy - qx * sz + qy * sw + qz * sx,
+            qw * sz + qx * sy - qy * sx + qz * sw,
         ],
         axis=-1,
     )  # (S, N, 4)

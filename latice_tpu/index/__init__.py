@@ -13,6 +13,12 @@ from latice_tpu.index.db import (
 )
 from latice_tpu.index.indexer import DiffractionPatternIndexer, IndexerConfig
 from latice_tpu.index.diagnostics import AmbiguityResult, candidate_ambiguity
+from latice_tpu.index.hough_indexing import (
+    HoughIndexer,
+    HoughIndexResult,
+    band_plane_normals,
+    solve_wahba,
+)
 from latice_tpu.index.pipeline import DenseIndexResult, IndexPipeline
 from latice_tpu.index.pattern_di import (
     PatternDictionaryIndexer,
@@ -37,6 +43,10 @@ __all__ = [
     "DenseIndexResult",
     "candidate_ambiguity",
     "IndexPipeline",
+    "HoughIndexer",
+    "HoughIndexResult",
+    "band_plane_normals",
+    "solve_wahba",
     "PatternDictionaryIndexer",
     "StreamedPatternDI",
     "build_pattern_dictionary",

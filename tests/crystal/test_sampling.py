@@ -64,15 +64,30 @@ class TestFundamentalZone:
         np.testing.assert_allclose(
             reduce_to_fundamental_zone(red, "432"), red, atol=1e-12
         )
-        # A symmetry image of q reduces to the same representative.
+        # A crystal-symmetry image of q (q ∘ s: symmetry composed on the
+        # crystal side) reduces to the same representative.
         sym = ROTATION_GROUPS["432"][7]
-        sq = R.from_quat(np.roll(sym[None], -1, axis=1)) * R.from_quat(
-            np.roll(q, -1, axis=1)
+        sq = R.from_quat(np.roll(q, -1, axis=1)) * R.from_quat(
+            np.roll(sym[None], -1, axis=1)
         )
         moved = np.roll(sq.as_quat(), 1, axis=1)
         np.testing.assert_allclose(
             reduce_to_fundamental_zone(moved, "432"), red, atol=1e-9
         )
+
+    def test_reduction_preserves_physical_orientation(self):
+        """The representative must be crystal-equivalent to the input —
+        zero symmetry-reduced misorientation (the Hough/consensus planes
+        canonicalize SOLVED orientations; a representative from the wrong
+        coset would be a different physical orientation)."""
+        q = sample_so3_halton(100)
+        red = reduce_to_fundamental_zone(q, "432")
+        sym = R.from_quat(np.roll(ROTATION_GROUPS["432"], -1, axis=1))
+        r_in = R.from_quat(np.roll(q, -1, axis=1))
+        r_out = R.from_quat(np.roll(red, -1, axis=1))
+        for a, b in zip(r_in, r_out):
+            mis = min(((a * s).inv() * b).magnitude() for s in sym)
+            assert mis < 1e-9
 
     def test_unknown_group(self):
         with pytest.raises(ValueError, match="unknown point group"):

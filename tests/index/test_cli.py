@@ -1216,6 +1216,61 @@ class TestQualityCli:
         assert os.path.exists(png)
 
 
+class TestHoughCli:
+    """index.py hough — band-based orientation indexing from the CLI."""
+
+    def test_hough_roundtrip_with_ang(self, tmp_path, monkeypatch, capsys):
+        """sample → simulate → hough must recover the sampled orientations
+        (cubic-symmetry-aware) and export a parseable .ang file."""
+        import math
+
+        from scipy.spatial.transform import Rotation as R
+
+        from latice_tpu.crystal import ROTATION_GROUPS
+        from latice_tpu.data import parse_angle_file
+
+        ang = str(tmp_path / "a.txt")
+        _run(["sample", "--group", "432", "--resolution", "30",
+              "--out", ang], monkeypatch, capsys)
+        pat = str(tmp_path / "p.npy")
+        _run(["simulate", "--angles", ang, "--out", pat,
+              "--structure", "fcc", "--max-hkl", "2", "--min-d", "1.0"],
+             monkeypatch, capsys)
+        out = str(tmp_path / "h.npy")
+        angf = str(tmp_path / "h.ang")
+        stdout = _run(
+            ["hough", "--patterns", pat, "--out", out,
+             "--structure", "fcc", "--max-hkl", "2", "--min-d", "1.0",
+             "--grid-resolution", "5", "--tolerance", "4",
+             "--batch-size", "8", "--ang", angf],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(stdout.strip().splitlines()[-1])
+        assert summary["success_rate"] == 1.0
+        eulers = np.load(out)
+        truth = parse_angle_file(ang)
+        assert eulers.shape == truth.shape
+        sym = R.from_quat(np.roll(ROTATION_GROUPS["432"], -1, axis=1))
+        errs = []
+        for est, tru in zip(
+            R.from_euler("zxz", eulers, degrees=True),
+            R.from_euler("zxz", truth, degrees=True),
+        ):
+            errs.append(
+                math.degrees(
+                    min(((est * s).inv() * tru).magnitude() for s in sym)
+                )
+            )
+        assert np.median(errs) < 2.0
+        detail = np.load(str(tmp_path / "h_detail.npz"))
+        assert detail["n_matched"].min() >= 4
+        from latice_tpu.data import read_ang
+
+        vm = read_ang(angf)
+        assert len(vm.eulers) == len(truth)
+        np.testing.assert_allclose(np.mod(vm.eulers, 360.0), eulers, atol=0.5)
+
+
 class TestHoughIqInQuery:
     """query --hough-iq: detector-side IQ rides the indexing stream and
     lands in the .ang IQ / .ctf Bands columns."""

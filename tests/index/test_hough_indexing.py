@@ -1,0 +1,243 @@
+"""Hough-based orientation indexing (index.hough_indexing).
+
+The oracle chain: `solve_wahba` against scipy rotations, the band-plane
+geometry against an independently-derived forward projection, and the full
+pipeline against `sim.simulate_patterns` renders at known orientations
+(the renderer draws each band centered exactly on the plane trace, so
+detection + solving must recover the input orientation to ~Radon-bin
+accuracy).
+"""
+
+import math
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as R
+
+from latice_tpu.crystal.symmetry import ROTATION_GROUPS
+from latice_tpu.data.hough import BandDetector
+from latice_tpu.index.hough_indexing import (
+    HoughIndexer,
+    band_plane_normals,
+    solve_wahba,
+)
+from latice_tpu.sim import DetectorGeometry, cubic_reflectors, simulate_patterns
+
+
+def project_band(normal, geometry):
+    """Independent forward model: detector-frame plane normal → Radon
+    ``(theta_deg, rho_px)`` — the inverse of `band_plane_normals`."""
+    h, w = geometry.shape
+    n = np.asarray(normal, np.float64)
+    if geometry.tilt:
+        t = math.radians(geometry.tilt)
+        rot = np.array(
+            [
+                [1.0, 0.0, 0.0],
+                [0.0, math.cos(t), -math.sin(t)],
+                [0.0, math.sin(t), math.cos(t)],
+            ]
+        )
+        n = n @ rot  # undo the tilt (rot is orthogonal: inv = transpose)
+    cx0 = 0.5 - geometry.pcx
+    cy0 = h / (2.0 * w) - geometry.pcy
+    hyp = math.hypot(n[0], n[1])
+    theta = math.degrees(math.atan2(n[1] / hyp, n[0] / hyp))
+    rho = -w * (n[0] * cx0 + n[1] * cy0 + n[2] * geometry.dd) / hyp
+    if theta < 0:
+        theta += 180.0
+        rho = -rho
+    return theta, rho
+
+
+def cubic_misorientation_deg(q_est, q_true):
+    """Min misorientation over the 24 cubic images, degrees (host oracle)."""
+    sym = R.from_quat(np.roll(ROTATION_GROUPS["432"], -1, axis=1))
+    r_est = R.from_quat(np.roll(np.atleast_2d(q_est), -1, axis=1))
+    r_true = R.from_quat(np.roll(np.atleast_2d(q_true), -1, axis=1))
+    out = []
+    for e, t in zip(r_est, r_true):
+        angs = [((e * s).inv() * t).magnitude() for s in sym]
+        out.append(math.degrees(min(angs)))
+    return np.array(out)
+
+
+class TestSolveWahba:
+    def test_exact_recovery(self):
+        rng = np.random.default_rng(3)
+        rots = R.random(6, random_state=1)
+        c = rng.normal(size=(6, 10, 3))
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        n = np.einsum("bij,bkj->bki", rots.as_matrix(), c)
+        b_mat = np.einsum("bki,bkj->bij", n, c)
+        q = np.asarray(solve_wahba(np.asarray(b_mat, np.float32)))
+        q_true = np.roll(rots.as_quat(), 1, axis=1)
+        err = np.minimum(
+            np.linalg.norm(q - q_true, axis=1),
+            np.linalg.norm(q + q_true, axis=1),
+        )
+        assert err.max() < 1e-3
+
+    def test_weighted_outlier_rejected(self):
+        """Zero-weight rows must not influence the solution."""
+        rng = np.random.default_rng(4)
+        rot = R.random(1, random_state=2)
+        c = rng.normal(size=(8, 3))
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        n = c @ rot.as_matrix()[0].T
+        w = np.ones(8)
+        n_bad = n.copy()
+        n_bad[7] = -n_bad[7] + 0.5  # corrupt one observation...
+        w_bad = w.copy()
+        w_bad[7] = 0.0  # ...but weight it out
+        b_mat = np.einsum("k,ki,kj->ij", w_bad, n_bad, c)[None]
+        q = np.asarray(solve_wahba(np.asarray(b_mat, np.float32)))[0]
+        q_true = np.roll(rot.as_quat(), 1, axis=1)[0]
+        err = min(
+            np.linalg.norm(q - q_true), np.linalg.norm(q + q_true)
+        )
+        assert err < 1e-3
+
+
+class TestBandPlaneNormals:
+    @pytest.mark.parametrize(
+        "geometry",
+        [
+            DetectorGeometry(),
+            DetectorGeometry(shape=(96, 128), pcx=0.45, pcy=0.55, dd=0.65),
+            DetectorGeometry(pcx=0.4, pcy=0.6, dd=0.8, tilt=10.0),
+        ],
+    )
+    def test_roundtrip(self, geometry):
+        rng = np.random.default_rng(0)
+        nrm = rng.normal(size=(64, 3))
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+        # Skip near-degenerate normals (band line at infinity).
+        nrm = nrm[np.hypot(nrm[:, 0], nrm[:, 1]) > 0.05]
+        theta, rho = zip(*(project_band(n, geometry) for n in nrm))
+        back = band_plane_normals(
+            np.asarray(theta), np.asarray(rho), geometry
+        )
+        dots = np.abs(np.sum(back * nrm, axis=-1))
+        assert dots.min() > 1.0 - 1e-10
+
+    def test_shape_preserved(self):
+        g = DetectorGeometry()
+        out = band_plane_normals(
+            np.zeros((4, 7)) + 30.0, np.zeros((4, 7)), g
+        )
+        assert out.shape == (4, 7, 3)
+        np.testing.assert_allclose(
+            np.linalg.norm(out, axis=-1), 1.0, atol=1e-12
+        )
+
+    def test_center_band_through_pattern_center(self):
+        """A band through the pattern center (rho chosen so the plane
+        contains the PC ray) has a normal orthogonal to the PC ray."""
+        g = DetectorGeometry(pcx=0.5, pcy=0.5, dd=0.7)
+        # The PC ray is +z after centering; a plane containing it has
+        # n_z = 0: rho must equal -W(cx0 cosθ + cy0 sinθ) per the formula.
+        h, w = g.shape
+        cx0, cy0 = 0.5 - g.pcx, h / (2.0 * w) - g.pcy
+        for theta in (0.0, 30.0, 111.0):
+            t = math.radians(theta)
+            rho = -w * (cx0 * math.cos(t) + cy0 * math.sin(t))
+            n = band_plane_normals(
+                np.array([theta]), np.array([rho]), g
+            )[0]
+            assert abs(n[2]) < 1e-12
+
+
+@pytest.fixture(scope="module")
+def e2e():
+    """Render 14 known-orientation fcc patterns and index them back."""
+    geometry = DetectorGeometry(shape=(64, 64), pcx=0.5, pcy=0.5, dd=0.7)
+    reflectors = cubic_reflectors("fcc", a=3.52, kv=20.0)
+    rng = np.random.default_rng(7)
+    q_true = R.random(14, random_state=11)
+    quats = np.roll(q_true.as_quat(), 1, axis=1)
+    patterns = simulate_patterns(quats, geometry, reflectors, chunk=16)
+    detector = BandDetector(
+        height=64, width=64, n_theta=90, n_rho=64, k=8,
+        band_width_px=5.0, batch_size=16,
+    )
+    indexer = HoughIndexer(
+        reflectors,
+        geometry,
+        group="432",
+        grid_resolution_deg=4.0,
+        n_bands=8,
+        tolerance_deg=4.0,
+        batch_size=16,
+        detector=detector,
+    )
+    return indexer, patterns, quats
+
+
+class TestEndToEnd:
+    def test_orientations_recovered(self, e2e):
+        indexer, patterns, q_true = e2e
+        res = indexer(patterns)
+        assert res.success.all()
+        err = cubic_misorientation_deg(res.quaternions, q_true)
+        assert np.median(err) < 1.5
+        assert err.max() < 4.0
+        # fit must report the residual scale actually achieved.
+        assert res.fit_deg.max() < 3.0
+        assert (res.n_matched >= 5).all()
+
+    def test_batch_padding_path(self, e2e):
+        """B not divisible by batch_size: same answers as the full run."""
+        indexer, patterns, q_true = e2e
+        full = indexer(patterns)
+        part = indexer(patterns[:5])
+        np.testing.assert_allclose(
+            part.quaternions, full.quaternions[:5], atol=1e-6
+        )
+
+    def test_eulers_match_quaternions(self, e2e):
+        indexer, patterns, _ = e2e
+        res = indexer(patterns[:3])
+        back = np.roll(
+            R.from_euler("zxz", res.eulers_deg, degrees=True).as_quat(),
+            1,
+            axis=1,
+        )
+        dot = np.abs(np.sum(back * res.quaternions, axis=1))
+        np.testing.assert_allclose(dot, 1.0, atol=1e-9)
+
+    def test_garbage_pattern_fails_gracefully(self, e2e):
+        indexer, patterns, _ = e2e
+        rng = np.random.default_rng(0)
+        noise = rng.random((2, 64, 64)).astype(np.float32)
+        res = indexer(noise)
+        # Pure noise: few bands match coherently — low matched counts or
+        # high residuals, and finite outputs either way.
+        assert np.isfinite(res.quaternions).all()
+        assert np.isfinite(res.fit_deg).all()
+
+
+class TestValidation:
+    def test_min_intensity_needs_reflectors(self):
+        refl = cubic_reflectors("fcc")
+        with pytest.raises(ValueError, match="min_intensity"):
+            HoughIndexer(refl, min_intensity=10.0)
+
+    def test_detector_shape_mismatch(self):
+        refl = cubic_reflectors("fcc")
+        det = BandDetector(height=64, width=64, k=8, batch_size=4)
+        with pytest.raises(ValueError, match="shape"):
+            HoughIndexer(
+                refl, DetectorGeometry(shape=(128, 128)), detector=det
+            )
+
+    def test_detector_too_few_bands(self):
+        refl = cubic_reflectors("fcc")
+        det = BandDetector(height=64, width=64, k=4, batch_size=4)
+        with pytest.raises(ValueError, match="bands"):
+            HoughIndexer(
+                refl,
+                DetectorGeometry(shape=(64, 64)),
+                n_bands=8,
+                detector=det,
+            )
