@@ -749,12 +749,14 @@ def cmd_hough(args) -> None:
             min_d=args.min_d,
         )
         group = "622"
+        lattice_abc = (args.lattice, args.lattice, c)
     else:
         reflectors = cubic_reflectors(
             args.structure, a=args.lattice, kv=args.kv,
             max_hkl=args.max_hkl, min_d=args.min_d,
         )
         group = "432"
+        lattice_abc = (args.lattice, args.lattice, args.lattice)
 
     geometry = DetectorGeometry(
         shape=(h, w), pcx=args.pc[0], pcy=args.pc[1], dd=args.pc[2],
@@ -821,13 +823,14 @@ def cmd_hough(args) -> None:
             from latice_tpu.data import write_ang
 
             write_ang(args.ang, dense, grid=grid, step=args.step,
-                      phase_groups=[group], iq=res.bands.iq)
+                      phase_groups=[group], phase_lattices=[lattice_abc],
+                      iq=res.bands.iq)
             summary["ang_out"] = args.ang
         if args.ctf:
             from latice_tpu.data import write_ctf
 
             write_ctf(args.ctf, dense, grid=grid, step=args.step,
-                      phase_groups=[group])
+                      phase_groups=[group], phase_lattices=[lattice_abc])
             summary["ctf_out"] = args.ctf
     print(json.dumps(summary))
 

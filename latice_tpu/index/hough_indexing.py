@@ -260,6 +260,7 @@ class HoughIndexer:
             )
 
         grid = sample_fundamental_zone(group, grid_resolution_deg)
+        m_valid = len(grid)
         pad = (-len(grid)) % grid_chunk
         if pad:
             grid = np.concatenate([grid, np.tile(grid[:1], (pad, 1))])
@@ -282,6 +283,7 @@ class HoughIndexer:
                 ),
                 refine_iters=refine_iters,
                 top_p=top_candidates,
+                m_valid=m_valid,
             )
         )
 
@@ -372,7 +374,7 @@ class HoughIndexer:
 
 
 def _index_bands(nrm, wts, grid_q, grid_normals, refl, *, tol_rad,
-                 vote_tol_rad, refine_iters, top_p):
+                 vote_tol_rad, refine_iters, top_p, m_valid):
     """Jitted core: vote over the grid, then q-method refinement.
 
     Args:
@@ -406,6 +408,17 @@ def _index_bands(nrm, wts, grid_q, grid_normals, refl, *, tol_rad,
 
     scores = jax.lax.map(score_chunk, grid_normals)  # (n_chunks, G, B)
     scores = scores.reshape(-1, nrm.shape[0]).T  # (B, Mp)
+    if m_valid < scores.shape[1]:
+        # Chunk-padding rows are tiled copies of grid[0] with live vote
+        # scores; left in, they can flood the top_k candidate list with
+        # duplicates of one orientation and defeat the post-refinement
+        # re-ranking. The pad count is static — mask them out. top_k sorts
+        # descending, so if one is ever selected (tiny grids) it ranks
+        # after every real candidate and the rank-tie argmax picks the
+        # real grid[0] entry first.
+        scores = jnp.where(
+            jnp.arange(scores.shape[1]) < m_valid, scores, -jnp.inf
+        )
     b = nrm.shape[0]
     # The vote only has to put the right basin SOMEWHERE in the top few:
     # near-ties between pseudo-symmetric basins are broken after refinement

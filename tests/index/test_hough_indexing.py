@@ -217,6 +217,73 @@ class TestEndToEnd:
         assert np.isfinite(res.fit_deg).all()
 
 
+class TestGridPadMasking:
+    def test_pad_rows_do_not_crowd_out_real_candidates(self):
+        """Chunk-pad rows (tiled copies of grid[0]) must be vote-masked.
+
+        Crafted failure mode: decoy bands give grid[0] the highest raw
+        vote while the true orientation sits in grid[1]'s basin. With
+        top_p=2 and one live pad duplicate of grid[0], the duplicate
+        would occupy the second candidate slot, exclude grid[1], and the
+        post-refinement re-ranking could never recover the truth. The
+        m_valid mask makes padding a no-op.
+        """
+        import jax.numpy as jnp
+
+        from latice_tpu.index.hough_indexing import _index_bands, _rotate
+
+        refl = np.array(
+            [
+                [1.0, 0.0, 0.0],
+                [0.0, 1.0, 0.0],
+                [0.0, 0.0, 1.0],
+                [1.0, 1.0, 0.0],
+                [1.0, 0.0, 1.0],
+            ]
+        )
+        refl /= np.linalg.norm(refl, axis=-1, keepdims=True)
+
+        q0 = R.identity()
+        q1 = R.from_rotvec(np.radians(30.0) * np.array([1, 1, 1]) / math.sqrt(3))
+        q_true = q1 * R.from_rotvec(np.radians(1.0) * np.array([1, 0, 0]))
+
+        def sf(r):  # scalar-first quaternion
+            return np.roll(np.atleast_2d(r.as_quat()), 1, axis=1)
+
+        # Grid: [q0, q1, pad(q0), pad(q0)] — m_valid=2, one chunk of 4.
+        grid = np.concatenate([sf(q0), sf(q1), sf(q0), sf(q0)])
+        grid_q = jnp.asarray(grid, jnp.float32)
+        grid_normals = jnp.asarray(
+            _rotate(grid_q, jnp.asarray(refl, jnp.float32))
+        ).reshape(1, 4, -1, 3)
+
+        # 5 true bands (weight 1) + 3 decoys exactly on q0 (weight 2):
+        # q0 votes 6, q1 votes 5; after refinement q1 matches 5 bands
+        # vs q0's 3, so re-ranking must pick q1 — IF it made the list.
+        true_bands = refl @ q_true.as_matrix().T
+        decoys = refl[:3]  # q0 = identity: rotated normals are refl itself
+        nrm = np.concatenate([true_bands, decoys])[None]  # (1, 8, 3)
+        wts = np.array([[1.0] * 5 + [2.0] * 3])
+
+        q, fit, nm, vote = _index_bands(
+            jnp.asarray(nrm, jnp.float32),
+            jnp.asarray(wts, jnp.float32),
+            grid_q,
+            grid_normals,
+            jnp.asarray(refl, jnp.float32),
+            tol_rad=math.radians(3.0),
+            vote_tol_rad=math.radians(6.0),
+            refine_iters=2,
+            top_p=2,
+            m_valid=2,
+        )
+        assert int(nm[0]) == 5
+        q_est = np.asarray(q, np.float64)[0]
+        dot = abs(float(np.dot(q_est, sf(q_true)[0])))
+        err_deg = math.degrees(2.0 * math.acos(min(dot, 1.0)))
+        assert err_deg < 0.5  # without the mask this lands ~30 deg off
+
+
 class TestValidation:
     def test_min_intensity_needs_reflectors(self):
         refl = cubic_reflectors("fcc")
