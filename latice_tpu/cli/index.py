@@ -1056,17 +1056,45 @@ def cmd_master(args) -> None:
         dynamical_beams,
         dynamical_master_pattern,
         hexagonal_structure,
+        wurtzite_structure,
+        zincblende_structure,
     )
 
-    element = int(args.element) if args.element.isdigit() else args.element
+    def species(tok):
+        tok = tok.strip()
+        return int(tok) if tok.isdigit() else tok
+
+    parts = [species(t) for t in args.element.split(",")]
+    two_species = args.structure in ("zincblende", "wurtzite")
+    if two_species and len(parts) != 2:
+        raise SystemExit(
+            f"--structure {args.structure} needs --element CATION,ANION "
+            f"(e.g. 'ga,as'); got {args.element!r}"
+        )
+    if not two_species and len(parts) != 1:
+        raise SystemExit(
+            f"--structure {args.structure} takes a single --element; "
+            f"got {args.element!r}"
+        )
     if args.structure == "hcp":
         c = args.lattice_c if args.lattice_c else 1.587 * args.lattice
         structure = hexagonal_structure(
-            element, a=args.lattice, c=c, debye_waller=args.debye_waller
+            parts[0], a=args.lattice, c=c, debye_waller=args.debye_waller
+        )
+    elif args.structure == "zincblende":
+        structure = zincblende_structure(
+            parts[0], parts[1], a=args.lattice,
+            debye_waller=args.debye_waller,
+        )
+    elif args.structure == "wurtzite":
+        c = args.lattice_c if args.lattice_c else 1.626 * args.lattice
+        structure = wurtzite_structure(
+            parts[0], parts[1], a=args.lattice, c=c, u=args.wurtzite_u,
+            debye_waller=args.debye_waller,
         )
     else:
         structure = cubic_structure(
-            args.structure, element, a=args.lattice,
+            args.structure, parts[0], a=args.lattice,
             debye_waller=args.debye_waller,
         )
     beams = dynamical_beams(
@@ -1085,6 +1113,7 @@ def cmd_master(args) -> None:
     meta = {
         "kind": "dynamical_master",
         "structure": args.structure,
+        "centrosymmetric": bool(beams.is_centrosymmetric),
         "element": args.element,
         "lattice": args.lattice,
         "lattice_c": args.lattice_c,
@@ -2154,11 +2183,15 @@ def main() -> None:
     )
     dm.add_argument("--out", default="master.npy")
     dm.add_argument(
-        "--structure", default="fcc", choices=("fcc", "bcc", "sc", "hcp"),
+        "--structure", default="fcc",
+        choices=("fcc", "bcc", "sc", "hcp", "zincblende", "wurtzite"),
+        help="zincblende/wurtzite are non-centrosymmetric (complex-"
+        "Hermitian Bloch path) and take --element CATION,ANION",
     )
     dm.add_argument(
         "--element", default="ni",
-        help="element symbol or atomic number (default: %(default)s)",
+        help="element symbol or atomic number; for zincblende/wurtzite a "
+        "'cation,anion' pair, e.g. 'ga,as' (default: %(default)s)",
     )
     dm.add_argument(
         "--lattice", type=float, default=3.52,
@@ -2166,7 +2199,12 @@ def main() -> None:
     )
     dm.add_argument(
         "--lattice-c", type=float, default=None,
-        help="hcp c parameter, Angstrom (default: 1.587*a)",
+        help="hcp/wurtzite c parameter, Angstrom (default: 1.587*a hcp, "
+        "1.626*a wurtzite)",
+    )
+    dm.add_argument(
+        "--wurtzite-u", type=float, default=0.377,
+        help="wurtzite internal anion parameter u (ideal 3/8)",
     )
     dm.add_argument("--kv", type=float, default=20.0, help="beam kV")
     dm.add_argument(

@@ -28,6 +28,8 @@ from latice_tpu.sim.dynamical import (
     dynamical_beams,
     dynamical_master_pattern,
     hexagonal_structure,
+    wurtzite_structure,
+    zincblende_structure,
 )
 from latice_tpu.sim.refine import refine_candidates, refine_orientations
 from latice_tpu.sim.kinematical import (
@@ -51,6 +53,8 @@ __all__ = [
     "dynamical_beams",
     "dynamical_master_pattern",
     "hexagonal_structure",
+    "wurtzite_structure",
+    "zincblende_structure",
     "directions_to_lambert",
     "electron_wavelength",
     "hexagonal_reflectors",

@@ -42,12 +42,21 @@ Physics model (self-contained; every approximation named):
   distances come out a factor ~2 short of Doyle-Turner values) but keeps
   relative dynamical contrast right; exact tabulated factors can be
   plugged per site via ``AtomSite.form_factor``.
-* **Centrosymmetric crystals only** (origin moved onto an inversion
-  center automatically, so all U_g are real and the eigenproblem is real
-  symmetric — fcc/bcc/sc/hcp and every built-in structure qualify). This
-  keeps the hot loop a *batched real symmetric eigendecomposition*, which
-  XLA runs natively on TPU; non-centrosymmetric phases would need the
-  complex-Hermitian embedding and are rejected with a clear error.
+* **Any crystal, centro or not.** When an inversion center exists the
+  origin is moved onto it automatically, every U_g is real, and the hot
+  loop is a *batched real symmetric eigendecomposition* — the cheapest
+  shape XLA runs natively on TPU. Non-centrosymmetric structures
+  (zincblende GaAs, wurtzite GaN/ZnO, quartz-class) have complex U_g with
+  ``U_{-g} = conj(U_g)``, i.e. a complex-Hermitian Bloch matrix; rather
+  than relying on complex eigh support in every backend, the kernel uses
+  the standard real embedding ``H = A + iB → [[A, -B], [B, A]]`` (A
+  symmetric, B antisymmetric): a 2N×2N real symmetric eigh whose
+  eigenpairs come in (u; v) / (−v; u) partners representing the complex
+  eigenvector u + iv. Excitation, backscatter overlap and absorption are
+  all phase-rotation-invariant, so summing over all 2N embedded states
+  and halving reproduces the complex sum exactly (pinned by a
+  forced-embedding parity test on fcc). Cost: one 8x-larger eigh — only
+  paid by phases that need it.
 
 TPU design: everything direction-independent (the N×N coupling matrix,
 the backscatter matrix) is precomputed once on the host in float64; the
@@ -83,8 +92,11 @@ __all__ = [
     "dynamical_beams",
     "dynamical_master_pattern",
     "fourier_potential",
+    "fourier_potential_complex",
     "hexagonal_structure",
     "wentzel_form_factor",
+    "wurtzite_structure",
+    "zincblende_structure",
 ]
 
 _BOHR_A = 0.529177  # Bohr radius, Angstrom
@@ -92,10 +104,11 @@ _BOHR_A = 0.529177  # Bohr radius, Angstrom
 # Atomic numbers for the elements a metallurgical EBSD lab actually meets.
 # Anything else: pass the Z directly as AtomSite.element (int accepted).
 ELEMENT_Z = {
-    "c": 6, "n": 7, "o": 8, "mg": 12, "al": 13, "si": 14, "ti": 22,
-    "v": 23, "cr": 24, "mn": 25, "fe": 26, "co": 27, "ni": 28, "cu": 29,
-    "zn": 30, "zr": 40, "nb": 41, "mo": 42, "ag": 47, "sn": 50, "ta": 73,
-    "w": 74, "pt": 78, "au": 79, "pb": 82,
+    "c": 6, "n": 7, "o": 8, "mg": 12, "al": 13, "si": 14, "p": 15,
+    "s": 16, "ti": 22, "v": 23, "cr": 24, "mn": 25, "fe": 26, "co": 27,
+    "ni": 28, "cu": 29, "zn": 30, "ga": 31, "ge": 32, "as": 33, "se": 34,
+    "zr": 40, "nb": 41, "mo": 42, "ag": 47, "cd": 48, "in": 49, "sn": 50,
+    "sb": 51, "te": 52, "ta": 73, "w": 74, "pt": 78, "au": 79, "pb": 82,
 }
 
 
@@ -278,30 +291,85 @@ def hexagonal_structure(
     return CrystalStructure(a, a, c, gamma=120.0, sites=sites)
 
 
-def fourier_potential(
+def zincblende_structure(
+    cation: str | int = "ga",
+    anion: str | int = "as",
+    a: float = 5.653,
+    debye_waller: float = 0.5,
+) -> CrystalStructure:
+    """Zincblende (F-43m) two-species structure — non-centrosymmetric
+    (default: GaAs). Cation on the fcc lattice, anion displaced by
+    (¼, ¼, ¼); no inversion center exists, so `dynamical_beams` takes the
+    complex-Hermitian path automatically."""
+    fcc = ((0, 0, 0), (0, 0.5, 0.5), (0.5, 0, 0.5), (0.5, 0.5, 0))
+    sites = tuple(
+        AtomSite(cation, tuple(float(x) for x in f), debye_waller)
+        for f in fcc
+    ) + tuple(
+        AtomSite(
+            anion,
+            tuple(float(x + 0.25) % 1.0 for x in f),
+            debye_waller,
+        )
+        for f in fcc
+    )
+    return CrystalStructure(a, a, a, sites=sites)
+
+
+def wurtzite_structure(
+    cation: str | int = "ga",
+    anion: str | int = "n",
+    a: float = 3.189,
+    c: float = 5.185,
+    u: float = 0.377,
+    debye_waller: float = 0.5,
+) -> CrystalStructure:
+    """Wurtzite (P6₃mc) two-species structure — non-centrosymmetric and
+    polar (default: GaN; ZnO is ``("zn", "o", 3.250, 5.207, 0.382)``).
+    ``u`` is the internal anion displacement parameter (ideal: 3/8)."""
+    sites = (
+        AtomSite(cation, (0.0, 0.0, 0.0), debye_waller),
+        AtomSite(cation, (1.0 / 3.0, 2.0 / 3.0, 0.5), debye_waller),
+        AtomSite(anion, (0.0, 0.0, float(u)), debye_waller),
+        AtomSite(anion, (1.0 / 3.0, 2.0 / 3.0, 0.5 + float(u)), debye_waller),
+    )
+    return CrystalStructure(a, a, c, gamma=120.0, sites=sites)
+
+
+def fourier_potential_complex(
     structure: CrystalStructure, hkl: np.ndarray, kv: float
 ) -> np.ndarray:
-    """U_g in Å⁻² for integer ``hkl`` rows (already re-origined structure:
-    caller guarantees centrosymmetry, so the sine part vanishes and the
-    cosine sum is exact).
+    """Complex U_g in Å⁻² for integer ``hkl`` rows — the general structure
+    sum, valid for any origin and any (non-)centrosymmetric basis.
 
-    ``U_g = γ_rel/(π V_c) Σ_a f_a(s) e^{−B_a s²} cos(2π g·r_a)`` with
+    ``U_g = γ_rel/(π V_c) Σ_a f_a(s) e^{−B_a s²} e^{−2πi g·r_a}`` with
     ``s = |g|/2`` — the standard relation ``U_g = 2m|e|V_g/h²`` with
     ``V_g = h²/(2π m₀ e V_c) Σ f`` folded together (relativistic mass in
-    γ_rel)."""
+    γ_rel). The potential is real in space, so ``U_{−g} = conj(U_g)`` and
+    the Bloch coupling matrix built from it is Hermitian."""
     hkl = np.atleast_2d(np.asarray(hkl, np.float64))
     g = hkl @ structure.reciprocal_basis
     s = np.linalg.norm(g, axis=-1) / 2.0
     gamma_rel = 1.0 + kv / 511.0  # kV over m0 c² (keV)
-    total = np.zeros(len(hkl), np.float64)
+    total = np.zeros(len(hkl), np.complex128)
     for site in structure.sites:
         phase = 2.0 * np.pi * (hkl @ np.asarray(site.frac, np.float64))
         total += (
             site.factor(s)
             * np.exp(-site.debye_waller * s * s)
-            * np.cos(phase)
+            * np.exp(-1j * phase)
         )
     return gamma_rel / (np.pi * structure.volume) * total
+
+
+def fourier_potential(
+    structure: CrystalStructure, hkl: np.ndarray, kv: float
+) -> np.ndarray:
+    """Real U_g in Å⁻² for integer ``hkl`` rows: the real part of
+    `fourier_potential_complex` — i.e. the cosine structure sum. Exact for
+    structures re-origined onto an inversion center (`centered_sites`),
+    where the sine part vanishes identically."""
+    return fourier_potential_complex(structure, hkl, kv).real
 
 
 @dataclasses.dataclass(frozen=True)
@@ -311,12 +379,20 @@ class DynamicalBeams:
     Attributes:
         hkl: (N, 3) int beam indices, beam 0 is the transmitted ``000``.
         g: (N, 3) Cartesian reciprocal vectors, 1/Å.
-        coupling: (N, N) float32 ``U_{g_i − g_j} / (2 k_int)`` with zero
-            diagonal, 1/Å — the off-diagonal Bloch matrix.
-        backscatter: (N, N) float32 Z²-weighted site-density moment matrix,
-            normalized so the diagonal is 1 (PSD by construction).
+        coupling: (N, N) float32 ``Re U_{g_i − g_j} / (2 k_int)`` with zero
+            diagonal, 1/Å — the (real part of the) off-diagonal Bloch
+            matrix. Symmetric.
+        backscatter: (N, N) float32 Z²-weighted site-density moment matrix
+            (real part), normalized so the diagonal is 1 (the complex
+            matrix is PSD Hermitian by construction).
         k_int: interior wavevector magnitude ``sqrt(1/λ² + U_0)``, 1/Å.
         u0: mean inner potential U_0, Å⁻².
+        coupling_imag: None for centrosymmetric structures (real Bloch
+            matrix — the fast eigh path); otherwise the (N, N) float32
+            antisymmetric imaginary part ``Im U_{g_i − g_j} / (2 k_int)``.
+        backscatter_imag: None iff ``coupling_imag`` is None; otherwise
+            the antisymmetric imaginary part of the backscatter moment
+            matrix.
     """
 
     hkl: np.ndarray
@@ -325,6 +401,12 @@ class DynamicalBeams:
     backscatter: np.ndarray
     k_int: float
     u0: float
+    coupling_imag: np.ndarray | None = None
+    backscatter_imag: np.ndarray | None = None
+
+    @property
+    def is_centrosymmetric(self) -> bool:
+        return self.coupling_imag is None
 
     def __len__(self) -> int:
         return len(self.hkl)
@@ -344,8 +426,19 @@ def dynamical_beams(
     split family would break the master's point-group invariance (pinned
     by test). The realized beam count may therefore come in slightly under
     ``n_beams``. Beam 0 is always the transmitted beam.
+
+    Centrosymmetric structures are re-origined onto the inversion center
+    (real U_g → the fast real-symmetric eigh path). Non-centrosymmetric
+    structures keep their origin and get complex-Hermitian coupling /
+    backscatter matrices (``coupling_imag``/``backscatter_imag`` set) —
+    `channeling_intensities` then solves via the 2N real embedding (module
+    docstring).
     """
-    structure = structure.centered_sites()
+    try:
+        structure = structure.centered_sites()
+        centro = True
+    except NotImplementedError:
+        centro = False
     rng_idx = np.arange(-max_hkl, max_hkl + 1)
     h, k, l = np.meshgrid(rng_idx, rng_idx, rng_idx, indexing="ij")
     hkl = np.stack([h.ravel(), k.ravel(), l.ravel()], axis=1)
@@ -354,7 +447,9 @@ def dynamical_beams(
     gnorm = np.linalg.norm(g, axis=1)
     ok = (1.0 / gnorm) >= min_d
     hkl, g, gnorm = hkl[ok], g[ok], gnorm[ok]
-    u = fourier_potential(structure, hkl, kv)
+    u = fourier_potential_complex(structure, hkl, kv)
+    if centro:
+        u = u.real  # sine part vanishes identically after re-origin
 
     strong = np.abs(u) > 1e-12  # extinct reflections carry no coupling
     hkl, g, gnorm, u = hkl[strong], g[strong], gnorm[strong], u[strong]
@@ -396,8 +491,10 @@ def dynamical_beams(
 
     dh = hkl[:, None, :] - hkl[None, :, :]
     n = len(hkl)
-    u_mat = fourier_potential(structure, dh.reshape(-1, 3), kv).reshape(n, n)
-    coupling = u_mat / (2.0 * k_int)
+    u_mat = fourier_potential_complex(
+        structure, dh.reshape(-1, 3), kv
+    ).reshape(n, n)
+    coupling = u_mat / (2.0 * k_int)  # Hermitian: U_{-g} = conj(U_g)
     np.fill_diagonal(coupling, 0.0)
 
     dg = dh.reshape(-1, 3) @ structure.reciprocal_basis
@@ -408,17 +505,23 @@ def dynamical_beams(
     phase = 2.0 * np.pi * (dh.reshape(-1, 3) @ frac.T)  # (N², M)
     bs = (
         (z2[None, :] * np.exp(-bfac[None, :] * (s * s)[:, None]))
-        * np.cos(phase)
+        * np.exp(-1j * phase)
     ).sum(axis=1)
     backscatter = (bs / z2.sum()).reshape(n, n)
 
     return DynamicalBeams(
         hkl=hkl.astype(np.int32),
         g=g.astype(np.float32),
-        coupling=coupling.astype(np.float32),
-        backscatter=backscatter.astype(np.float32),
+        coupling=coupling.real.astype(np.float32),
+        backscatter=backscatter.real.astype(np.float32),
         k_int=k_int,
         u0=u0,
+        coupling_imag=(
+            None if centro else coupling.imag.astype(np.float32)
+        ),
+        backscatter_imag=(
+            None if centro else backscatter.imag.astype(np.float32)
+        ),
     )
 
 
@@ -439,6 +542,47 @@ def _channel_chunk(dirs, g, coupling, backscatter, k_int, q_scale, z0):
     sigma = jnp.einsum("bgj,gh,bhj->bj", vecs, backscatter, vecs)
     depth = 1.0 / (1.0 + (2.0 * jnp.pi * q_scale * z0) * sigma)
     return jnp.sum(alpha2 * sigma * depth, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k_int", "q_scale", "z0"))
+def _channel_chunk_hermitian(
+    dirs, g, cr, ci, br, bi, k_int, q_scale, z0
+):
+    """Channeling yield, complex-Hermitian Bloch matrix: (B, 3) → (B,).
+
+    Solves ``H = A + iB`` (A symmetric incl. the excitation-error
+    diagonal, B antisymmetric) through the real embedding
+    ``M = [[A, −B], [B, A]]`` — a 2N×2N real symmetric eigh, TPU-native.
+    Eigenvectors of M come in partners (u; v) / (−v; u), both encoding the
+    complex Bloch state c = u + iv; any eigh-returned rotation inside that
+    degenerate pair is a phase rotation of c, under which the excitation
+    ``|c₀|² = w₀² + w_N²``, the backscatter overlap ``σ = Re(c†Bc) =
+    wᵀ[[Br, −Bi], [Bi, Br]]w`` and the absorption are all invariant — so
+    summing every embedded state and halving equals the complex-state sum
+    exactly (parity-pinned against the real path on fcc)."""
+    n = g.shape[0]
+    s_g = dirs @ g.T - (jnp.sum(g * g, axis=1) / (2.0 * k_int))[None, :]
+    a = cr[None, :, :] + jax.vmap(jnp.diag)(s_g)  # (B, N, N)
+    ci_b = jnp.broadcast_to(ci, a.shape)
+    mats = jnp.concatenate(
+        [
+            jnp.concatenate([a, -ci_b], axis=2),
+            jnp.concatenate([ci_b, a], axis=2),
+        ],
+        axis=1,
+    )  # (B, 2N, 2N) real symmetric
+    _, vecs = jnp.linalg.eigh(mats)
+    exc = vecs[:, 0, :] ** 2 + vecs[:, n, :] ** 2  # |C_0j|²
+    bs_emb = jnp.concatenate(
+        [
+            jnp.concatenate([br, -bi], axis=1),
+            jnp.concatenate([bi, br], axis=1),
+        ],
+        axis=0,
+    )  # (2N, 2N)
+    sigma = jnp.einsum("bgj,gh,bhj->bj", vecs, bs_emb, vecs)
+    depth = 1.0 / (1.0 + (2.0 * jnp.pi * q_scale * z0) * sigma)
+    return 0.5 * jnp.sum(exc * sigma * depth, axis=1)
 
 
 def channeling_intensities(
@@ -473,6 +617,9 @@ def channeling_intensities(
     g = jnp.asarray(beams.g)
     coupling = jnp.asarray(beams.coupling)
     bs = jnp.asarray(beams.backscatter)
+    if not beams.is_centrosymmetric:
+        ci = jnp.asarray(beams.coupling_imag)
+        bi = jnp.asarray(beams.backscatter_imag)
     q_scale = float(
         absorption_ratio * beams.u0 / (2.0 * beams.k_int)
     )  # 1/Å per unit sigma
@@ -483,9 +630,15 @@ def channeling_intensities(
         m = len(dc)
         if m < chunk:  # pad to the static compile shape
             dc = np.concatenate([dc, np.tile(dc[-1:], (chunk - m, 1))])
-        res = _channel_chunk(
-            jnp.asarray(dc), g, coupling, bs, beams.k_int, q_scale, z0
-        )
+        if beams.is_centrosymmetric:
+            res = _channel_chunk(
+                jnp.asarray(dc), g, coupling, bs, beams.k_int, q_scale, z0
+            )
+        else:
+            res = _channel_chunk_hermitian(
+                jnp.asarray(dc), g, coupling, ci, bs, bi,
+                beams.k_int, q_scale, z0,
+            )
         out[start : start + m] = np.asarray(res)[:m]
     return out.reshape(lead)
 

@@ -363,6 +363,35 @@ class TestCLI:
         stack = np.load(pats)
         assert stack.shape[1:] == (128, 128) and np.all(np.isfinite(stack))
 
+    def test_zincblende_master_command(self, tmp_path, monkeypatch, capsys):
+        """Non-centrosymmetric phases (GaAs) go through the complex-
+        Hermitian Bloch path — `--element cation,anion`."""
+        mpath = str(tmp_path / "gaas_master.npy")
+        stdout = _run(
+            ["master", "--out", mpath, "--structure", "zincblende",
+             "--element", "ga,as", "--lattice", "5.653", "--size", "21",
+             "--beams", "15", "--max-hkl", "2"],
+            monkeypatch, capsys,
+        )
+        info = json.loads(stdout.strip().splitlines()[-1])
+        assert info["n_beams"] > 1
+        img = np.load(mpath)
+        assert img.shape == (21, 21) and np.all(np.isfinite(img))
+        meta = json.loads(Path(mpath + ".mastermeta.json").read_text())
+        assert meta["centrosymmetric"] is False
+
+    def test_master_two_species_element_validation(
+        self, tmp_path, monkeypatch, capsys
+    ):
+        with pytest.raises(SystemExit, match="CATION,ANION"):
+            _run(["master", "--out", str(tmp_path / "m.npy"),
+                  "--structure", "wurtzite", "--element", "ga"],
+                 monkeypatch, capsys)
+        with pytest.raises(SystemExit, match="single"):
+            _run(["master", "--out", str(tmp_path / "m.npy"),
+                  "--structure", "fcc", "--element", "ga,as"],
+                 monkeypatch, capsys)
+
     def test_refine_without_provenance_rejected(self, tmp_path, monkeypatch, capsys):
         ppath, apath, _ = _write_phase(tmp_path, "dict", 8, seed=10)
         db = str(tmp_path / "plain.npz")

@@ -17,10 +17,12 @@ from latice_tpu.sim import (
     hexagonal_structure,
     render_from_master,
 )
+from latice_tpu.sim import wurtzite_structure, zincblende_structure
 from latice_tpu.sim.dynamical import (
     _BOHR_A,
     DynamicalBeams,
     fourier_potential,
+    fourier_potential_complex,
     wentzel_form_factor,
 )
 
@@ -107,7 +109,10 @@ class TestPotentials:
             u_raw = (1 + 20 / 511) / (np.pi * ti.volume) * abs(total)
             np.testing.assert_allclose(abs(u_centered), u_raw, rtol=1e-9)
 
-    def test_non_centrosymmetric_rejected(self):
+    def test_non_centrosymmetric_has_no_inversion_center(self):
+        # centered_sites still raises at its own API level (the fast real
+        # path genuinely needs an inversion center) — dynamical_beams is
+        # what falls back to the complex-Hermitian path for these.
         zincblende = CrystalStructure(
             5.65, 5.65, 5.65,
             sites=(
@@ -117,6 +122,33 @@ class TestPotentials:
         )
         with pytest.raises(NotImplementedError, match="inversion"):
             zincblende.centered_sites()
+
+    def test_zincblende_structure_factor_selection(self):
+        # GaAs: F(200) ∝ f_Ga − f_As (small, near-Z neighbors), F(111) ∝
+        # f_Ga − i·f_As (modulus √(f_Ga²+f_As²), large) — the classic
+        # polar-crystal signature the complex sum must reproduce.
+        gaas = zincblende_structure()
+        u111 = fourier_potential_complex(gaas, [[1, 1, 1]], 20.0)[0]
+        u200 = fourier_potential_complex(gaas, [[2, 0, 0]], 20.0)[0]
+        assert abs(u111.imag) > 0.1 * abs(u111.real)
+        assert abs(u200) < 0.3 * abs(u111)
+
+    def test_hermitian_conjugate_pairs(self):
+        # Real-space potential is real → U_{-g} = conj(U_g) exactly.
+        gaas = zincblende_structure()
+        hkl = np.asarray([[1, 1, 1], [2, 2, 0], [3, 1, 1], [1, 0, 3]])
+        up = fourier_potential_complex(gaas, hkl, 20.0)
+        um = fourier_potential_complex(gaas, -hkl, 20.0)
+        np.testing.assert_allclose(um, up.conj(), rtol=1e-12)
+
+    def test_real_potential_is_real_part(self):
+        gan = wurtzite_structure()
+        hkl = np.asarray([[1, 0, 1], [0, 0, 2], [1, 1, 0]])
+        np.testing.assert_allclose(
+            fourier_potential(gan, hkl, 20.0),
+            fourier_potential_complex(gan, hkl, 20.0).real,
+            rtol=1e-12,
+        )
 
 
 class TestBeamSelection:
@@ -231,6 +263,132 @@ class TestPointGroupInvariance:
             np.testing.assert_allclose(got, base, rtol=5e-3, atol=1e-6)
 
 
+class TestHermitianPath:
+    """Non-centrosymmetric structures: complex-Hermitian Bloch matrix
+    solved through the 2N real embedding (sim/dynamical.py module
+    docstring). Closes the EMEBSDmaster-role gap for polar/chiral phases
+    (GaAs, GaN, quartz-class) flagged in round 3."""
+
+    def test_beams_complex_hermitian_and_live(self):
+        gaas = dynamical_beams(zincblende_structure(), n_beams=27, max_hkl=2)
+        assert not gaas.is_centrosymmetric
+        c = gaas.coupling + 1j * gaas.coupling_imag
+        np.testing.assert_allclose(c, c.conj().T, atol=1e-7)
+        np.testing.assert_allclose(np.diag(c), 0.0)
+        assert np.abs(gaas.coupling_imag).max() > 1e-4  # genuinely complex
+        b = gaas.backscatter + 1j * gaas.backscatter_imag
+        np.testing.assert_allclose(b, b.conj().T, atol=1e-7)
+        np.testing.assert_allclose(np.diag(b.real), 1.0, rtol=1e-6)
+        evals = np.linalg.eigvalsh(b.astype(np.complex128))
+        assert evals.min() > -1e-6  # PSD Hermitian moment matrix
+
+    def test_centro_structures_keep_fast_path(self):
+        beams = dynamical_beams(cubic_structure(), n_beams=15, max_hkl=2)
+        assert beams.is_centrosymmetric
+        assert beams.coupling_imag is None and beams.backscatter_imag is None
+
+    def test_forced_embedding_matches_real_path(self):
+        # Zero imaginary parts: the 2N embedding must reproduce the real
+        # N-beam kernel exactly (both partners of each eigenpair carry the
+        # same excitation/overlap; the 0.5 sum-over-2N equals the N-sum).
+        import dataclasses
+
+        beams = dynamical_beams(cubic_structure(), n_beams=15, max_hkl=2)
+        rng = np.random.default_rng(3)
+        d = rng.normal(size=(16, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        base = channeling_intensities(d, beams, chunk=16)
+        zeros = np.zeros_like(beams.coupling)
+        forced = dataclasses.replace(
+            beams, coupling_imag=zeros, backscatter_imag=zeros
+        )
+        emb = channeling_intensities(d, forced, chunk=16)
+        np.testing.assert_allclose(emb, base, rtol=2e-4, atol=1e-6)
+
+    def test_two_beam_complex_closed_form(self):
+        # Hand-built complex two-beam system checked against an
+        # independent numpy complex-Hermitian derivation.
+        a_lat, kv = 5.65, 20.0
+        lam = electron_wavelength(kv)
+        k = 1.0 / lam
+        g = np.array([[0.0, 0.0, 0.0], [1 / a_lat, 1 / a_lat, 1 / a_lat]])
+        w = 1.8e-3 + 1.1e-3j  # complex coupling U/(2k), 1/Angstrom
+        b_off = 0.3 + 0.2j
+        beams = DynamicalBeams(
+            hkl=np.array([[0, 0, 0], [1, 1, 1]], np.int32),
+            g=g.astype(np.float32),
+            coupling=np.array([[0, w.real], [w.real, 0]], np.float32),
+            backscatter=np.array(
+                [[1, b_off.real], [b_off.real, 1]], np.float32
+            ),
+            k_int=k,
+            u0=0.05,
+            coupling_imag=np.array([[0, w.imag], [-w.imag, 0]], np.float32),
+            backscatter_imag=np.array(
+                [[0, b_off.imag], [-b_off.imag, 0]], np.float32
+            ),
+        )
+        depth_nm, kappa = 40.0, 0.1
+        q_scale = kappa * beams.u0 / (2 * k)
+        z0 = depth_nm * 10.0
+        gn = g[1] / np.linalg.norm(g[1])
+        t = np.array([1.0, -1.0, 0.0]) / np.sqrt(2.0)
+        thetas = np.linspace(-0.06, 0.06, 41)
+        dirs = np.cos(thetas)[:, None] * t + np.sin(thetas)[:, None] * gn
+
+        got = channeling_intensities(
+            dirs, beams, depth_nm=depth_nm, absorption_ratio=kappa, chunk=41
+        )
+
+        bmat = np.array([[1.0, b_off], [np.conj(b_off), 1.0]])
+        want = np.empty_like(got)
+        for i, d in enumerate(dirs):
+            s = float(d @ g[1] - g[1] @ g[1] / (2 * k))
+            m = np.array([[0.0, w], [np.conj(w), s]])
+            _, vecs = np.linalg.eigh(m)
+            total = 0.0
+            for j in range(2):
+                v = vecs[:, j]
+                alpha2 = abs(v[0]) ** 2
+                sigma = float(np.real(v.conj() @ bmat @ v))
+                total += alpha2 * sigma / (1 + 2 * np.pi * q_scale * z0 * sigma)
+            want[i] = total
+        np.testing.assert_allclose(got, want, rtol=3e-4)
+
+    def test_zincblende_point_group_invariance(self):
+        # F-43m's proper rotation subgroup is T ("23"); the master
+        # intensity field must be invariant under all 12 rotations.
+        from scipy.spatial.transform import Rotation as R
+
+        from latice_tpu.crystal import ROTATION_GROUPS
+
+        beams = dynamical_beams(zincblende_structure(), n_beams=27, max_hkl=2)
+        rng = np.random.default_rng(11)
+        d = rng.normal(size=(12, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        base = channeling_intensities(d, beams, chunk=12)
+        quats = np.asarray(ROTATION_GROUPS["23"])  # scalar-first
+        mats = R.from_quat(np.roll(quats, -1, axis=1)).as_matrix()
+        for rot in mats:
+            got = channeling_intensities(d @ rot.T, beams, chunk=12)
+            np.testing.assert_allclose(got, base, rtol=5e-3, atol=1e-6)
+
+    def test_wurtzite_sixfold_invariance(self):
+        # P6₃mc: the 6₃ screw's point part acts on U_g as an origin-shift
+        # gauge phase, so I(d) keeps full 6-fold symmetry about c.
+        from scipy.spatial.transform import Rotation as R
+
+        beams = dynamical_beams(wurtzite_structure(), n_beams=15, max_hkl=2)
+        assert not beams.is_centrosymmetric
+        rng = np.random.default_rng(5)
+        d = rng.normal(size=(8, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        base = channeling_intensities(d, beams, chunk=8)
+        rot = R.from_rotvec([0, 0, math.radians(60.0)]).as_matrix()
+        got = channeling_intensities(d @ rot.T, beams, chunk=8)
+        np.testing.assert_allclose(got, base, rtol=5e-3, atol=1e-6)
+
+
 class TestMasterPattern:
     def test_shape_range_nonconstant(self):
         img = dynamical_master_pattern(
@@ -262,3 +420,21 @@ class TestMasterPattern:
         )
         assert np.all(np.isfinite(img))
         assert img.std() > 0.01
+
+    def test_zincblende_master(self):
+        # Non-centrosymmetric master end-to-end (GaAs via the Hermitian
+        # embedding), consumable by render_from_master.
+        img = dynamical_master_pattern(
+            zincblende_structure(), size=21, n_beams=15, max_hkl=2, chunk=128
+        )
+        assert img.shape == (21, 21)
+        assert np.all(np.isfinite(img))
+        assert img.std() > 0.01
+        from latice_tpu.sim import DetectorGeometry
+
+        pats = render_from_master(
+            img,
+            np.asarray([[1.0, 0.0, 0.0, 0.0]]),
+            DetectorGeometry(shape=(24, 24)),
+        )
+        assert np.all(np.isfinite(pats)) and pats.std() > 0.01
