@@ -866,9 +866,20 @@ def cmd_sample(args) -> None:
 
 
 def _reflectors_from_meta(meta):
-    """Rebuild the simulate-time reflector table from npz provenance."""
+    """Rebuild the simulate-time reflector table from npz provenance —
+    either explicit fitted bands (master-fit dictionaries, `simulate
+    --master`) or the structure/lattice record (kinematical)."""
     from latice_tpu.sim import cubic_reflectors, hexagonal_reflectors
 
+    if "fitted_bands" in meta:
+        from latice_tpu.sim import Reflectors
+
+        fb = meta["fitted_bands"]
+        return Reflectors(
+            normals=np.asarray(fb["normals"], np.float32),
+            sin_theta=np.asarray(fb["sin_theta"], np.float32),
+            intensity=np.asarray(fb["intensity"], np.float32),
+        )
     if meta["structure"] == "hcp":
         c = meta.get("lattice_c") or 1.587 * meta["lattice"]
         return hexagonal_reflectors(
@@ -939,6 +950,60 @@ def _refine_result(args, meta, patterns, result, steps, db):
     return result._replace(best_orientation=refined), summary
 
 
+def _fit_master_bands(args, master_img):
+    """Fit the differentiable band model to a master image for refinement
+    provenance (sim.master_fit). Candidate band geometry comes from the
+    master's own ``.mastermeta.json`` phase record when present (the
+    `index.py master` output), else from the CLI structure/lattice flags
+    under ``--fit-bands``; returns ``(Reflectors, fit_ncc, source)`` or
+    None when neither source applies. Candidates use the Bravais
+    sublattice (fcc for zincblende, hcp for wurtzite): lattice-type
+    extinctions are exact master zeros, basis effects are what the fit
+    measures."""
+    from latice_tpu.sim import (
+        cubic_reflectors,
+        fit_reflectors_to_master,
+        hexagonal_reflectors,
+    )
+
+    mm = Path(args.master + ".mastermeta.json")
+    if mm.exists():
+        meta = json.loads(mm.read_text())
+        structure = meta["structure"]
+        a = meta["lattice"]
+        kv = meta["kv"]
+        c = meta.get("lattice_c")
+        max_hkl = min(int(meta.get("max_hkl", 4)), 5)
+        min_d = max(float(meta.get("min_d", 0.5)), 0.45)
+        source = "mastermeta"
+    elif getattr(args, "fit_bands", False):
+        structure = args.structure
+        a, kv, c = args.lattice, args.kv, args.lattice_c
+        max_hkl, min_d = args.max_hkl, max(args.min_d, 0.45)
+        source = "cli_args"
+    else:
+        return None
+    if structure in ("hcp", "wurtzite"):
+        c = c or (1.587 if structure == "hcp" else 1.626) * a
+        cand = hexagonal_reflectors(
+            a=a, c=c, kv=kv, max_hkl=max_hkl, min_d=min_d
+        )
+    elif structure == "zincblende":
+        cand = cubic_reflectors(
+            "fcc", a=a, kv=kv, max_hkl=max_hkl, min_d=min_d
+        )
+    else:
+        cand = cubic_reflectors(
+            structure, a=a, kv=kv, max_hkl=max_hkl, min_d=min_d
+        )
+    fitted, ncc = fit_reflectors_to_master(np.asarray(master_img), cand)
+    logger.info(
+        f"Fitted {len(fitted)} bands to master (source: {source}, "
+        f"NCC {ncc:.3f}) — refinement provenance persisted"
+    )
+    return fitted, ncc, source
+
+
 def cmd_simulate(args) -> None:
     """Render a kinematical dictionary pattern stack from an anglefile.
 
@@ -961,9 +1026,11 @@ def cmd_simulate(args) -> None:
     )
     if args.master:
         # Lookup rendering from an external (e.g. dynamical) master image in
-        # sim.master's documented equal-area convention. No provenance
-        # sidecar: --refine needs the differentiable band model, which a
-        # pixel master does not provide.
+        # sim.master's documented equal-area convention. Refinement
+        # provenance comes from fitting the differentiable band model to
+        # the master (sim.master_fit) — automatically when the master's
+        # own `.mastermeta.json` names the phase, or from the CLI
+        # structure/lattice flags under --fit-bands.
         from latice_tpu.sim import render_from_master
 
         t0 = time.time()
@@ -979,17 +1046,36 @@ def cmd_simulate(args) -> None:
         dt = time.time() - t0
         out_path = args.out if args.out.endswith(".npy") else args.out + ".npy"
         np.save(out_path, patterns)
-        print(
-            json.dumps(
-                {
-                    "n_patterns": len(patterns),
-                    "shape": list(patterns.shape[1:]),
-                    "master": args.master,
-                    "seconds": round(dt, 2),
-                    "out": args.out,
-                }
-            )
-        )
+        summary = {
+            "n_patterns": len(patterns),
+            "shape": list(patterns.shape[1:]),
+            "master": args.master,
+            "seconds": round(dt, 2),
+            "out": args.out,
+        }
+        fit = _fit_master_bands(args, master_img)
+        if fit is not None:
+            fitted, fit_ncc, source = fit
+            meta = {
+                "kind": "master_fit",
+                "master": args.master,
+                "fit_source": source,
+                "fit_ncc": round(fit_ncc, 4),
+                "size": args.size,
+                "pc": list(args.pc),
+                "tilt": args.tilt,
+                "fitted_bands": {
+                    "normals": fitted.normals.tolist(),
+                    "sin_theta": fitted.sin_theta.tolist(),
+                    "intensity": fitted.intensity.tolist(),
+                },
+            }
+            with open(out_path + ".simmeta.json", "w") as f:
+                json.dump(meta, f)
+            summary["fit_ncc"] = round(fit_ncc, 4)
+            summary["n_fitted_bands"] = len(fitted)
+            summary["refine_provenance"] = True
+        print(json.dumps(summary))
         return
     if args.structure == "hcp":
         # Ideal-ish c/a when not given; pairs with point group "622".
@@ -2166,14 +2252,22 @@ def main() -> None:
         "--master", default=None, metavar="MASTER.npy",
         help="render by lookup into a hemisphere master image (e.g. a "
         "dynamical simulation resampled to sim.master's equal-area "
-        "convention) instead of the kinematical band model; structure/"
-        "lattice args are then ignored and --refine is unavailable",
+        "convention) instead of the kinematical band model; refinement "
+        "provenance is band-fitted from <master>.mastermeta.json when "
+        "present, or from the structure/lattice args under --fit-bands",
     )
     m.add_argument(
         "--master-layout", default="circle", choices=("circle", "square"),
         help="--master image layout: 'circle' (sim.master's native "
         "convention) or 'square' (square-Lambert, EMsoft-style — "
         "resampled on load)",
+    )
+    m.add_argument(
+        "--fit-bands", action="store_true",
+        help="with --master: fit the differentiable band model to the "
+        "master using the structure/lattice flags and persist it as "
+        "refinement provenance, so `query --refine` works on this "
+        "dictionary (automatic when <master>.mastermeta.json exists)",
     )
     m.set_defaults(fn=cmd_simulate)
 

@@ -31,6 +31,10 @@ from latice_tpu.sim.dynamical import (
     wurtzite_structure,
     zincblende_structure,
 )
+from latice_tpu.sim.master_fit import (
+    fit_reflectors_to_master,
+    kinematical_master_ncc,
+)
 from latice_tpu.sim.refine import refine_candidates, refine_orientations
 from latice_tpu.sim.kinematical import (
     Reflectors,
@@ -57,7 +61,9 @@ __all__ = [
     "zincblende_structure",
     "directions_to_lambert",
     "electron_wavelength",
+    "fit_reflectors_to_master",
     "hexagonal_reflectors",
+    "kinematical_master_ncc",
     "lambert_to_directions",
     "make_kinematical_master",
     "pixel_directions",
