@@ -317,7 +317,13 @@ def grain_statistics(
     q_host = np.asarray(q, np.float64)
     q_seed = q_host[seed_idx][lab]  # (N, 4)
     aligned = np.asarray(
-        nearest_symmetry_equivalent(jnp.asarray(q_seed, jnp.float32), q, sym),
+        # compose="crystal": physical equivalence (q ⊗ sym). The default
+        # premultiplied images contain NO near-seed image when a pixel's
+        # FZ representative differs from its seed's, which blew GOS from
+        # ~0.7° to ~20° on boundary-straddling grains (test-pinned).
+        nearest_symmetry_equivalent(
+            jnp.asarray(q_seed, jnp.float32), q, sym, compose="crystal"
+        ),
         np.float64,
     )
     # Hemisphere-align (q ≅ -q) so the linear accumulation is coherent.

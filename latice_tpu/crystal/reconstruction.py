@@ -384,10 +384,16 @@ def _parent_mean(
     from latice_tpu.crystal.symmetry import nearest_symmetry_equivalent
 
     aligned = np.asarray(
+        # compose="sample" (premultiply): parent candidates are ambiguous as
+        # s_p ⊗ cand in this module's sample→crystal convention — the SAME
+        # side `parent_candidates` dedups and `_pair_dots` enumerates.
+        # (maps.grain_statistics, in the crystal→detector convention, uses
+        # compose="crystal"; the two modules' sides are consistent physics.)
         nearest_symmetry_equivalent(
             jnp.asarray(ref, jnp.float32),
             jnp.asarray(chosen, jnp.float32),
             sym_parent,
+            compose="sample",
         ),
         np.float64,
     )

@@ -175,15 +175,32 @@ def stack_symmetry_tables(groups, dtype=jnp.float32) -> jax.Array:
 
 
 def nearest_symmetry_equivalent(
-    ref: jax.Array, cand: jax.Array, sym: jax.Array | None = None
+    ref: jax.Array,
+    cand: jax.Array,
+    sym: jax.Array | None = None,
+    compose: str = "sample",
 ) -> jax.Array:
     """Symmetry-equivalent of ``cand`` closest to ``ref``, fully vectorized.
 
-    For each candidate this forms the 24 equivalents ``sym_k ⊗ cand`` and picks
-    the one minimizing the misorientation to ``ref`` — the reference's FAISS
-    semantics (faiss_db.py:388-392). The chroma variant (chroma_db.py:364-372)
-    composes as ``(cand⁻¹ ⊗ sym_k)⁻¹ = sym_k⁻¹ ⊗ cand``, which enumerates the
-    same group and selects the same element, so one implementation serves both.
+    Two composition sides, selected by ``compose``:
+
+    * ``"sample"`` (default): equivalents are ``sym_k ⊗ cand`` — the
+      reference's FAISS semantics (faiss_db.py:388-392, scipy
+      ``QUAT_SYM * candidate``), kept as the consensus plane's parity
+      surface. The chroma variant (chroma_db.py:364-372) composes as
+      ``(cand⁻¹ ⊗ sym_k)⁻¹ = sym_k⁻¹ ⊗ cand``, which enumerates the same
+      set, so one implementation serves both.
+    * ``"crystal"``: equivalents are ``cand ⊗ sym_k`` — the physically
+      equivalent orientations under this repo's crystal→detector active
+      convention (crystal symmetry re-labels crystal axes, i.e. acts
+      BEFORE the orientation; same side `reduce_to_fundamental_zone`
+      canonicalizes with). Use this for analysis math (grain averaging,
+      disorientation): the premultiplied set generally contains NO image
+      near ``ref`` when ``cand`` is a different fundamental-zone
+      representative of the same physical orientation (the conjugated
+      operator ``cand⁻¹·sym·cand`` is not in the group), which measurably
+      corrupts grain statistics at FZ boundaries (GOS 0.7°→20°,
+      tests/crystal/test_maps.py).
 
     Args:
         ref: Reference quaternions, shape ``(..., 4)``.
@@ -192,6 +209,8 @@ def nearest_symmetry_equivalent(
             Also accepts per-batch tables of any shape broadcasting against
             ``cand[..., None, :]`` (e.g. ``(B, 1, S, 4)`` for per-query phase
             groups in multi-phase consensus).
+        compose: ``"sample"`` (premultiply, reference parity) or
+            ``"crystal"`` (postmultiply, physical equivalence).
 
     Returns:
         Quaternions of shape ``broadcast(ref, cand).shape`` equivalent to
@@ -200,7 +219,7 @@ def nearest_symmetry_equivalent(
     if sym is None:
         sym = cubic_symmetry_quats(dtype=cand.dtype)
     # (..., S, 4): all symmetry images of the candidate.
-    all_sym = quat_mul(sym, cand[..., None, :])
+    all_sym = _symmetry_images(cand, sym, compose)
     delta = misorientation_angle(ref[..., None, :], all_sym)
     idx = jnp.argmin(delta, axis=-1)
     # One-hot contraction instead of take_along_axis: batched gathers over a
@@ -209,18 +228,36 @@ def nearest_symmetry_equivalent(
     return jnp.einsum("...s,...sq->...q", onehot, all_sym)
 
 
+def _symmetry_images(q: jax.Array, sym: jax.Array, compose: str) -> jax.Array:
+    """All symmetry images of ``q`` → ``(..., S, 4)`` on the chosen side."""
+    if compose == "sample":
+        return quat_mul(sym, q[..., None, :])
+    if compose == "crystal":
+        return quat_mul(q[..., None, :], sym)
+    raise ValueError(f"compose must be 'sample' or 'crystal', got {compose!r}")
+
+
 def symmetry_reduced_misorientation(
-    q1: jax.Array, q2: jax.Array, sym: jax.Array | None = None
+    q1: jax.Array,
+    q2: jax.Array,
+    sym: jax.Array | None = None,
+    compose: str = "crystal",
 ) -> jax.Array:
     """Minimum misorientation angle (radians) over all symmetry images of q2.
 
-    The proper crystallographic disorientation; not used by the reference's
-    consensus loop (which thresholds raw misorientation, faiss_db.py:306-313)
-    but exposed for analysis APIs.
+    The proper crystallographic disorientation angle: minimized over the
+    CRYSTAL-side images ``q2 ⊗ sym_k`` by default (this repo's
+    crystal→detector convention — the same side `reduce_to_fundamental_zone`
+    uses), so two fundamental-zone representatives of the same physical
+    orientation measure ≈ 0. Not used by the reference's consensus loop
+    (which thresholds raw misorientation, faiss_db.py:306-313); exposed for
+    analysis APIs. ``compose="sample"`` premultiplies instead (the
+    reference's composition side — only equivalent when ``q1`` is the
+    identity, where ``w(s⊗q) = w(q⊗s)`` makes the two sides agree).
     """
     if sym is None:
         sym = cubic_symmetry_quats(dtype=q2.dtype)
-    all_sym = quat_mul(sym, q2[..., None, :])
+    all_sym = _symmetry_images(q2, sym, compose)
     delta = misorientation_angle(q1[..., None, :], all_sym)
     return jnp.min(delta, axis=-1)
 

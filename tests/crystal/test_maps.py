@@ -209,21 +209,23 @@ class TestGrainStatistics:
         np.testing.assert_allclose(stats.mean_orientation[0], expect, atol=1e-3)
 
     def test_symmetry_equivalent_representations_average_cleanly(self):
-        """Pixels stored as different symmetry images of ONE orientation:
-        the snap-to-seed makes the mean exact and GOS zero."""
+        """Pixels stored as different CRYSTAL symmetry images of ONE
+        orientation (base ∘ sym — the physically equivalent set under the
+        crystal→detector convention): the snap-to-seed makes the mean
+        exact and GOS zero."""
         from latice_tpu.crystal import grain_statistics
 
         base = R.from_euler("zxz", [10, 20, 30], degrees=True)
         eulers = []
         for k in (0, 5, 11, 17):
             sym = R.from_quat(np.roll(CUBIC_SYMMETRY[k], -1))  # wxyz->xyzw
-            eulers.append((sym * base).as_euler("zxz", degrees=True))
+            eulers.append((base * sym).as_euler("zxz", degrees=True))
         euler = np.asarray(eulers, np.float32)
         stats = grain_statistics(euler, np.zeros(4, np.int32))
         # ~0.015 deg of float32 Euler-conversion roundoff is the floor here.
         assert stats.gos_deg[0] == pytest.approx(0.0, abs=0.05)
         got = R.from_euler("zxz", stats.mean_orientation[0], degrees=True)
-        mis = (got.inv() * R.from_quat(np.roll(CUBIC_SYMMETRY, -1, axis=1)) * base).magnitude()
+        mis = (got.inv() * base * R.from_quat(np.roll(CUBIC_SYMMETRY, -1, axis=1))).magnitude()
         assert np.degrees(mis.min()) == pytest.approx(0.0, abs=0.05)
 
     def test_shape_validation(self):
@@ -359,3 +361,99 @@ class TestCleanOrientationMap:
             clean_orientation_map(
                 self._two_grain(), phases=np.zeros((8, 10), np.int64)
             )
+
+
+class TestFZBoundaryGrain:
+    """Grains whose pixels straddle a fundamental-zone boundary: the seed
+    snap must use CRYSTAL-side symmetry images (q ⊗ sym). With the
+    premultiplied (sample/reference-parity) images there is generally NO
+    image near the seed for pixels whose FZ representative differs — GOS
+    measured 11-23 deg on a ~0.7 deg grain before the compose='crystal'
+    fix."""
+
+    def _boundary_grain(self, seed=61, n=120, noise_deg=0.4):
+        from latice_tpu.crystal import reduce_to_fundamental_zone
+
+        rng = np.random.default_rng(1)
+        q0 = R.random(1, random_state=seed)
+        noise = R.from_rotvec(np.radians(noise_deg) * rng.normal(size=(n, 3)))
+        quats = np.roll((noise * q0).as_quat(), 1, axis=1)
+        fz = reduce_to_fundamental_zone(quats, "432")
+        # The scenario only bites if representatives actually split.
+        assert (np.abs(fz @ fz[0]) < 0.995).sum() > 20
+        return R.from_quat(np.roll(fz, -1, axis=1)).as_euler(
+            "zxz", degrees=True
+        )
+
+    def test_gos_reflects_true_spread(self):
+        from latice_tpu.crystal import grain_statistics
+
+        eulers = self._boundary_grain()
+        stats = grain_statistics(
+            eulers, np.zeros(len(eulers), np.int64), group="432"
+        )
+        # True spread is ~0.5-0.8 deg (0.4 deg rotvec noise); anything in
+        # the degrees regime means the snap failed across the boundary.
+        assert stats.gos_deg[0] < 1.0, stats.gos_deg
+
+    def test_crystal_disorientation_of_fz_images_is_zero(self):
+        """Two FZ representatives of the SAME orientation measure ~0 under
+        the default (crystal) composition; the sample side does not —
+        pinning why the default changed."""
+        import jax.numpy as jnp
+
+        from latice_tpu.crystal import (
+            reduce_to_fundamental_zone,
+            symmetry_reduced_misorientation,
+        )
+        from latice_tpu.crystal.symmetry import symmetry_quats
+
+        q0 = np.roll(R.random(1, random_state=61).as_quat(), 1, axis=1)[0]
+        sym = np.asarray(symmetry_quats("432"), np.float64)
+        # Pick a crystal image whose FZ representative differs from q0's.
+        images = np.array(
+            [np.asarray(
+                reduce_to_fundamental_zone(
+                    _quat_mul_host(q0, s)[None], "432"
+                )[0]
+            ) for s in sym]
+        )
+        rep0 = np.asarray(reduce_to_fundamental_zone(q0[None], "432"))[0]
+        # All crystal images share ONE physical orientation, so every
+        # representative must measure ~0 against rep0 under the crystal
+        # composition.
+        d = np.asarray(symmetry_reduced_misorientation(
+            jnp.asarray(np.tile(rep0, (len(images), 1)), jnp.float32),
+            jnp.asarray(images, jnp.float32),
+        ))
+        assert np.degrees(d).max() < 0.01, np.degrees(d)
+
+    def test_sample_compose_is_reference_side(self):
+        """compose='sample' premultiplies — equal to the crystal side for
+        identity references (w-symmetry), different in general."""
+        import jax.numpy as jnp
+
+        from latice_tpu.crystal import symmetry_reduced_misorientation
+
+        ident = jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32)
+        q = jnp.asarray(
+            np.roll(R.random(5, random_state=3).as_quat(), 1, axis=1),
+            jnp.float32,
+        )
+        a = symmetry_reduced_misorientation(ident, q, compose="crystal")
+        b = symmetry_reduced_misorientation(ident, q, compose="sample")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        with pytest.raises(ValueError, match="compose"):
+            symmetry_reduced_misorientation(ident, q, compose="left")
+
+
+def _quat_mul_host(a, b):
+    """Scalar-first quaternion product on host numpy."""
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return np.array([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ])

@@ -86,10 +86,12 @@ class TestStackedTables:
         np.testing.assert_allclose(
             stacked[1, 12:], np.tile([[1, 0, 0, 0]], (12, 1)), atol=1e-7
         )
-        # Padding must not change symmetry-reduced results: disorientation of
-        # a 60-deg-about-z pair is 0 under hexagonal symmetry, padded or not.
+        # Padding must not change symmetry-reduced results: a crystal-frame
+        # 60-deg-about-c displacement is 0 under hexagonal symmetry, padded
+        # or not (q ⊗ sym — the crystal composition side the default
+        # measures).
         q1 = from_euler_zxz_deg(np.array([10.0, 30.0, 20.0]))
-        q2 = quat_mul(symmetry_quats("622")[1].astype(q1.dtype), q1)
+        q2 = quat_mul(q1, symmetry_quats("622")[1].astype(q1.dtype))
         d_padded = symmetry_reduced_misorientation(q1, q2, stacked[1])
         assert float(d_padded) < 1e-5
 
