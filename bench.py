@@ -192,6 +192,49 @@ def bench_di_throughput(dict_size: int = 100_000, batch_size: int = 256) -> floa
     return batch_size / ((time.time() - t0) / n_iter)
 
 
+def bench_hough_throughput(batch_size: int = 256) -> float:
+    """Hough band indexing patterns/sec: Radon detection + grid vote +
+    q-method refinement (the zero-dictionary vendor plane) on 128x128
+    patterns, fcc table, 3-degree voting grid.
+
+    Times the two jitted programs back to back the way `HoughIndexer`
+    dispatches them (detector solve then band solve); host glue between
+    them (normal inversion, ~numpy microseconds/batch) is excluded like
+    the other rows exclude host IO.
+    """
+    from latice_tpu.data.hough import BandDetector
+    from latice_tpu.index import HoughIndexer
+    from latice_tpu.sim import DetectorGeometry, cubic_reflectors
+
+    rng = np.random.default_rng(4)
+    geometry = DetectorGeometry(shape=(128, 128))
+    detector = BandDetector(height=128, width=128, k=8, batch_size=batch_size)
+    ix = HoughIndexer(
+        cubic_reflectors("fcc", a=3.52, kv=20.0), geometry,
+        grid_resolution_deg=3.0, n_bands=8, batch_size=batch_size,
+        detector=detector,
+    )
+    pats = rng.uniform(size=(batch_size, 128, 128)).astype(np.float32)
+    det, normals, weights = ix.detect_bands(pats)  # warm detector program
+    nrm = jnp.asarray(normals, jnp.float32)
+    wts = jnp.asarray(weights, jnp.float32)
+    x_dev = jnp.asarray(pats)
+    out = ix._solve(
+        nrm, wts, ix._grid_q, ix._grid_normals, ix._refl_dev, ix._refl_i_dev
+    )
+    float(out[0].sum())  # warm + sync
+    n_iter = 10
+    t0 = time.time()
+    for _ in range(n_iter):
+        d = detector._run(detector._a_dev, detector._mask_dev, x_dev)
+        out = ix._solve(
+            nrm, wts, ix._grid_q, ix._grid_normals,
+            ix._refl_dev, ix._refl_i_dev,
+        )
+    float(out[0].sum()) + float(d[0].sum())
+    return batch_size / ((time.time() - t0) / n_iter)
+
+
 def bench_dispatch_overhead() -> float:
     """Per-dispatch overhead of the host<->device link, ms.
 
@@ -220,6 +263,7 @@ def main() -> None:
     scaled_encode = bench_scaled_encode()
     scaled_steps = bench_scaled_train()
     di_per_sec = bench_di_throughput()
+    hough_per_sec = bench_hough_throughput()
     result = {
         "metric": "encode+top10-index throughput (100k dict, b1024, bf16)",
         "value": round(patterns_per_sec, 1),
@@ -230,6 +274,7 @@ def main() -> None:
         "scaled_encode_patterns_per_sec": round(scaled_encode, 1),
         "scaled_train_steps_per_sec": round(scaled_steps, 2),
         "di_patterns_per_sec": round(di_per_sec, 1),
+        "hough_patterns_per_sec": round(hough_per_sec, 1),
         "dispatch_ms_per_iter": round(dispatch_ms, 3),
         "device": str(jax.devices()[0]),
     }

@@ -569,21 +569,59 @@ def cmd_di(args) -> None:
             logger.info("static=auto: using the scan-mean background")
 
     t0 = time.time()
-    di = PatternDictionaryIndexer(
-        dict_stack,
-        dict_angles,
-        bin_factor=args.bin,
-        engine=args.engine,
-        search_dtype=args.search_dtype,
-        preprocess=preprocess,
-        top_n=args.top_n,
-        orientation_threshold=args.threshold,
-        min_required_matches=args.min_matches,
-        consensus_weight_power=args.weight_power,
-        batch_size=args.batch_size,
-        mesh=mesh,
-        **phase_kw,
-    )
+    if args.streamed:
+        # Host-resident rows streamed through the chip in fixed chunks —
+        # dictionaries beyond HBM (index.pattern_di.StreamedPatternDI).
+        # Multi-phase + ambiguity compose exactly like the resident path.
+        import jax.numpy as jnp
+
+        from latice_tpu.index import (
+            StreamedPatternDI,
+            build_pattern_dictionary,
+        )
+
+        if mesh is not None:
+            logger.warning(
+                "--streamed ignores --devices: the streamed engine is the "
+                "single-chip beyond-HBM path (shard via the resident "
+                "engine instead)"
+            )
+        rows = build_pattern_dictionary(
+            dict_stack,
+            bin_factor=args.bin,
+            as_numpy=True,
+            dtype=jnp.bfloat16
+            if args.search_dtype == "bfloat16"
+            else jnp.float32,
+        )
+        di = StreamedPatternDI(
+            rows,
+            dict_angles,
+            bin_factor=args.bin,
+            top_n=args.top_n,
+            orientation_threshold=args.threshold,
+            min_required_matches=args.min_matches,
+            consensus_weight_power=args.weight_power,
+            batch_size=args.batch_size,
+            preprocess=preprocess,
+            **phase_kw,
+        )
+    else:
+        di = PatternDictionaryIndexer(
+            dict_stack,
+            dict_angles,
+            bin_factor=args.bin,
+            engine=args.engine,
+            search_dtype=args.search_dtype,
+            preprocess=preprocess,
+            top_n=args.top_n,
+            orientation_threshold=args.threshold,
+            min_required_matches=args.min_matches,
+            consensus_weight_power=args.weight_power,
+            batch_size=args.batch_size,
+            mesh=mesh,
+            **phase_kw,
+        )
     t_build = time.time() - t0
     t0 = time.time()
     result = di(x)
@@ -621,6 +659,32 @@ def cmd_di(args) -> None:
         write_ctf(args.ctf, result, grid=grid, step=args.step,
                   phase_groups=groups)
         summary["ctf_out"] = args.ctf
+    if args.ambiguity:
+        # Pseudo-symmetry diagnostic (index.diagnostics) — works on the
+        # streamed result too: it only needs the candidate lists.
+        from latice_tpu.index import candidate_ambiguity
+
+        amb = candidate_ambiguity(
+            result,
+            dict_angles,
+            phase_groups=groups,
+            dictionary_phases=(
+                np.concatenate(phase_parts) if multiphase else None
+            ),
+        )
+        np.savez(
+            args.ambiguity,
+            angle_deg=amb.angle_deg,
+            score_gap=amb.score_gap,
+            has_rival=amb.has_rival,
+        )
+        flagged = amb.ambiguous(max_gap=args.ambiguity_gap)
+        summary["ambiguity_out"] = args.ambiguity
+        summary["ambiguous_frac"] = round(float(flagged.mean()), 4)
+        logger.info(
+            f"{flagged.sum()} / {len(flagged)} pixels ambiguous "
+            f"(rival within {args.ambiguity_gap} NCC score)"
+        )
     print(json.dumps(summary))
 
 
@@ -718,45 +782,115 @@ def cmd_quality(args) -> None:
     print(json.dumps(summary))
 
 
+def _parse_hough_phase(spec: str, args) -> tuple:
+    """Parse one ``--phase`` spec → ``(name, reflectors, group, (a,b,c))``.
+
+    Two formats:
+
+    * ``[NAME=]STRUCT:a[:c]`` — presets: ``fcc``/``bcc``/``sc`` (point
+      group 432) and ``hcp`` (622, c defaults to 1.587·a). kv/max-hkl/
+      min-d come from the shared CLI flags.
+    * ``[NAME=]cell.json`` — arbitrary cell via `sim.reflectors_from_cell`
+      (exact non-cubic metric + structure-factor extinctions). Keys:
+      ``group`` and ``a`` required; ``b``, ``c``, ``alpha``, ``beta``,
+      ``gamma``, ``basis`` (fractional positions), ``kv``, ``max_hkl``,
+      ``min_d``, ``name`` optional (defaults: cubic angles, b=c=a,
+      single-atom basis, the shared CLI flags).
+    """
+    from latice_tpu.sim import (
+        cubic_reflectors,
+        hexagonal_reflectors,
+        reflectors_from_cell,
+    )
+
+    name = None
+    head, sep, tail = spec.partition("=")
+    if sep and not head.endswith(".json"):
+        name, spec = head, tail
+    if spec.endswith(".json"):
+        cell = json.loads(Path(spec).read_text())
+        missing = {"group", "a"} - set(cell)
+        if missing:
+            raise SystemExit(
+                f"--phase {spec}: cell JSON must define {sorted(missing)}"
+            )
+        a = float(cell["a"])
+        b = float(cell.get("b", a))
+        c = float(cell.get("c", a))
+        refl = reflectors_from_cell(
+            a=a, b=b, c=c,
+            alpha=float(cell.get("alpha", 90.0)),
+            beta=float(cell.get("beta", 90.0)),
+            gamma=float(cell.get("gamma", 90.0)),
+            basis=cell.get("basis", ((0.0, 0.0, 0.0),)),
+            kv=float(cell.get("kv", args.kv)),
+            max_hkl=int(cell.get("max_hkl", args.max_hkl)),
+            min_d=float(cell.get("min_d", args.min_d)),
+        )
+        return (
+            name or cell.get("name") or Path(spec).stem,
+            refl, str(cell["group"]), (a, b, c),
+        )
+    parts = spec.split(":")
+    struct = parts[0]
+    a = float(parts[1]) if len(parts) > 1 else args.lattice
+    if struct == "hcp":
+        c = float(parts[2]) if len(parts) > 2 else (
+            args.lattice_c or 1.587 * a
+        )
+        refl = hexagonal_reflectors(
+            a=a, c=c, kv=args.kv, max_hkl=args.max_hkl, min_d=args.min_d
+        )
+        return (name or struct, refl, "622", (a, a, c))
+    if struct not in ("fcc", "bcc", "sc"):
+        raise SystemExit(
+            f"--phase {spec!r}: structure must be fcc/bcc/sc/hcp or a "
+            "cell .json path"
+        )
+    refl = cubic_reflectors(
+        struct, a=a, kv=args.kv, max_hkl=args.max_hkl, min_d=args.min_d
+    )
+    return (name or struct, refl, "432", (a, a, a))
+
+
 def cmd_hough(args) -> None:
     """Band-based (Hough) orientation indexing — the vendor OIM/AZtec
     algorithm, TPU-native (index.hough_indexing).
 
-    Zero training and zero dictionary patterns: only a reflector table
-    (from the structure/lattice flags, like ``simulate``) and the detector
-    geometry. Completes the indexing triangle next to ``query`` (latent
-    k-NN) and ``di`` (pattern NCC): bands are found by the Radon matmul,
-    orientations solved by MXU grid voting + Davenport q-method
-    refinement. Results export to .ang/.ctf like the other planes.
+    Zero training and zero dictionary patterns: only reflector tables
+    (from the structure/lattice flags, or repeatable ``--phase`` specs)
+    and the detector geometry. Completes the indexing triangle next to
+    ``query`` (latent k-NN) and ``di`` (pattern NCC): bands are found by
+    the Radon matmul, orientations solved by MXU grid voting + Davenport
+    q-method refinement. Multi-phase like the vendors: the Radon scan
+    runs once, every phase solves against the same bands, per-pixel best
+    wins (`index.MultiPhaseHoughIndexer`). Results export to .ang/.ctf
+    like the other planes.
     """
     from latice_tpu.data import BandDetector, prepare_patterns
-    from latice_tpu.index import HoughIndexer
+    from latice_tpu.index import HoughIndexer, MultiPhaseHoughIndexer
     from latice_tpu.index.pipeline import DenseIndexResult
-    from latice_tpu.sim import (
-        DetectorGeometry,
-        cubic_reflectors,
-        hexagonal_reflectors,
-    )
+    from latice_tpu.sim import DetectorGeometry
+
+    # Parse phase specs BEFORE the (possibly long) pattern load so a bad
+    # spec fails fast.
+    if args.phase:
+        phases = [_parse_hough_phase(s, args) for s in args.phase]
+    else:
+        # Single-phase shorthand via the simulate-style structure flags.
+        spec = args.structure
+        if args.structure == "hcp" and args.lattice_c:
+            spec += f":{args.lattice}:{args.lattice_c}"
+        else:
+            spec += f":{args.lattice}"
+        phases = [_parse_hough_phase(spec, args)]
+    names = [p[0] for p in phases]
+    groups = [p[2] for p in phases]
+    lattices = [p[3] for p in phases]
 
     raw = _load_raw_pattern_stack(args)
     x = prepare_patterns(raw)
     h, w = x.shape[1], x.shape[2]
-
-    if args.structure == "hcp":
-        c = args.lattice_c if args.lattice_c else 1.587 * args.lattice
-        reflectors = hexagonal_reflectors(
-            a=args.lattice, c=c, kv=args.kv, max_hkl=args.max_hkl,
-            min_d=args.min_d,
-        )
-        group = "622"
-        lattice_abc = (args.lattice, args.lattice, c)
-    else:
-        reflectors = cubic_reflectors(
-            args.structure, a=args.lattice, kv=args.kv,
-            max_hkl=args.max_hkl, min_d=args.min_d,
-        )
-        group = "432"
-        lattice_abc = (args.lattice, args.lattice, args.lattice)
 
     geometry = DetectorGeometry(
         shape=(h, w), pcx=args.pc[0], pcy=args.pc[1], dd=args.pc[2],
@@ -767,32 +901,43 @@ def cmd_hough(args) -> None:
         k=args.bands, band_width_px=args.band_width,
         batch_size=args.batch_size,
     )
-    t0 = time.time()
-    indexer = HoughIndexer(
-        reflectors, geometry, group=group,
+    common = dict(
         grid_resolution_deg=args.grid_resolution, n_bands=args.bands,
         tolerance_deg=args.tolerance, min_bands=args.min_bands,
         batch_size=args.batch_size, detector=detector,
     )
+    t0 = time.time()
+    if len(phases) > 1:
+        indexer = MultiPhaseHoughIndexer(
+            [(p[1], p[2]) for p in phases], geometry, **common
+        )
+    else:
+        indexer = HoughIndexer(
+            phases[0][1], geometry, group=groups[0], **common
+        )
     t_build = time.time() - t0
     t0 = time.time()
     res = indexer(x)
     dt = time.time() - t0
     n = len(res.success)
+    phase_ids = res.phase if len(phases) > 1 else None
     logger.info(
         f"Hough-indexed {n} patterns in {dt:.2f}s ({n/max(dt, 1e-9):,.0f}/s)"
     )
     np.save(args.out, res.eulers_deg)
-    np.savez(
-        args.out.replace(".npy", "") + "_detail.npz",
+    detail = dict(
         quaternions=res.quaternions,
         eulers_deg=res.eulers_deg,
         fit_deg=res.fit_deg,
         n_matched=res.n_matched,
         vote_score=res.vote_score,
+        band_score=res.band_score,
         success=res.success,
         iq=res.bands.iq,
     )
+    if phase_ids is not None:
+        detail["phase"] = phase_ids
+    np.savez(args.out.replace(".npy", "") + "_detail.npz", **detail)
     summary = {
         "n_patterns": n,
         "success_rate": float(res.success.mean()),
@@ -804,6 +949,14 @@ def cmd_hough(args) -> None:
         "seconds": round(dt, 2),
         "out": args.out,
     }
+    if phase_ids is not None:
+        phase_out = args.out.replace(".npy", "") + "_phase.npy"
+        np.save(phase_out, phase_ids)
+        summary["phase_out"] = phase_out
+        summary["phase_names"] = names
+        summary["phase_counts"] = np.bincount(
+            phase_ids, minlength=len(phases)
+        ).tolist()
     if args.ang or args.ctf:
         # Adapt to the export plane's result vocabulary: confidence =
         # 1 - fit/tolerance (a [0, 1] residual score), real Hough IQ.
@@ -817,20 +970,22 @@ def cmd_hough(args) -> None:
             n_similar=res.n_matched,
             indices=np.zeros((n, 1), np.int64),
             scores=conf[:, None],
+            phase=phase_ids,
         )
         grid = tuple(args.scan_grid) if args.scan_grid else None
         if args.ang:
             from latice_tpu.data import write_ang
 
             write_ang(args.ang, dense, grid=grid, step=args.step,
-                      phase_groups=[group], phase_lattices=[lattice_abc],
-                      iq=res.bands.iq)
+                      phase_names=names, phase_groups=groups,
+                      phase_lattices=lattices, iq=res.bands.iq)
             summary["ang_out"] = args.ang
         if args.ctf:
             from latice_tpu.data import write_ctf
 
             write_ctf(args.ctf, dense, grid=grid, step=args.step,
-                      phase_groups=[group], phase_lattices=[lattice_abc])
+                      phase_names=names, phase_groups=groups,
+                      phase_lattices=lattices)
             summary["ctf_out"] = args.ctf
     print(json.dumps(summary))
 
@@ -1927,6 +2082,22 @@ def main() -> None:
         default=None,
     )
     d.add_argument("--step", type=float, default=1.0, help="scan step (um)")
+    d.add_argument(
+        "--streamed", action="store_true",
+        help="stream the dictionary rows from host RAM through the chip "
+        "in fixed chunks (beyond-HBM dictionaries; index.pattern_di."
+        "StreamedPatternDI) — multi-phase and --ambiguity compose like "
+        "the resident engine; --engine/--devices do not apply",
+    )
+    d.add_argument(
+        "--ambiguity", default=None, metavar="OUT.npz",
+        help="also write the pseudo-symmetry diagnostic (score margin to "
+        "the best genuinely different candidate, index.diagnostics)",
+    )
+    d.add_argument(
+        "--ambiguity-gap", type=float, default=0.02,
+        help="NCC margin below which a pixel is counted ambiguous",
+    )
     d.set_defaults(fn=cmd_di)
 
     qu = sub.add_parser(
@@ -1975,6 +2146,16 @@ def main() -> None:
     ho.add_argument(
         "--structure", default="fcc", choices=("fcc", "bcc", "sc", "hcp"),
         help="lattice/structure (hcp votes in point group 622)",
+    )
+    ho.add_argument(
+        "--phase", action="append", default=None, metavar="[NAME=]SPEC",
+        help="repeatable phase spec for multi-phase indexing — "
+        "'fcc:3.52', 'hcp:2.95:4.68', or a cell .json path "
+        "({'group','a',...} via sim.reflectors_from_cell for arbitrary "
+        "cells); overrides --structure/--lattice. The Radon scan runs "
+        "once, every phase is scored against the same detected bands, "
+        "the per-pixel best wins; phase ids (list positions) go to "
+        "<out>_phase.npy and the .ang/.ctf phase column",
     )
     ho.add_argument(
         "--lattice", type=float, default=3.52,

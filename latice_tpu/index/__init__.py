@@ -16,6 +16,8 @@ from latice_tpu.index.diagnostics import AmbiguityResult, candidate_ambiguity
 from latice_tpu.index.hough_indexing import (
     HoughIndexer,
     HoughIndexResult,
+    MultiPhaseHoughIndexer,
+    MultiPhaseHoughResult,
     band_plane_normals,
     solve_wahba,
 )
@@ -45,6 +47,8 @@ __all__ = [
     "IndexPipeline",
     "HoughIndexer",
     "HoughIndexResult",
+    "MultiPhaseHoughIndexer",
+    "MultiPhaseHoughResult",
     "band_plane_normals",
     "solve_wahba",
     "PatternDictionaryIndexer",

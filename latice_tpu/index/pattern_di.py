@@ -270,8 +270,12 @@ class StreamedPatternDI:
     HBM). Each query batch makes one full pass over the rows, so use a
     LARGE ``batch_size`` (1024+) to amortize the stream; below-HBM
     dictionaries should prefer `PatternDictionaryIndexer` (no
-    re-transfer per batch). Single-phase; mesh sharding composes at the
-    resident engine instead (rows/n per chip).
+    re-transfer per batch). Multi-phase composes exactly like the resident
+    engine (``dictionary_phases`` + ``phase_symmetries`` drive the same
+    `consensus_orientations`, results bit-match it) — the beyond-HBM
+    dictionaries this class exists for are the MOST likely to be
+    multi-phase. Mesh sharding still composes at the resident engine
+    instead (rows/n per chip).
 
     Args:
         dictionary_rows: ``(N, D)`` host feature rows from
@@ -285,6 +289,13 @@ class StreamedPatternDI:
         batch_size: static query compile batch.
         preprocess: optional jittable query correction (see
             `PatternDictionaryIndexer`).
+        dictionary_phases: optional ``(N,)`` int phase id per row — the
+            resident engine's multi-phase semantics (consensus counts only
+            same-phase candidates; the result carries per-query phase).
+        phase_symmetries: optional point-group name per phase id
+            (defaults to cubic "432" each, like the resident engine).
+        consensus_weight_power: optional similarity-power weighting of the
+            consensus mean (resident-engine parity; see `IndexPipeline`).
     """
 
     def __init__(
@@ -299,6 +310,9 @@ class StreamedPatternDI:
         max_iterations: int = 3,
         batch_size: int = 1024,
         preprocess: Any = None,
+        dictionary_phases: np.ndarray | None = None,
+        phase_symmetries: Any = None,
+        consensus_weight_power: float | None = None,
     ) -> None:
         if dictionary_rows.ndim != 2:
             raise ValueError(
@@ -315,6 +329,26 @@ class StreamedPatternDI:
         self.chunk_rows = chunk_rows
         self.batch_size = batch_size
         self.k = min(top_n, len(self.rows))
+        sym_tables = None
+        self.phases = None
+        if dictionary_phases is not None:
+            from latice_tpu.crystal import stack_symmetry_tables
+
+            self.phases = np.asarray(dictionary_phases, np.int32)
+            if self.phases.shape != (len(self.rows),):
+                raise ValueError(
+                    f"dictionary_phases must be ({len(self.rows)},), got "
+                    f"{self.phases.shape}"
+                )
+            n_phases = int(self.phases.max()) + 1 if len(self.rows) else 1
+            if phase_symmetries is None:
+                phase_symmetries = ["432"] * n_phases
+            if len(phase_symmetries) < n_phases:
+                raise ValueError(
+                    f"{n_phases} phase ids but only "
+                    f"{len(phase_symmetries)} phase_symmetries entries"
+                )
+            sym_tables = stack_symmetry_tables(phase_symmetries)
         preprocess = _as_preprocess_fn(preprocess)
         feat = ncc_feature_fn(bin_factor)
 
@@ -327,25 +361,46 @@ class StreamedPatternDI:
 
         self._features = jax.jit(_features)
 
-        from latice_tpu.index.consensus import consensus_from_euler
+        from latice_tpu.crystal import from_euler_zxz_deg, to_euler_zxz_deg
+        from latice_tpu.index.consensus import consensus_orientations
 
-        def _consensus(cand_euler):
-            cons = consensus_from_euler(
-                cand_euler,
+        multiphase = self.phases is not None
+
+        def _consensus(cand_euler, cand_phases, scores):
+            # Same quaternion conversion + consensus call the resident
+            # engine makes (pipeline.py), so streamed results bit-match it.
+            cand_quats = from_euler_zxz_deg(cand_euler)
+            cand_weights = None
+            if consensus_weight_power is not None:
+                # (s / s_max)**p — the pipeline's underflow-safe powering.
+                pos = jnp.maximum(scores.astype(jnp.float32), 0.0)
+                topw = jnp.maximum(
+                    jnp.max(pos, axis=-1, keepdims=True), jnp.float32(1e-30)
+                )
+                cand_weights = (pos / topw) ** consensus_weight_power
+            cons = consensus_orientations(
+                cand_quats,
                 orientation_threshold,
                 min_required_matches=min_required_matches,
                 max_iterations=min(max_iterations, self.k),
+                cand_phases=cand_phases if multiphase else None,
+                sym_tables=sym_tables,
+                cand_weights=cand_weights,
             )
-            from latice_tpu.crystal import from_euler_zxz_deg, to_euler_zxz_deg
-
-            top1 = to_euler_zxz_deg(from_euler_zxz_deg(cand_euler[:, 0]))
+            top1 = to_euler_zxz_deg(cand_quats[:, 0])
             best = jnp.where(cons.success[:, None], cons.mean_euler, top1)
-            return (
+            out = (
                 cons.mean_euler,
                 best,
                 cons.success,
                 cons.similar_mask.sum(axis=1),
             )
+            if multiphase:
+                # Failure fallback mirrors `best`: the top-1's phase.
+                out = out + (
+                    jnp.where(cons.success, cons.phase, cand_phases[:, 0]),
+                )
+            return out
 
         self._consensus = jax.jit(_consensus)
 
@@ -356,6 +411,7 @@ class StreamedPatternDI:
         x = np.asarray(patterns)
         if x.ndim == 3:
             x = x[..., None]
+        multiphase = self.phases is not None
         if len(x) == 0:
             k = self.k
             return DenseIndexResult(
@@ -365,7 +421,7 @@ class StreamedPatternDI:
                 n_similar=np.zeros((0,), np.int64),
                 indices=np.zeros((0, k), np.int64),
                 scores=np.zeros((0, k), np.float64),
-                phase=None,
+                phase=np.zeros((0,), np.int64) if multiphase else None,
             )
         parts = []
         for n, chunk in padded_batches(x, self.batch_size):
@@ -374,13 +430,26 @@ class StreamedPatternDI:
                 feats, self.rows, self.k, chunk_rows=self.chunk_rows
             )
             idx_host = np.asarray(indices)
-            # Candidate angles gather on HOST (a (B, K) gather from the
-            # (N, 3) table is the TPU slow-gather landmine; the table may
-            # not even fit on device at streamed sizes).
+            # Candidate angles/phases gather on HOST (a (B, K) gather from
+            # the (N, 3) table is the TPU slow-gather landmine; the table
+            # may not even fit on device at streamed sizes).
             cand = self.orientations[idx_host.reshape(-1)].reshape(
                 idx_host.shape + (3,)
             )
-            mean, best, success, n_sim = self._consensus(jnp.asarray(cand))
+            cand_ph = (
+                self.phases[idx_host]
+                if multiphase
+                else np.zeros(idx_host.shape, np.int32)
+            )
+            out = self._consensus(
+                jnp.asarray(cand), jnp.asarray(cand_ph), scores
+            )
+            mean, best, success, n_sim = out[:4]
+            phase_b = (
+                np.asarray(out[4])[:n]
+                if multiphase
+                else np.zeros((n,), np.int64)
+            )
             parts.append(
                 (
                     n,
@@ -390,11 +459,12 @@ class StreamedPatternDI:
                     np.asarray(n_sim)[:n],
                     idx_host[:n],
                     np.asarray(scores)[:n],
+                    phase_b,
                 )
             )
-        _, mean, best, success, n_sim, indices, scores = (
+        _, mean, best, success, n_sim, indices, scores, phase = (
             np.concatenate([p[i] for p in parts]) if i else None
-            for i in range(7)
+            for i in range(8)
         )
         mean = np.where(success[:, None], mean, np.nan).astype(np.float64)
         return DenseIndexResult(
@@ -404,5 +474,5 @@ class StreamedPatternDI:
             n_similar=n_sim.astype(np.int64),
             indices=indices.astype(np.int64),
             scores=scores.astype(np.float64),
-            phase=None,
+            phase=phase.astype(np.int64) if multiphase else None,
         )

@@ -257,25 +257,36 @@ class TestGridPadMasking:
             _rotate(grid_q, jnp.asarray(refl, jnp.float32))
         ).reshape(1, 4, -1, 3)
 
-        # 5 true bands (weight 1) + 3 decoys exactly on q0 (weight 2):
-        # q0 votes 6, q1 votes 5; after refinement q1 matches 5 bands
-        # vs q0's 3, so re-ranking must pick q1 — IF it made the list.
+        # 5 true bands (weight 1) + 3 heavy decoys near q0 (weight 2),
+        # each perturbed 2.5° about a DIFFERENT axis so no single rotation
+        # fits all three: q0 out-votes q1 (~5.8 vs ~4.9 inside the wide
+        # vote gate) but after refinement its residuals stay ~2°, so the
+        # soft band-credit rank must pick q1's basin (5 precise bands) —
+        # IF q1 made the candidate list.
         true_bands = refl @ q_true.as_matrix().T
-        decoys = refl[:3]  # q0 = identity: rotated normals are refl itself
+        perturb_axes = np.eye(3)[[2, 0, 1]]  # z for x-band, x for y, y for z
+        decoys = np.stack(
+            [
+                R.from_rotvec(np.radians(2.5) * ax).apply(n)
+                for n, ax in zip(refl[:3], perturb_axes)
+            ]
+        )
         nrm = np.concatenate([true_bands, decoys])[None]  # (1, 8, 3)
         wts = np.array([[1.0] * 5 + [2.0] * 3])
 
-        q, fit, nm, vote = _index_bands(
+        q, fit, nm, vote, score = _index_bands(
             jnp.asarray(nrm, jnp.float32),
             jnp.asarray(wts, jnp.float32),
             grid_q,
             grid_normals,
             jnp.asarray(refl, jnp.float32),
+            jnp.ones(len(refl), jnp.float32),
             tol_rad=math.radians(3.0),
             vote_tol_rad=math.radians(6.0),
             refine_iters=2,
             top_p=2,
             m_valid=2,
+            i_weight=0.5,
         )
         assert int(nm[0]) == 5
         q_est = np.asarray(q, np.float64)[0]
@@ -308,3 +319,191 @@ class TestValidation:
                 n_bands=8,
                 detector=det,
             )
+
+
+def misorientation_deg(q_est, q_true, group):
+    """Min misorientation over the group's images, degrees (host oracle)."""
+    sym = R.from_quat(np.roll(ROTATION_GROUPS[group], -1, axis=1))
+    r_est = R.from_quat(np.roll(np.atleast_2d(q_est), -1, axis=1))
+    r_true = R.from_quat(np.roll(np.atleast_2d(q_true), -1, axis=1))
+    out = []
+    for e, t in zip(r_est, r_true):
+        angs = [((e * s).inv() * t).magnitude() for s in sym]
+        out.append(math.degrees(min(angs)))
+    return np.array(out)
+
+
+@pytest.fixture(scope="module")
+def two_phase():
+    """fcc (Ni) + hcp (Ti) renders at known orientations on one detector:
+    the vendor multi-phase scenario — same bands machinery, different
+    reflector geometry, the winner decided per pixel."""
+    from latice_tpu.sim import hexagonal_reflectors
+
+    geometry = DetectorGeometry(shape=(64, 64), pcx=0.5, pcy=0.5, dd=0.7)
+    fcc = cubic_reflectors("fcc", a=3.52, kv=20.0)
+    hcp = hexagonal_reflectors(a=2.95, c=4.68, kv=20.0, max_hkl=3, min_d=1.0)
+    q_fcc = np.roll(R.random(8, random_state=5).as_quat(), 1, axis=1)
+    q_hcp = np.roll(R.random(8, random_state=6).as_quat(), 1, axis=1)
+    p_fcc = simulate_patterns(q_fcc, geometry, fcc, chunk=16)
+    p_hcp = simulate_patterns(q_hcp, geometry, hcp, chunk=16)
+    patterns = np.concatenate([p_fcc, p_hcp])
+    truth_phase = np.array([0] * 8 + [1] * 8)
+    q_true = np.concatenate([q_fcc, q_hcp])
+    detector = BandDetector(
+        height=64, width=64, n_theta=90, n_rho=64, k=8,
+        band_width_px=5.0, batch_size=16,
+    )
+    kwargs = dict(
+        grid_resolution_deg=4.0, n_bands=8, tolerance_deg=4.0,
+        batch_size=16, detector=detector,
+    )
+    return geometry, fcc, hcp, patterns, truth_phase, q_true, kwargs
+
+
+class TestMultiPhase:
+    def test_phase_discrimination_and_accuracy(self, two_phase):
+        """Verdict item 3's Done criterion: an fcc-vs-hcp two-phase run
+        assigns every render to its true phase and recovers orientations
+        through the winner's own symmetry."""
+        from latice_tpu.index.hough_indexing import MultiPhaseHoughIndexer
+
+        geometry, fcc, hcp, patterns, truth_phase, q_true, kwargs = two_phase
+        mpi = MultiPhaseHoughIndexer(
+            [(fcc, "432"), (hcp, "622")], geometry, **kwargs
+        )
+        res = mpi(patterns)
+        assert res.phase.shape == (16,)
+        # Phase discrimination: renders are clean, every pixel must land.
+        np.testing.assert_array_equal(res.phase, truth_phase)
+        assert res.success.all()
+        for pid, group in ((0, "432"), (1, "622")):
+            m = truth_phase == pid
+            err = misorientation_deg(
+                res.quaternions[m], q_true[m], group
+            )
+            assert np.median(err) < 1.5, (pid, err)
+            assert err.max() < 4.0, (pid, err)
+
+    def test_winner_fields_match_per_phase(self, two_phase):
+        """The selected fields must equal the winning phase's own result
+        row-for-row (take_along_axis wiring)."""
+        from latice_tpu.index.hough_indexing import MultiPhaseHoughIndexer
+
+        geometry, fcc, hcp, patterns, truth_phase, _, kwargs = two_phase
+        mpi = MultiPhaseHoughIndexer(
+            [(fcc, "432"), (hcp, "622")], geometry, **kwargs
+        )
+        res = mpi(patterns[:6])
+        assert len(res.per_phase) == 2
+        for i, p in enumerate(res.phase):
+            src = res.per_phase[p]
+            np.testing.assert_array_equal(
+                res.quaternions[i], src.quaternions[i]
+            )
+            assert res.fit_deg[i] == src.fit_deg[i]
+            assert res.n_matched[i] == src.n_matched[i]
+            assert res.vote_score[i] == src.vote_score[i]
+            assert res.success[i] == src.success[i]
+
+    def test_single_phase_degrades_to_plain_indexer(self, two_phase):
+        """One phase in the list == the plain HoughIndexer, bit for bit;
+        the shared detector runs the Radon scan once either way."""
+        from latice_tpu.index.hough_indexing import MultiPhaseHoughIndexer
+
+        geometry, fcc, _, patterns, _, _, kwargs = two_phase
+        single = HoughIndexer(fcc, geometry, group="432", **kwargs)
+        mpi = MultiPhaseHoughIndexer([(fcc, "432")], geometry, **kwargs)
+        a = single(patterns[:5])
+        b = mpi(patterns[:5])
+        np.testing.assert_array_equal(a.quaternions, b.quaternions)
+        np.testing.assert_array_equal(a.fit_deg, b.fit_deg)
+        assert (b.phase == 0).all()
+
+    def test_groups_property_and_validation(self, two_phase):
+        from latice_tpu.index.hough_indexing import MultiPhaseHoughIndexer
+
+        geometry, fcc, hcp, *_ , kwargs = two_phase
+        mpi = MultiPhaseHoughIndexer(
+            [(fcc, "432"), (hcp, "622")], geometry, **kwargs
+        )
+        assert mpi.groups == ["432", "622"]
+        with pytest.raises(ValueError, match="at least one"):
+            MultiPhaseHoughIndexer([], geometry, **kwargs)
+
+
+class TestShardedHough:
+    """mesh= grid sharding: the orientation grid splits over the 8-device
+    virtual mesh; per-shard winners merge by band-credit rank — results
+    must match the single-device indexer."""
+
+    def test_mesh_matches_single_device(self, e2e):
+        from latice_tpu.parallel import make_mesh
+
+        indexer, patterns, q_true = e2e
+        mesh_ix = HoughIndexer(
+            cubic_reflectors("fcc", a=3.52, kv=20.0),
+            indexer.geometry,
+            group="432",
+            grid_resolution_deg=4.0,
+            n_bands=8,
+            tolerance_deg=4.0,
+            batch_size=16,
+            detector=indexer.detector,
+            mesh=make_mesh(8),
+        )
+        single = indexer(patterns)
+        sharded = mesh_ix(patterns)
+        # Superset contract: every shard refines its own top_p, so the
+        # union of candidates CONTAINS the single-device list — the merged
+        # winner's band-credit rank can only match or beat it (it may be a
+        # same-basin candidate the single-device top_p missed). Slack
+        # covers f32 program-order noise: the sharded program fuses
+        # differently and arccos amplifies ~1e-7 dot differences near 1.
+        assert (sharded.band_score >= single.band_score - 0.01).all()
+        # Same basins in practice: quaternions agree to well under the
+        # Radon-bin scale.
+        dots = np.abs(np.sum(sharded.quaternions * single.quaternions, axis=1))
+        assert dots.min() > math.cos(math.radians(1.0))  # < 2 deg apart
+        assert sharded.success.all()
+        err = cubic_misorientation_deg(sharded.quaternions, q_true)
+        assert np.median(err) < 1.5
+        assert err.max() < 4.0
+
+    def test_mesh_pads_uneven_chunks(self):
+        """A grid whose chunk count does not divide the mesh size pads
+        with masked chunks; an all-pad shard can never win (argmax ties
+        resolve to device 0 where the real grid[0] lives)."""
+        from latice_tpu.parallel import make_mesh
+
+        geometry = DetectorGeometry(shape=(64, 64), pcx=0.5, pcy=0.5, dd=0.7)
+        reflectors = cubic_reflectors("fcc", a=3.52, kv=20.0)
+        detector = BandDetector(
+            height=64, width=64, n_theta=90, n_rho=64, k=8,
+            band_width_px=5.0, batch_size=8,
+        )
+        # Coarse grid -> few chunks (certainly not divisible by 8 after
+        # grid_chunk=64 chunking), so several shards are pure padding.
+        kw = dict(
+            group="432", grid_resolution_deg=8.0, n_bands=8,
+            tolerance_deg=5.0, batch_size=8, detector=detector,
+            grid_chunk=64,
+        )
+        single = HoughIndexer(reflectors, geometry, **kw)
+        sharded = HoughIndexer(
+            reflectors, geometry, mesh=make_mesh(8), **kw
+        )
+        assert single._grid_normals.shape[0] != sharded._grid_normals.shape[0]
+        q_true = np.roll(R.random(6, random_state=2).as_quat(), 1, axis=1)
+        pats = simulate_patterns(q_true, geometry, reflectors, chunk=8)
+        a = single(pats)
+        b = sharded(pats)
+        # Both recover the truth despite several all-pad shards; the
+        # merged winner carries finite (real-candidate) scores.
+        assert (b.band_score >= a.band_score - 0.01).all()
+        ea = cubic_misorientation_deg(a.quaternions, q_true)
+        eb = cubic_misorientation_deg(b.quaternions, q_true)
+        assert np.median(eb) <= np.median(ea) + 0.5
+        assert eb.max() < 5.0
+        assert np.isfinite(b.vote_score).all()
+        assert np.isfinite(b.band_score).all()

@@ -25,34 +25,31 @@ import pytest
 
 REPO = Path(__file__).resolve().parents[1]
 
-# Floors ~8% under the best recorded values (r3: one-pass InstanceNorm
-# statistics + the Pallas fused matmul+top-k engine lifted the headline —
-# see BENCH_HISTORY.jsonl), so real regressions trip while run-to-run
-# tunnel noise does not. NOTE: a congested tunnel (dispatch_ms_per_iter
-# >> 1 in the bench output) invalidates any run; re-run on a quiet rig
-# before treating a floor trip as a code regression.
+# Floors ~8% under the best recorded values (ratcheted to the r3
+# end-of-round driver run, BENCH_r03.json / BENCH_HISTORY.jsonl), so real
+# regressions trip while run-to-run tunnel noise does not. NOTE: a
+# congested tunnel (dispatch_ms_per_iter >> 1 in the bench output)
+# invalidates any run; re-run on a quiet rig before treating a floor trip
+# as a code regression.
 FLOORS = {
-    "value": 43_000.0,  # headline patterns/sec/chip
-    "train_steps_per_sec_b256": 26.1,
-    "scaled_encode_patterns_per_sec": 20_000.0,
-    "scaled_train_steps_per_sec": 11.5,
-    "di_patterns_per_sec": 60_000.0,  # pattern-DI bin2, 100k dict
-    "vs_baseline": 5.16,
+    "value": 44_200.0,  # headline patterns/sec/chip
+    "train_steps_per_sec_b256": 26.4,
+    "scaled_encode_patterns_per_sec": 20_600.0,
+    "scaled_train_steps_per_sec": 11.6,
+    "di_patterns_per_sec": 65_000.0,  # pattern-DI bin2, 100k dict
+    "vs_baseline": 5.3,
 }
 
-# Best recorded values (update when a round sets a new record). The r3
-# headline is the on-chip drive of the bench-identical fused-engine
-# pipeline (46,975 patterns/s at 21.80 ms/batch, early-exit arm; the
-# shipped no-early-exit default measured another ~1.3 ms faster at the
-# kernel level) — the rig's tunnel degraded before bench.py could record
-# it in BENCH_HISTORY.jsonl.
+# Best recorded values (update when a round sets a new record): the r3
+# driver bench (BENCH_r03.json) plus the best di row from
+# BENCH_HISTORY.jsonl's r3 runs.
 RECORD = {
-    "value": 46_975.0,
-    "train_steps_per_sec_b256": 28.41,
-    "scaled_encode_patterns_per_sec": 21_931.2,
-    "scaled_train_steps_per_sec": 12.53,
-    "di_patterns_per_sec": 65_302.0,  # r3 pattern-DI bin2 (ROADMAP)
-    "vs_baseline": 5.637,
+    "value": 48_059.1,
+    "train_steps_per_sec_b256": 28.68,
+    "scaled_encode_patterns_per_sec": 22_427.9,
+    "scaled_train_steps_per_sec": 12.58,
+    "di_patterns_per_sec": 70_658.6,
+    "vs_baseline": 5.767,
 }
 
 
