@@ -11,7 +11,11 @@ needs no external tooling.
 """
 
 from latice_tpu.sim.geometry import DetectorGeometry, pixel_directions
-from latice_tpu.sim.calibrate import calibrate_geometry
+from latice_tpu.sim.calibrate import (
+    ScanCalibration,
+    calibrate_geometry,
+    calibrate_scan_geometry,
+)
 from latice_tpu.sim.master import (
     directions_to_lambert,
     lambert_to_directions,
@@ -49,7 +53,9 @@ __all__ = [
     "AtomSite",
     "CrystalStructure",
     "DetectorGeometry",
+    "ScanCalibration",
     "calibrate_geometry",
+    "calibrate_scan_geometry",
     "channeling_intensities",
     "Reflectors",
     "cubic_reflectors",

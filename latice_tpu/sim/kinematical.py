@@ -280,7 +280,12 @@ def _quat_rotate(q: jax.Array, v: jax.Array) -> jax.Array:
         ],
         axis=-1,
     ).reshape(-1, 3, 3)
-    return jnp.einsum("bij,kj->bki", r, v)
+    # HIGHEST: a default-precision (bf16-MXU) 3x3 contraction moves the
+    # rotated normals by ~1e-3, which bends band positions enough to floor
+    # the autodiff refine/calibrate fits on TPU; the op is tiny.
+    return jnp.einsum(
+        "bij,kj->bki", r, v, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("edge_frac", "out_uint8"))

@@ -56,7 +56,13 @@ def _simulate_flat(quats, dirs, normals, sin_theta, intensity, edge_frac):
     half = sin_theta[None, None, :]
     soft = jnp.maximum(half * edge_frac, 1e-6)
     profile = jax.nn.sigmoid((half - jnp.abs(sines)) / soft)
-    x = jnp.einsum("bpk,k->bp", profile, intensity)
+    # HIGHEST here too: on TPU a default-precision contraction runs bf16 on
+    # the MXU, which puts a ~1e-3 noise floor under the calibration fits
+    # (measured on-chip); the render is tiny, full precision is free.
+    x = jnp.einsum(
+        "bpk,k->bp", profile, intensity,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     x = x - jnp.mean(x, axis=1, keepdims=True)
     return x / (jnp.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
 

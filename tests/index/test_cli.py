@@ -1570,3 +1570,104 @@ class TestHoughIqInQuery:
         # Streamed slab-by-slab (10+10+4) yet one IQ row per pattern.
         assert hiq.shape == (24,)
         assert summary["n_patterns"] == 24
+
+
+class TestCalibrateCli:
+    """index.py calibrate — autodiff PC calibration from the CLI."""
+
+    @pytest.fixture(scope="class")
+    def scan(self, tmp_path_factory):
+        """A 3x4 synthetic scan whose PC drifts affinely with position."""
+        from scipy.spatial.transform import Rotation as R
+
+        from latice_tpu.sim import (
+            DetectorGeometry, cubic_reflectors, simulate_patterns,
+        )
+
+        td = tmp_path_factory.mktemp("calscan")
+        rng = np.random.default_rng(7)
+        refl = cubic_reflectors("fcc", max_hkl=2, min_d=1.0)
+        pc0 = np.array([0.52, 0.47, 0.68])
+        g = np.array([[-0.03 / 3.0, 0.0], [0.0, 0.02 / 2.0],
+                      [0.0, 0.01 / 2.0]])  # per scan STEP (step=1)
+        rr, cc = np.divmod(np.arange(12), 4)
+        scan_xy = np.stack([cc.astype(float), rr.astype(float)], axis=1)
+        truth = R.random(12, random_state=rng)
+        tq = np.roll(truth.as_quat(), 1, axis=1).astype(np.float32)
+        pats = []
+        for i, xy in enumerate(scan_xy):
+            pc = pc0 + g @ xy
+            geom = DetectorGeometry(shape=(64, 64), pcx=pc[0], pcy=pc[1],
+                                    dd=pc[2])
+            pats.append(simulate_patterns(tq[i:i + 1], geom, refl)[0])
+        ppath = td / "p.npy"
+        np.save(ppath, np.stack(pats))
+        qpath = td / "q.npy"
+        np.save(qpath, tq)
+        return td, ppath, qpath, pc0, g
+
+    def test_shared_pc_fit(self, scan, monkeypatch, capsys):
+        td, ppath, qpath, pc0, g = scan
+        out = str(td / "shared.npz")
+        stdout = _run(
+            ["calibrate", "--patterns", str(ppath),
+             "--orientations", str(qpath), "--out", out,
+             "--max-hkl", "2", "--min-d", "1.0", "--pin",
+             "--steps", "150"],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(stdout.strip().splitlines()[-1])
+        assert summary["model"] == "shared"
+        assert summary["pinned"] is True
+        assert summary["mean_ncc"] > 0.8
+        saved = np.load(out)
+        # The shared fit lands near the scan-mean PC (the affine drift is
+        # unmodelled here; the affine test below recovers it exactly).
+        assert np.allclose(saved["pc"], summary["pc"])
+        assert saved["refined_quats"].shape == (12, 4)
+
+    def test_affine_scan_fit_recovers_model(self, scan, monkeypatch, capsys):
+        td, ppath, qpath, pc0, g = scan
+        out = str(td / "affine.npz")
+        stdout = _run(
+            ["calibrate", "--patterns", str(ppath),
+             "--orientations", str(qpath), "--out", out,
+             "--scan-grid", "3", "4", "--step", "1.0",
+             "--max-hkl", "2", "--min-d", "1.0", "--pin",
+             "--steps", "300"],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(stdout.strip().splitlines()[-1])
+        assert summary["model"] == "affine"
+        saved = np.load(out)
+        np.testing.assert_allclose(saved["pc0"], pc0, atol=1e-4)
+        np.testing.assert_allclose(saved["gradient"], g, atol=1e-4)
+        assert summary["mean_ncc"] > 0.999
+
+    def test_euler_npy_and_ang_orientations(self, scan, monkeypatch, capsys):
+        """Euler .npy input parses; grid mismatch is rejected."""
+        import jax.numpy as jnp
+
+        from latice_tpu.crystal import to_euler_zxz_deg
+
+        td, ppath, qpath, pc0, g = scan
+        tq = np.load(qpath)
+        epath = td / "e.npy"
+        np.save(epath, np.asarray(to_euler_zxz_deg(jnp.asarray(tq))))
+        out = str(td / "fromeuler.npz")
+        stdout = _run(
+            ["calibrate", "--patterns", str(ppath),
+             "--orientations", str(epath), "--out", out,
+             "--max-hkl", "2", "--min-d", "1.0", "--pin",
+             "--steps", "30"],
+            monkeypatch, capsys,
+        )
+        assert json.loads(stdout.strip().splitlines()[-1])["n_used"] == 12
+        with pytest.raises(SystemExit, match="does not hold"):
+            _run(
+                ["calibrate", "--patterns", str(ppath),
+                 "--orientations", str(qpath), "--out", out,
+                 "--scan-grid", "5", "5", "--steps", "10",
+                 "--max-hkl", "2", "--min-d", "1.0"],
+                monkeypatch, capsys,
+            )
