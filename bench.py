@@ -235,6 +235,46 @@ def bench_hough_throughput(batch_size: int = 256) -> float:
     return batch_size / ((time.time() - t0) / n_iter)
 
 
+def bench_streamed_di_throughput(
+    n_rows: int = 262_144, batch_size: int = 1024
+) -> float:
+    """Streamed pattern-DI (beyond-HBM engine) patterns/sec.
+
+    A 262k x 1024 bf16 feature table (bin-4 DI on 128² patterns) lives in
+    HOST RAM and streams through the chip per query batch with the
+    double-buffered running top-k merge (index.knn.cosine_topk_streamed),
+    then the same consensus as the resident engine. End-to-end per batch:
+    uint8 host patterns in, features on device, 4 stream chunks, host
+    gather of candidate angles, device consensus. The number is
+    host-link x merge bound BY DESIGN — that is the engine's cost model
+    (each batch re-reads the table); its floor mostly guards the stream
+    overlap machinery, and like every row it is invalidated by a congested
+    tunnel (see dispatch_ms_per_iter).
+    """
+    import ml_dtypes
+
+    from latice_tpu.index import StreamedPatternDI
+
+    rng = np.random.default_rng(5)
+    rows = rng.standard_normal((n_rows, 1024), dtype=np.float32)
+    rows -= rows.mean(axis=1, keepdims=True)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    rows = rows.astype(ml_dtypes.bfloat16)
+    orients = rng.uniform([0, 20, 0], [340, 140, 340], size=(n_rows, 3))
+    di = StreamedPatternDI(
+        rows, orients, bin_factor=4, chunk_rows=65536,
+        top_n=10, min_required_matches=1, batch_size=batch_size,
+    )
+    q = rng.integers(0, 255, size=(batch_size, 128, 128), dtype=np.uint8)
+    di(q[:batch_size])  # warm: compiles features + stream step + consensus
+    n_iter = 3
+    t0 = time.time()
+    for _ in range(n_iter):
+        out = di(q)
+    assert len(out.success) == batch_size
+    return batch_size / ((time.time() - t0) / n_iter)
+
+
 def bench_dispatch_overhead() -> float:
     """Per-dispatch overhead of the host<->device link, ms.
 
@@ -264,6 +304,7 @@ def main() -> None:
     scaled_steps = bench_scaled_train()
     di_per_sec = bench_di_throughput()
     hough_per_sec = bench_hough_throughput()
+    streamed_di_per_sec = bench_streamed_di_throughput()
     result = {
         "metric": "encode+top10-index throughput (100k dict, b1024, bf16)",
         "value": round(patterns_per_sec, 1),
@@ -275,6 +316,7 @@ def main() -> None:
         "scaled_train_steps_per_sec": round(scaled_steps, 2),
         "di_patterns_per_sec": round(di_per_sec, 1),
         "hough_patterns_per_sec": round(hough_per_sec, 1),
+        "streamed_di_patterns_per_sec": round(streamed_di_per_sec, 1),
         "dispatch_ms_per_iter": round(dispatch_ms, 3),
         "device": str(jax.devices()[0]),
     }

@@ -317,6 +317,7 @@ def cmd_query(args) -> None:
 
         f, dset = find_pattern_dataset(args.patterns, args.h5_dataset)
         slabs = None
+        raw_dtype = dset.dtype
         try:
             if getattr(args, "nlpar", None) or refine_steps:
                 # NLPAR averages across scan rows and --refine re-reads the
@@ -349,6 +350,7 @@ def cmd_query(args) -> None:
         from latice_tpu.data import iter_up_batches, open_up_patterns
 
         header, pats = open_up_patterns(args.patterns)
+        raw_dtype = pats.dtype
         if not args.scan_grid and header.scan_grid:
             # Square-grid UP headers carry the scan geometry; use it so
             # NLPAR and .ang/.ctf export work without an explicit flag.
@@ -387,6 +389,18 @@ def cmd_query(args) -> None:
         "success_rate": float(result.success.mean()),
         "seconds": dt,
         "out": args.out,
+        # Result provenance: on TPU the uint8 and float input paths compile
+        # to different XLA programs whose bf16 roundings can differ by
+        # ~1e-2 in score and swap near-tied candidates (ROADMAP "uint8 vs
+        # f32"; pinned on-chip by the opt-in tests/test_bench_gate.py
+        # tripwire) — record which path produced this result. Slab-streamed
+        # stores ride the uint8 device-side /255 fast path only for uint8
+        # sources; every other dtype reaches the model as float32.
+        "input_dtype": (
+            str(x.dtype)
+            if x is not None
+            else ("uint8" if raw_dtype == np.uint8 else "float32")
+        ),
     }
     # Persist the dictionary-indexed result BEFORE refinement: a refine
     # failure (shape mismatch, OOM) must not discard a potentially

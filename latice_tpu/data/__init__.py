@@ -28,6 +28,7 @@ from latice_tpu.data.hough import (
     radon_matrix,
 )
 from latice_tpu.data.nlpar import estimate_noise_sigma, nlpar_denoise
+from latice_tpu.data.streaming import StreamedDPDataModule
 from latice_tpu.data.prefetch import prefetch_host, prefetch_to_device
 from latice_tpu.data.preprocess import (
     PreprocessConfig,
@@ -63,6 +64,7 @@ __all__ = [
     "BandDetection",
     "BandDetector",
     "DPDataModule",
+    "StreamedDPDataModule",
     "DPdataset",
     "PreprocessConfig",
     "butterfly_kernel",

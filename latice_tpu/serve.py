@@ -379,6 +379,13 @@ class IndexService:
             "success": res.success.tolist(),
             "n_similar": res.n_similar.tolist(),
             "seconds": time.time() - t0,
+            # Result provenance: on TPU the uint8 and float input paths
+            # compile to different XLA programs whose bf16 roundings can
+            # differ by ~1e-2 in score and swap near-tied candidates
+            # (ROADMAP "uint8 vs f32"; pinned on-chip by the opt-in gate
+            # tests/test_bench_gate.py) — so every result records which
+            # path produced it.
+            "input_dtype": str(x.dtype),
         }
         if res.phase is not None:
             out["phase"] = res.phase.tolist()

@@ -82,6 +82,78 @@ class TestGateLogic:
         assert any("missing" in v for v in check_floors(partial))
 
 
+# The uint8-vs-f32 contract (ROADMAP "uint8 vs f32"): on TPU the two input
+# dtypes compile to different XLA programs whose bf16 roundings differ;
+# scores must agree to ~bf16 eps and the rankings must be near-identical.
+# Measured on-chip (r4, untrained 8/16 model, 20k random dictionary, b256):
+# bare pipeline score_eps 0.0 / top1 agreement 1.00 (the /255-then-encode
+# programs fuse identically today); with a preprocess recipe in the loop
+# (dynamic background + clip — different fusion groups per dtype)
+# score_eps 1.1e-2 / top1 agreement 0.98. Limits hold slack above the
+# preprocess case so a real program change trips, XLA-version noise does
+# not; results carry "input_dtype" provenance (serve.py / cmd_query).
+DTYPE_SCORE_EPS_LIMIT = 2e-2
+DTYPE_TOP1_AGREEMENT_FLOOR = 0.95
+DTYPE_PROBE = """
+import json
+import numpy as np, jax, jax.numpy as jnp
+from latice_tpu.index import IndexPipeline
+from latice_tpu.models import VariationalAutoEncoderRawData
+from latice_tpu.data import PreprocessConfig
+rng = np.random.default_rng(0)
+model = VariationalAutoEncoderRawData(inplanes=8, latent_dim=16, dtype=jnp.bfloat16)
+params = model.init(
+    {"params": jax.random.key(0)}, jnp.zeros((1, 128, 128, 1)), jax.random.key(1)
+)["params"]
+vecs = rng.normal(size=(20000, 16)).astype(np.float32)
+vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+orients = rng.uniform([0, 20, 0], [340, 140, 340], size=(20000, 3))
+q8 = rng.integers(0, 255, size=(256, 128, 128, 1), dtype=np.uint8)
+out = {}
+for tag, pre in (
+    ("bare", None),
+    ("preprocess", PreprocessConfig(dynamic_sigma=16.0, clip_sigma=4.0)),
+):
+    pipe = IndexPipeline(model, params, vecs, orients, top_n=10,
+                         orientation_threshold=3.0, min_required_matches=1,
+                         batch_size=256, preprocess=pre)
+    r8 = pipe(q8)
+    rf = pipe(q8.astype(np.float32) / 255.0)
+    out[tag + "_score_eps"] = float(np.max(np.abs(r8.scores - rf.scores)))
+    out[tag + "_top1_agreement"] = float(
+        np.mean(r8.indices[:, 0] == rf.indices[:, 0])
+    )
+print(json.dumps(out))
+"""
+
+
+@pytest.mark.tpu_bench
+@pytest.mark.skipif(
+    os.environ.get("LATICE_TPU_BENCH") != "1",
+    reason="TPU bench gate is opt-in: set LATICE_TPU_BENCH=1",
+)
+def test_uint8_f32_dtype_contract_on_tpu():
+    """Pin the documented uint8/f32 score-divergence bound ON THE CHIP
+    (CPU runs agree bit-exactly, so only a TPU run can guard this)."""
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+    proc = subprocess.run(
+        [sys.executable, "-c", DTYPE_PROBE],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = json.loads(proc.stdout.strip().splitlines()[-1])
+    for tag in ("bare", "preprocess"):
+        assert got[f"{tag}_score_eps"] <= DTYPE_SCORE_EPS_LIMIT, got
+        assert (
+            got[f"{tag}_top1_agreement"] >= DTYPE_TOP1_AGREEMENT_FLOOR
+        ), got
+
+
 @pytest.mark.tpu_bench
 @pytest.mark.skipif(
     os.environ.get("LATICE_TPU_BENCH") != "1",
