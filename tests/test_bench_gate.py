@@ -37,18 +37,23 @@ FLOORS = {
     "scaled_encode_patterns_per_sec": 20_600.0,
     "scaled_train_steps_per_sec": 11.6,
     "di_patterns_per_sec": 65_000.0,  # pattern-DI bin2, 100k dict
+    "hough_patterns_per_sec": 3_000.0,  # band detect + grid vote + q-method
+    "streamed_di_patterns_per_sec": 84.0,  # >HBM stream; host-link bound
     "vs_baseline": 5.3,
 }
 
 # Best recorded values (update when a round sets a new record): the r3
 # driver bench (BENCH_r03.json) plus the best di row from
-# BENCH_HISTORY.jsonl's r3 runs.
+# BENCH_HISTORY.jsonl's r3 runs and the first r4 rows for the new
+# hough/streamed-DI planes (BENCH_HISTORY 2026-08-19T20:55).
 RECORD = {
     "value": 48_059.1,
     "train_steps_per_sec_b256": 28.68,
     "scaled_encode_patterns_per_sec": 22_427.9,
     "scaled_train_steps_per_sec": 12.58,
     "di_patterns_per_sec": 70_658.6,
+    "hough_patterns_per_sec": 3_272.4,
+    "streamed_di_patterns_per_sec": 91.4,
     "vs_baseline": 5.767,
 }
 
