@@ -1072,6 +1072,115 @@ def _calibration_subset(n: int, grid, success: np.ndarray,
     return idx
 
 
+def cmd_strain(args) -> None:
+    """HR-EBSD cross-correlation strain/rotation mapping (latice_tpu.hrebsd).
+
+    Measures the RELATIVE elastic strain and lattice rotation of every
+    pattern against a reference pattern from the same grain — the
+    Wilkinson HR-EBSD method (sub-pixel ROI shifts → displacement-gradient
+    tensor), the vendor capability behind CrossCourt / OIM's HR-EBSD
+    module. With ``--stiffness`` the traction-free surface condition
+    closes the hydrostatic gauge and stress maps are emitted too.
+
+    The reference must share the grain (cross-correlation needs the same
+    zone axes on screen); run per grain, selecting ``--ref`` inside it.
+    """
+    from latice_tpu.crystal.elastic import CUBIC_STIFFNESS, cubic_stiffness
+    from latice_tpu.hrebsd import hrebsd_map, von_mises_strain
+    from latice_tpu.sim import DetectorGeometry
+
+    raw = _load_raw_pattern_stack(args)
+    if raw.ndim == 4:
+        raw = raw.reshape(-1, *raw.shape[-2:])
+    if raw.dtype != np.uint8:
+        raw = raw.astype(np.float32, copy=False)
+    if not 0 <= args.ref < len(raw):
+        raise SystemExit(
+            f"--ref {args.ref} out of range for {len(raw)} patterns"
+        )
+    geometry = DetectorGeometry(
+        shape=raw.shape[1:], pcx=args.pc[0], pcy=args.pc[1],
+        dd=args.pc[2], tilt=args.tilt,
+    )
+
+    stiffness = None
+    if args.stiffness:
+        parts = args.stiffness.split(",")
+        if len(parts) == 3:
+            stiffness = cubic_stiffness(*(float(p) for p in parts))
+        elif args.stiffness in CUBIC_STIFFNESS:
+            stiffness = cubic_stiffness(*CUBIC_STIFFNESS[args.stiffness])
+        else:
+            raise SystemExit(
+                f"--stiffness {args.stiffness!r}: use C11,C12,C44 (GPa) or "
+                f"one of {sorted(CUBIC_STIFFNESS)}"
+            )
+    orientations = None
+    if args.euler:
+        import jax.numpy as jnp
+
+        from latice_tpu.crystal import from_euler_zxz_deg
+
+        orientations = np.asarray(
+            from_euler_zxz_deg(jnp.asarray([args.euler], jnp.float32))
+        )[0]
+
+    t0 = time.time()
+    res = hrebsd_map(
+        raw, raw[args.ref], geometry,
+        roi_size=args.roi_size, upsample=args.upsample,
+        stiffness=stiffness, orientations=orientations,
+        f_min=args.f_min, f_max=args.f_max,
+        min_quality=args.min_quality, chunk=args.batch_size,
+    )
+    dt = time.time() - t0
+
+    vm = von_mises_strain(res.strain)
+    out = {
+        "a": res.a, "strain": res.strain, "rotation": res.rotation,
+        "rotation_deg": res.rotation_deg, "von_mises": vm,
+        "shifts_px": res.shifts_px, "quality": res.quality,
+        "residual_px": res.residual_px,
+        "pc": np.asarray(args.pc), "ref_index": args.ref,
+    }
+    if res.stress is not None:
+        out["stress"] = res.stress
+    np.savez(args.out, **out)
+    summary = {
+        "n_patterns": len(raw),
+        "ref_index": args.ref,
+        "median_von_mises": round(float(np.median(vm)), 8),
+        "max_von_mises": round(float(vm.max()), 8),
+        "median_rotation_deg": round(float(np.median(res.rotation_deg)), 5),
+        "max_rotation_deg": round(float(res.rotation_deg.max()), 5),
+        "mean_quality": round(float(res.quality.mean()), 4),
+        "median_residual_px": round(float(np.median(res.residual_px)), 4),
+        "first_order_valid": bool(res.rotation_deg.max() < 1.5),
+        "seconds": round(dt, 2),
+        "output": args.out,
+    }
+    if args.map:
+        if not args.scan_grid:
+            raise SystemExit("--map needs --scan-grid ROWS COLS")
+        rows, cols = args.scan_grid
+        if rows * cols != len(vm):
+            raise SystemExit(
+                f"--scan-grid {rows}x{cols} does not hold {len(vm)} patterns"
+            )
+        from latice_tpu.utils._mpl import ensure_headless_backend
+
+        ensure_headless_backend()
+        import matplotlib.image as mpimg
+
+        img = vm.reshape(rows, cols)
+        lo, hi = float(img.min()), float(img.max())
+        mpimg.imsave(
+            args.map, (img - lo) / max(hi - lo, 1e-12), cmap="viridis"
+        )
+        summary["map"] = args.map
+    print(json.dumps(summary))
+
+
 def cmd_calibrate(args) -> None:
     """Autodiff detector-geometry calibration (sim.calibrate).
 
@@ -2427,6 +2536,77 @@ def main() -> None:
         "--ctf", default=None, help="also write a Channel .ctf file"
     )
     ho.set_defaults(fn=cmd_hough)
+
+    st = sub.add_parser(
+        "strain",
+        help="HR-EBSD cross-correlation strain + lattice-rotation mapping "
+        "(relative to a reference pattern in the same grain)",
+    )
+    st.add_argument(
+        "--patterns", required=True,
+        help=".npy stack, HDF5 scan, or EDAX .up1/.up2",
+    )
+    st.add_argument("--h5-dataset", default=None)
+    st.add_argument(
+        "--ref", type=int, default=0,
+        help="index of the reference pattern (strain is relative to it; "
+        "pick a low-strain point inside the grain)",
+    )
+    st.add_argument("--out", default="strain.npz")
+    st.add_argument(
+        "--pc", type=float, nargs=3, default=(0.5, 0.5, 0.7),
+        metavar=("PCX", "PCY", "DD"),
+        help="pattern center + detector distance, detector-width units — "
+        "PC errors alias into phantom strain; calibrate first",
+    )
+    st.add_argument(
+        "--tilt", type=float, default=0.0,
+        help="detector tilt, degrees (sets the traction-free surface "
+        "normal)",
+    )
+    st.add_argument(
+        "--roi-size", type=int, default=64,
+        help="ROI window edge, px (21 ROIs: center + two rings)",
+    )
+    st.add_argument(
+        "--upsample", type=int, default=20,
+        help="sub-pixel factor kappa — shifts resolve to ~1/kappa px",
+    )
+    st.add_argument(
+        "--stiffness", default=None, metavar="PHASE|C11,C12,C44",
+        help="cubic elastic constants (GPa): a preset name (ni, cu, al, "
+        "fe-alpha, fe-gamma, w) or three comma-separated values; enables "
+        "the traction-free gauge closure and stress output",
+    )
+    st.add_argument(
+        "--euler", type=float, nargs=3, default=None,
+        metavar=("PHI1", "PHI", "PHI2"),
+        help="grain orientation (zxz extrinsic, degrees) rotating the "
+        "stiffness into the detector frame",
+    )
+    st.add_argument(
+        "--f-min", type=float, default=1.5,
+        help="Fourier high-pass, cycles per ROI (kills background)",
+    )
+    st.add_argument(
+        "--f-max", type=float, default=None,
+        help="Fourier low-pass, cycles per ROI (None keeps all)",
+    )
+    st.add_argument(
+        "--min-quality", type=float, default=0.1,
+        help="drop ROIs whose XCF peak quality falls below this",
+    )
+    st.add_argument("--batch-size", type=int, default=128)
+    st.add_argument(
+        "--scan-grid", type=int, nargs=2, metavar=("ROWS", "COLS"),
+        default=None, help="scan shape for --map (UP headers autofill)",
+    )
+    st.add_argument(
+        "--map", default=None, metavar="OUT.png",
+        help="render the von Mises equivalent-strain map (needs "
+        "--scan-grid)",
+    )
+    st.set_defaults(fn=cmd_strain)
 
     cal = sub.add_parser(
         "calibrate",

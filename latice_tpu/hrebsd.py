@@ -1,0 +1,597 @@
+"""HR-EBSD: cross-correlation elastic strain + lattice rotation mapping.
+
+High-angular-resolution EBSD (Wilkinson–Meaden–Dingley 2006) measures the
+*relative* deformation between a reference pattern and each map pattern from
+sub-pixel shifts of many small regions of interest (ROIs): an elastic strain
+or small lattice rotation moves every Kikuchi feature by a predictable
+screen shift, so ~20 ROI shifts over-determine the 8 observable components
+of the displacement-gradient tensor to ~1e-4 strain sensitivity — the
+capability behind CrossCourt / OIM Analysis' HR-EBSD module and kikuchipy's
+strain work. The reference repo (`poyentung/ebsd-vae`) has no strain plane
+at all (its scope ends at orientation indexing, latice/data_module.py);
+this module extends the analysis plane the same way `crystal.gnd` does,
+consuming the same detector geometry the simulation stack defines
+(sim/geometry.py).
+
+TPU-first design (no per-ROI host loops anywhere):
+
+- ROI extraction is static slicing (centers are compile-time constants),
+  stacked to one ``(B·R, S, S)`` panel batch.
+- Shift measurement is batched 2-D FFT cross-correlation with an annular
+  Fourier filter; the sub-pixel stage is the Guizar-Sicairos *matrix-DFT*
+  upsampling — two small complex matmuls per ROI evaluated only around the
+  coarse peak, so the MXU does the upsampling and no dense zoom-FFT image
+  ever exists.
+- The deformation solve is one batched 8x8 weighted normal-equation solve
+  per pattern (the design matrix depends only on ROI geometry and is built
+  once on the host).
+- The traction-free closure rotates the crystal stiffness tensor per
+  pattern with one einsum and solves for the unobservable hydrostatic
+  gauge in closed form.
+
+Geometry (detector frame of sim/geometry.py: x right, y up, z from sample
+into detector, widths as units). A screen point sits at ``r = (x, y, D)``
+with ``D = geometry.dd``. Under a small displacement-gradient tensor ``A``
+(deformed direction ``r' ∝ (I + A) r``), the gnomonic re-projection onto
+the plane ``z = D`` shifts the feature by, to first order,
+
+    q = A r − ((A r)·ẑ / D) r ,            q_z ≡ 0,
+
+which is invariant under ``A → A + λI`` — pattern shifts cannot see the
+hydrostatic component. The solve therefore fixes the gauge ``a33 = 0`` and,
+when elastic constants are supplied, restores ``λ`` from the traction-free
+surface condition ``σ_nn = 0`` (n̂ = sample normal = the tilt-rotated ẑ).
+
+Validity: first-order small deformations (strains to ~1e-2, rotations to
+~1 degree — the classic HR-EBSD regime). Larger rotations need an
+iterative remapping pass, which this module does not implement; the
+`rotation_deg` output makes exceedances visible.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latice_tpu.crystal.quaternion import quat_to_matrix
+from latice_tpu.sim.geometry import DetectorGeometry
+
+__all__ = [
+    "HrebsdResult",
+    "default_roi_centers",
+    "hrebsd_map",
+    "measure_roi_shifts",
+    "roi_position_vectors",
+    "solve_deformation",
+    "von_mises_strain",
+]
+
+
+class HrebsdResult(NamedTuple):
+    """Per-pattern HR-EBSD output (``B`` patterns, ``R`` ROIs).
+
+    Attributes:
+        a: ``(B, 3, 3)`` displacement-gradient tensor, detector frame.
+            Gauge: traction-free when stiffness was supplied, else
+            ``a[2, 2] = 0``.
+        strain: ``(B, 3, 3)`` elastic strain ``sym(A)``.
+        rotation: ``(B, 3)`` lattice-rotation vector (radians,
+            right-handed about detector x/y/z) from ``skew(A)``.
+        rotation_deg: ``(B,)`` rotation magnitude, degrees — values near
+            or past ~1 deg leave the first-order validity range.
+        stress: ``(B, 3, 3)`` stress (stiffness units, typically GPa) via
+            Hooke's law, or None when no stiffness was supplied.
+        shifts_px: ``(B, R, 2)`` measured ROI shifts, pixels, as
+            ``(d_row, d_col)`` (row grows downward).
+        quality: ``(B, R)`` normalized cross-correlation peak heights in
+            [0, 1] — the per-ROI confidence used as solve weights.
+        residual_px: ``(B,)`` RMS of (measured − modeled) ROI shifts in
+            pixels — the fit's self-consistency diagnostic.
+    """
+
+    a: np.ndarray
+    strain: np.ndarray
+    rotation: np.ndarray
+    rotation_deg: np.ndarray
+    stress: np.ndarray | None
+    shifts_px: np.ndarray
+    quality: np.ndarray
+    residual_px: np.ndarray
+
+
+def default_roi_centers(
+    geometry: DetectorGeometry,
+    roi_size: int = 64,
+    n_rings: int = 2,
+    per_ring: Sequence[int] = (8, 12),
+    margin: int = 2,
+) -> np.ndarray:
+    """Standard HR-EBSD ROI layout: one ROI on the pattern center plus
+    concentric rings out to the detector edge.
+
+    Wide ROI spread is what conditions the solve: shifts from a
+    deformation scale with the ROI's position vector, so rings near the
+    edge separate the ``a3*`` (projective) terms from the in-plane ones.
+
+    Returns ``(R, 2)`` float64 ``(row, col)`` pixel centers, clipped so
+    every ROI window stays ``margin`` px inside the detector.
+    """
+    h, w = geometry.shape
+    half = roi_size / 2
+    # Pattern-center pixel (invert the pixel_directions convention).
+    pc_col = geometry.pcx * w - 0.5
+    pc_row = h - geometry.pcy * w - 0.5
+    lo_r, hi_r = half + margin, h - half - margin
+    lo_c, hi_c = half + margin, w - half - margin
+    if lo_r > hi_r or lo_c > hi_c:
+        raise ValueError(
+            f"roi_size {roi_size} does not fit a {h}x{w} detector"
+        )
+    centers = [(np.clip(pc_row, lo_r, hi_r), np.clip(pc_col, lo_c, hi_c))]
+    max_radius = min(
+        pc_row - lo_r, hi_r - pc_row, pc_col - lo_c, hi_c - pc_col,
+        (min(h, w) - roi_size) / 2 - margin,
+    )
+    if max_radius <= 0:
+        raise ValueError(
+            f"no room for ROI rings: roi_size {roi_size} on {h}x{w}"
+        )
+    for ring in range(n_rings):
+        radius = max_radius * (ring + 1) / n_rings
+        n = per_ring[min(ring, len(per_ring) - 1)]
+        # Stagger successive rings so ROIs interleave azimuthally.
+        phase = math.pi / n * (ring % 2)
+        for k in range(n):
+            ang = 2 * math.pi * k / n + phase
+            centers.append(
+                (
+                    np.clip(pc_row - radius * math.sin(ang), lo_r, hi_r),
+                    np.clip(pc_col + radius * math.cos(ang), lo_c, hi_c),
+                )
+            )
+    return np.asarray(centers, np.float64)
+
+
+def roi_position_vectors(
+    geometry: DetectorGeometry, centers: np.ndarray
+) -> np.ndarray:
+    """``(R, 3)`` unnormalized screen vectors ``(x, y, D)`` of ROI centers,
+    detector-plane frame, width units (the ``r`` of the shift model)."""
+    h, w = geometry.shape
+    c = np.asarray(centers, np.float64)
+    x = (c[:, 1] + 0.5) / w - geometry.pcx
+    y = (h - (c[:, 0] + 0.5)) / w - geometry.pcy
+    return np.stack([x, y, np.full(len(c), geometry.dd)], axis=-1)
+
+
+def _hann2(s: int) -> np.ndarray:
+    wr = 0.5 - 0.5 * np.cos(2 * np.pi * (np.arange(s) + 0.5) / s)
+    return (wr[:, None] * wr[None, :]).astype(np.float32)
+
+
+def _annular_mask(s: int, f_min: float, f_max: float | None) -> np.ndarray:
+    """Fourier-domain band-pass (cycles per ROI window): kills DC +
+    background gradients below ``f_min`` and, when ``f_max`` is set, the
+    noise-dominated band above it."""
+    f = np.fft.fftfreq(s) * s  # cycles per window
+    rad = np.hypot(f[:, None], f[None, :])
+    mask = rad >= f_min
+    if f_max is not None:
+        mask &= rad <= f_max
+    return mask.astype(np.float32)
+
+
+def _static_rois(patterns, centers_px: tuple, roi_size: int):
+    """``(B, H, W) → (B, R, S, S)`` by static slices (centers are
+    compile-time constants, so this lowers to R slice ops — no dynamic
+    gathers, per the backend landmine notes)."""
+    half = roi_size // 2
+    return jnp.stack(
+        [
+            patterns[:, r0 - half : r0 - half + roi_size,
+                     c0 - half : c0 - half + roi_size]
+            for r0, c0 in centers_px
+        ],
+        axis=1,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("centers_px", "roi_size", "upsample", "window_px"),
+)
+def _xcorr_shifts(
+    ref, x, hann, fmask, *, centers_px: tuple, roi_size: int,
+    upsample: int, window_px: float,
+):
+    """Batched sub-pixel shift measurement — ONE program per chunk:
+    ROI extraction, windowed band-passed FFT cross-correlation, and
+    matrix-DFT sub-pixel localization.
+
+    Args:
+        ref: ``(H, W)`` reference pattern.
+        x: ``(B, H, W)`` target patterns.
+        hann / fmask: ``(S, S)`` window and Fourier band-pass.
+        centers_px: static ``((row, col), ...)`` integer ROI centers.
+        upsample: sub-pixel factor kappa (peak located to ~1/kappa px).
+        window_px: half-width of the fine search window around the coarse
+            peak, pixels.
+
+    Returns ``(shifts (B, R, 2) f32 (d_row, d_col) px, quality (B, R))``.
+    """
+    b = x.shape[0]
+    n_roi = len(centers_px)
+    s = roi_size
+    # uint8 detector frames ship raw and widen on device (4x less host
+    # link traffic; XCF is affine-invariant so no /255 is needed).
+    ref = ref.astype(jnp.float32)
+    x = x.astype(jnp.float32)
+    ref_rois = _static_rois(ref[None], centers_px, s)  # (1, R, S, S)
+    tgt_rois = _static_rois(x, centers_px, s).reshape(b * n_roi, s, s)
+    ref_rois = jnp.broadcast_to(ref_rois, (b, n_roi, s, s)).reshape(
+        b * n_roi, s, s
+    )
+    refz = ref_rois - ref_rois.mean(axis=(-2, -1), keepdims=True)
+    tgtz = tgt_rois - tgt_rois.mean(axis=(-2, -1), keepdims=True)
+    fr = jnp.fft.fft2(refz * hann) * fmask
+    ft = jnp.fft.fft2(tgtz * hann) * fmask
+    cross = ft * jnp.conj(fr)  # corr(s) = sum_p ref(p)·tgt(p+s)
+    corr = jnp.fft.ifft2(cross).real  # (N, S, S), index = shift mod S
+    # Normalize to an NCC-style quality: peak / (||ref||·||tgt||) of the
+    # filtered, windowed panels (Parseval on the masked spectra).
+    norm = jnp.sqrt(
+        (jnp.abs(fr) ** 2).sum(axis=(-2, -1))
+        * (jnp.abs(ft) ** 2).sum(axis=(-2, -1))
+    ) / (s * s)
+    flat = corr.reshape(corr.shape[0], -1)
+    coarse = jnp.argmax(flat, axis=-1)
+    quality = jnp.take_along_axis(flat, coarse[:, None], axis=-1)[:, 0]
+    quality = jnp.clip(quality / jnp.maximum(norm, 1e-12), 0.0, 1.0)
+    row0 = (coarse // s).astype(jnp.float32)
+    col0 = (coarse % s).astype(jnp.float32)
+    # Unwrap circular indices to signed shifts.
+    row0 = jnp.where(row0 > s / 2, row0 - s, row0)
+    col0 = jnp.where(col0 > s / 2, col0 - s, col0)
+
+    # Matrix-DFT upsampling (Guizar-Sicairos 2008): evaluate the inverse
+    # DFT of the cross spectrum on a (U, U) fine grid centered at the
+    # coarse peak — two small matmuls, never a zoomed image in HBM.
+    u = 2 * int(round(window_px * upsample)) + 1
+    k = jnp.fft.fftfreq(s) * s  # signed integer frequencies
+    offs = (jnp.arange(u, dtype=jnp.float32) - (u - 1) / 2) / upsample
+    sr = row0[:, None] + offs[None, :]  # (N, U)
+    sc = col0[:, None] + offs[None, :]
+    er = jnp.exp((2j * jnp.pi / s) * sr[..., None] * k[None, None, :])
+    ec = jnp.exp((2j * jnp.pi / s) * sc[..., None] * k[None, None, :])
+    # corr_up[a, b] = sum_{uv} cross[u, v] e^{2πi(ku·sr_a + kv·sc_b)/S}
+    corr_up = jnp.einsum(
+        "nau,nuv,nbv->nab", er, cross, ec,
+        precision=jax.lax.Precision.HIGHEST,
+    ).real
+    fine = jnp.argmax(corr_up.reshape(corr_up.shape[0], -1), axis=-1)
+    # Parabolic interpolation between fine-grid samples removes the
+    # 1/upsample quantization floor (the projective a3* terms produce
+    # shift signals of only ~0.1 px across the ROI ring — a 0.02 px
+    # stair-step is a 10-20% distortion of exactly those components).
+    ia = jnp.clip(fine // u, 1, u - 2)
+    ib = jnp.clip(fine % u, 1, u - 2)
+    rows_n = jnp.arange(corr_up.shape[0])
+
+    def parab(cm, c0_, cp):
+        denom = cm - 2.0 * c0_ + cp
+        return jnp.where(
+            jnp.abs(denom) > 1e-30, 0.5 * (cm - cp) / denom, 0.0
+        )
+
+    c_r = corr_up[rows_n[:, None], ia[:, None] + jnp.arange(-1, 2), ib[:, None]]
+    c_c = corr_up[rows_n[:, None], ia[:, None], ib[:, None] + jnp.arange(-1, 2)]
+    da = jnp.clip(parab(c_r[:, 0], c_r[:, 1], c_r[:, 2]), -0.5, 0.5)
+    db = jnp.clip(parab(c_c[:, 0], c_c[:, 1], c_c[:, 2]), -0.5, 0.5)
+    fr_off = (ia.astype(jnp.float32) + da - (u - 1) / 2) / upsample
+    fc_off = (ib.astype(jnp.float32) + db - (u - 1) / 2) / upsample
+    shifts = jnp.stack([row0 + fr_off, col0 + fc_off], axis=-1)
+    return shifts.reshape(b, n_roi, 2), quality.reshape(b, n_roi)
+
+
+def measure_roi_shifts(
+    reference: np.ndarray,
+    patterns: np.ndarray,
+    centers: np.ndarray,
+    roi_size: int = 64,
+    upsample: int = 20,
+    window_px: float = 1.0,
+    f_min: float = 1.5,
+    f_max: float | None = None,
+    chunk: int = 128,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Measure sub-pixel ROI shifts of every pattern against a reference.
+
+    Args:
+        reference: ``(H, W)`` reference pattern (same grain, low strain).
+        patterns: ``(B, H, W)`` target patterns.
+        centers: ``(R, 2)`` ROI ``(row, col)`` pixel centers
+            (`default_roi_centers`).
+        roi_size: ROI window edge, px (power of two keeps FFTs fast).
+        upsample: sub-pixel factor — shifts resolve to ~1/upsample px.
+        window_px: fine-search half-width around the coarse peak, px.
+        f_min / f_max: annular Fourier band-pass, cycles per window
+            (``f_min`` kills DC/background; ``f_max=None`` keeps all
+            high frequencies).
+        chunk: patterns per device dispatch.
+
+    Returns:
+        ``(shifts (B, R, 2) float64 (d_row, d_col) px, quality (B, R))``.
+    """
+    x = np.asarray(patterns)
+    if x.dtype != np.uint8:  # uint8 ships raw; the device widens it
+        x = x.astype(np.float32, copy=False)
+    if x.ndim != 3:
+        raise ValueError(f"expected (B, H, W) patterns, got {x.shape}")
+    ref = np.asarray(reference)
+    if ref.dtype != np.uint8:
+        ref = ref.astype(np.float32, copy=False)
+    if ref.shape != x.shape[1:]:
+        raise ValueError(
+            f"reference {ref.shape} does not match patterns {x.shape[1:]}"
+        )
+    centers = np.asarray(centers, np.float64)
+    n_roi = len(centers)
+    half = roi_size // 2
+    rint = np.rint(centers).astype(int)
+    if (
+        rint.min(initial=roi_size) < half
+        or (rint[:, 0] + roi_size - half > x.shape[1]).any()
+        or (rint[:, 1] + roi_size - half > x.shape[2]).any()
+    ):
+        raise ValueError("an ROI window falls outside the detector")
+
+    hann = jnp.asarray(_hann2(roi_size))
+    fmask = jnp.asarray(_annular_mask(roi_size, f_min, f_max))
+    ref_dev = jnp.asarray(ref)
+    centers_px = tuple(map(tuple, rint.tolist()))
+
+    b = len(x)
+    out_s = np.empty((b, n_roi, 2), np.float64)
+    out_q = np.empty((b, n_roi), np.float64)
+    for start in range(0, b, chunk):
+        xc = x[start : start + chunk]
+        n = len(xc)
+        if n < chunk:
+            xc = np.concatenate([xc, np.tile(xc[-1:], (chunk - n, 1, 1))])
+        s_dev, q_dev = _xcorr_shifts(
+            ref_dev, jnp.asarray(xc), hann, fmask,
+            centers_px=centers_px, roi_size=roi_size,
+            upsample=upsample, window_px=window_px,
+        )
+        out_s[start : start + n] = np.asarray(s_dev)[:n]
+        out_q[start : start + n] = np.asarray(q_dev)[:n]
+    return out_s, out_q
+
+
+def _design_matrix(r_vecs: np.ndarray, dd: float) -> np.ndarray:
+    """``(R, 2, 8)`` shift model in the gauge ``a33 = 0``:
+    unknowns ``p = (a11, a12, a13, a21, a22, a23, a31, a32)``,
+    ``q_x = a11 x + a12 y + a13 D − (x/D)(a31 x + a32 y)`` and the y row
+    alike — the first-order gnomonic re-projection (module docstring)."""
+    x, y = r_vecs[:, 0], r_vecs[:, 1]
+    n = len(r_vecs)
+    m = np.zeros((n, 2, 8))
+    m[:, 0, 0] = x
+    m[:, 0, 1] = y
+    m[:, 0, 2] = dd
+    m[:, 0, 6] = -x * x / dd
+    m[:, 0, 7] = -x * y / dd
+    m[:, 1, 3] = x
+    m[:, 1, 4] = y
+    m[:, 1, 5] = dd
+    m[:, 1, 6] = -y * x / dd
+    m[:, 1, 7] = -y * y / dd
+    return m
+
+
+@jax.jit
+def _solve_core(m, q_obs, w):
+    """Weighted batched normal equations: m (R,2,8), q_obs (B,R,2),
+    w (B,R) → (p (B,8), rms residual (B,))."""
+    mw = m.reshape(-1, 8)  # (2R, 8)
+    qf = q_obs.reshape(q_obs.shape[0], -1)  # (B, 2R)
+    wf = jnp.repeat(w, 2, axis=-1)  # (B, 2R)
+    # (B, 8, 8) = Mᵀ W M ; ridge keeps degenerate (few live ROIs) solvable.
+    ata = jnp.einsum(
+        "ri,br,rj->bij", mw, wf, mw, precision=jax.lax.Precision.HIGHEST
+    )
+    ata += 1e-12 * jnp.eye(8)
+    atb = jnp.einsum(
+        "ri,br,br->bi", mw, wf, qf, precision=jax.lax.Precision.HIGHEST
+    )
+    p = jnp.linalg.solve(ata, atb[..., None])[..., 0]
+    pred = jnp.einsum(
+        "ri,bi->br", mw, p, precision=jax.lax.Precision.HIGHEST
+    )
+    wsum = jnp.maximum(wf.sum(axis=-1), 1e-12)
+    rms = jnp.sqrt((wf * (pred - qf) ** 2).sum(axis=-1) / wsum)
+    return p, rms
+
+
+def solve_deformation(
+    shifts_px: np.ndarray,
+    quality: np.ndarray,
+    geometry: DetectorGeometry,
+    centers: np.ndarray,
+    min_quality: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Least-squares displacement-gradient tensors from ROI shifts.
+
+    Args:
+        shifts_px: ``(B, R, 2)`` measured ``(d_row, d_col)`` pixel shifts.
+        quality: ``(B, R)`` per-ROI weights (XCF peak heights).
+        geometry / centers: the layout the shifts were measured on.
+        min_quality: ROIs below this weight are dropped from the solve.
+
+    Returns:
+        ``(a (B, 3, 3) float64 in the a33 = 0 gauge, rms residual (B,)
+        in width units)``.
+    """
+    s = np.asarray(shifts_px, np.float64)
+    w = np.asarray(quality, np.float64)
+    w = np.where(w >= min_quality, w, 0.0)
+    r_vecs = roi_position_vectors(geometry, centers)
+    m = _design_matrix(r_vecs, geometry.dd)
+    # Pixel (row, col) shifts → detector-frame (x, y) in width units:
+    # x follows columns, y is the NEGATED row direction (rows grow down).
+    width = geometry.shape[1]
+    q_xy = np.stack([s[..., 1], -s[..., 0]], axis=-1) / width
+    p, rms = _solve_core(
+        jnp.asarray(m, jnp.float32),
+        jnp.asarray(q_xy, jnp.float32),
+        jnp.asarray(w, jnp.float32),
+    )
+    p = np.asarray(p, np.float64)
+    a = np.zeros((len(p), 3, 3))
+    a[:, 0, :] = p[:, 0:3]
+    a[:, 1, :] = p[:, 3:6]
+    a[:, 2, 0:2] = p[:, 6:8]
+    return a, np.asarray(rms, np.float64)
+
+
+def _stiffness_tensor(voigt: np.ndarray) -> np.ndarray:
+    """(6, 6) Voigt stiffness → full (3, 3, 3, 3) tensor."""
+    pairs = [(0, 0), (1, 1), (2, 2), (1, 2), (0, 2), (0, 1)]
+    c = np.zeros((3, 3, 3, 3))
+    for a_v, (i, j) in enumerate(pairs):
+        for b_v, (k, l) in enumerate(pairs):
+            v = voigt[a_v, b_v]
+            for ii, jj in ((i, j), (j, i)):
+                for kk, ll in ((k, l), (l, k)):
+                    c[ii, jj, kk, ll] = v
+    return c
+
+
+@jax.jit
+def _traction_free(a_gauge, c4_det, normal):
+    """Restore the hydrostatic gauge: find λ with σ_nn(sym(A)+λI) = 0.
+
+    a_gauge: (B, 3, 3); c4_det: (B, 3, 3, 3, 3) stiffness, detector frame;
+    normal: (3,) unit sample normal. Returns (a (B,3,3), strain, stress).
+    """
+    eps0 = 0.5 * (a_gauge + jnp.swapaxes(a_gauge, -1, -2))
+    sig0 = jnp.einsum(
+        "bijkl,bkl->bij", c4_det, eps0,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    eye = jnp.eye(3)
+    sig_i = jnp.einsum("bijkk->bij", c4_det)  # σ(I) = C : I
+    num = jnp.einsum("i,bij,j->b", normal, sig0, normal)
+    den = jnp.einsum("i,bij,j->b", normal, sig_i, normal)
+    lam = -num / jnp.where(jnp.abs(den) < 1e-12, 1.0, den)
+    a = a_gauge + lam[:, None, None] * eye
+    strain = eps0 + lam[:, None, None] * eye
+    stress = sig0 + lam[:, None, None] * sig_i
+    return a, strain, stress
+
+
+def von_mises_strain(strain: np.ndarray) -> np.ndarray:
+    """Equivalent (von Mises) strain of ``(..., 3, 3)`` tensors."""
+    e = np.asarray(strain)
+    dev = e - np.trace(e, axis1=-2, axis2=-1)[..., None, None] / 3 * np.eye(3)
+    return np.sqrt(2.0 / 3.0 * np.einsum("...ij,...ij->...", dev, dev))
+
+
+def hrebsd_map(
+    patterns: np.ndarray,
+    reference: np.ndarray,
+    geometry: DetectorGeometry,
+    centers: np.ndarray | None = None,
+    roi_size: int = 64,
+    upsample: int = 20,
+    stiffness: np.ndarray | None = None,
+    orientations: np.ndarray | None = None,
+    f_min: float = 1.5,
+    f_max: float | None = None,
+    min_quality: float = 0.1,
+    chunk: int = 128,
+) -> HrebsdResult:
+    """Full HR-EBSD pipeline: ROI shifts → deformation → strain/rotation.
+
+    Args:
+        patterns: ``(B, H, W)`` patterns (one grain / reference's grain).
+        reference: ``(H, W)`` reference pattern (strain is RELATIVE to it).
+        geometry: detector geometry — the pattern center must be accurate
+            (PC error aliases into phantom strain; calibrate first with
+            `sim.calibrate_geometry` / `calibrate_scan_geometry`).
+        centers: ``(R, 2)`` ROI centers; default `default_roi_centers`.
+        roi_size / upsample / f_min / f_max: see `measure_roi_shifts`.
+        stiffness: (6, 6) Voigt stiffness (crystal frame, e.g.
+            `crystal.cubic_stiffness`) enabling the traction-free gauge
+            and stress output; None leaves the ``a33 = 0`` gauge.
+        orientations: ``(B, 4)`` or ``(4,)`` scalar-first crystal→detector
+            quaternions (indexing output) rotating the stiffness per
+            pattern; None uses the crystal frame as the detector frame.
+        min_quality: drop ROIs whose XCF peak falls below this.
+        chunk: patterns per device dispatch.
+    """
+    x = np.asarray(patterns)  # uint8 passes through to the device cast
+    if centers is None:
+        centers = default_roi_centers(geometry, roi_size=roi_size)
+    shifts, quality = measure_roi_shifts(
+        reference, x, centers, roi_size=roi_size, upsample=upsample,
+        f_min=f_min, f_max=f_max, chunk=chunk,
+    )
+    a_gauge, rms = solve_deformation(
+        shifts, quality, geometry, centers, min_quality=min_quality
+    )
+
+    stress = None
+    if stiffness is not None:
+        c0 = _stiffness_tensor(np.asarray(stiffness, np.float64))
+        b = len(a_gauge)
+        if orientations is None:
+            g = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (b, 3, 3))
+        else:
+            qo = jnp.asarray(orientations, jnp.float32)
+            if qo.ndim == 1:
+                qo = jnp.broadcast_to(qo[None], (b, 4))
+            g = quat_to_matrix(qo)  # crystal → detector
+        c4 = jnp.einsum(
+            "bia,bjc,bkd,ble,acde->bijkl",
+            g, g, g, g, jnp.asarray(c0, jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if geometry.tilt:
+            t = math.radians(geometry.tilt)
+            normal = jnp.asarray(
+                [0.0, -math.sin(t), math.cos(t)], jnp.float32
+            )
+        else:
+            normal = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+        a_dev, strain_dev, stress_dev = _traction_free(
+            jnp.asarray(a_gauge, jnp.float32), c4, normal
+        )
+        a = np.asarray(a_dev, np.float64)
+        strain = np.asarray(strain_dev, np.float64)
+        stress = np.asarray(stress_dev, np.float64)
+    else:
+        a = a_gauge
+        strain = 0.5 * (a + np.swapaxes(a, -1, -2))
+
+    skew = 0.5 * (a - np.swapaxes(a, -1, -2))
+    rotation = np.stack(
+        [skew[:, 2, 1], skew[:, 0, 2], skew[:, 1, 0]], axis=-1
+    )
+    rot_deg = np.degrees(np.linalg.norm(rotation, axis=-1))
+    width = geometry.shape[1]
+    return HrebsdResult(
+        a=a,
+        strain=strain,
+        rotation=rotation,
+        rotation_deg=rot_deg,
+        stress=stress,
+        shifts_px=shifts,
+        quality=quality,
+        residual_px=rms * width,
+    )

@@ -1671,3 +1671,65 @@ class TestCalibrateCli:
                  "--max-hkl", "2", "--min-d", "1.0"],
                 monkeypatch, capsys,
             )
+
+
+class TestStrainCli:
+    """index.py strain — HR-EBSD cross-correlation strain mapping."""
+
+    @staticmethod
+    def _deformed_stack(tmp_path):
+        from tests.test_hrebsd import GEOM, _band_function, _make_a, _render
+
+        f = _band_function(31)
+        ref = _render(f, GEOM)
+        a1 = _make_a(3e-3, -2e-3, 1e-3, (1e-3, 0.0, -1e-3))
+        a2 = _make_a(0.0, 0.0, 0.0, (0.0, 2e-3, 0.0))
+        pats = np.stack([ref, _render(f, GEOM, a1), _render(f, GEOM, a2)])
+        p = tmp_path / "grain.npy"
+        np.save(p, pats.astype(np.float32))
+        return p, a1, a2
+
+    def test_strain_map_with_stiffness(self, tmp_path, monkeypatch, capsys):
+        p, a1, a2 = self._deformed_stack(tmp_path)
+        out = str(tmp_path / "strain.npz")
+        png = str(tmp_path / "vm.png")
+        stdout = _run(
+            ["strain", "--patterns", str(p), "--ref", "0", "--out", out,
+             "--upsample", "50", "--stiffness", "ni",
+             "--scan-grid", "1", "3", "--map", png, "--batch-size", "4"],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(stdout.strip().splitlines()[-1])
+        assert summary["n_patterns"] == 3
+        assert summary["first_order_valid"] is True
+        assert summary["map"] == png
+        assert Path(png).exists()
+        data = np.load(out)
+        assert data["stress"].shape == (3, 3, 3)
+        # Row 0 is the reference itself: zero deformation to the floor.
+        assert np.abs(data["a"][0]).max() < 1e-4
+        # Rotation parts are gauge-free: recovered exactly.
+        rot = data["rotation"]
+        assert np.allclose(rot[1], [1e-3, 0.0, -1e-3], atol=1e-4)
+        assert np.allclose(rot[2], [0.0, 2e-3, 0.0], atol=1e-4)
+        # Traction-free closure: sigma_33 ~ 0 on every pixel.
+        assert np.abs(data["stress"][:, 2, 2]).max() < 1e-3 * max(
+            np.abs(data["stress"]).max(), 1e-9
+        )
+        # Deviatoric strain of row 1 matches the injected tensor.
+        eps1 = 0.5 * (a1 + a1.T)
+        dev = lambda e: e - np.trace(e) / 3 * np.eye(3)
+        assert np.abs(dev(data["strain"][1]) - dev(eps1)).max() < 3e-4
+
+    def test_strain_errors(self, tmp_path, monkeypatch, capsys):
+        p, _, _ = self._deformed_stack(tmp_path)
+        with pytest.raises(SystemExit, match="out of range"):
+            _run(["strain", "--patterns", str(p), "--ref", "9"],
+                 monkeypatch, capsys)
+        with pytest.raises(SystemExit, match="--stiffness"):
+            _run(["strain", "--patterns", str(p), "--stiffness", "zz"],
+                 monkeypatch, capsys)
+        with pytest.raises(SystemExit, match="needs --scan-grid"):
+            _run(["strain", "--patterns", str(p),
+                  "--map", str(tmp_path / "m.png")],
+                 monkeypatch, capsys)

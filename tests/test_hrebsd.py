@@ -1,0 +1,329 @@
+"""HR-EBSD plane tests: sub-pixel shift measurement, deformation solve,
+traction-free gauge completion.
+
+Synthetic oracle: patterns are a smooth continuous function of the unit
+scattering DIRECTION (a sum of random 3-D cosine waves), so a deformed
+pattern is rendered EXACTLY by evaluating the function at the
+back-deformed directions ``normalize((I+A)^{-1} r)`` — no image
+interpolation anywhere, which makes the recovered tensors directly
+comparable to the injected ``A`` at first-order accuracy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from latice_tpu.crystal.elastic import CUBIC_STIFFNESS, cubic_stiffness
+from latice_tpu.hrebsd import (
+    default_roi_centers,
+    hrebsd_map,
+    measure_roi_shifts,
+    roi_position_vectors,
+    solve_deformation,
+    von_mises_strain,
+)
+from latice_tpu.sim.geometry import DetectorGeometry
+
+GEOM = DetectorGeometry(shape=(256, 256), pcx=0.5, pcy=0.5, dd=0.7)
+
+
+def _band_function(seed: int, n_waves: int = 60):
+    """Broadband content matters: XCF sub-pixel accuracy needs spectral
+    support up to near-Nyquist (fine features), like real Kikuchi detail.
+    k=500 on unit directions ≈ 2.8 rad/px at this geometry's PC."""
+    rng = np.random.default_rng(seed)
+    k = rng.normal(size=(n_waves, 3))
+    k /= np.linalg.norm(k, axis=1, keepdims=True)
+    mag = rng.uniform(100.0, 500.0, size=(n_waves, 1))
+    k *= mag
+    phase = rng.uniform(0, 2 * np.pi, n_waves)
+    amp = mag[:, 0] ** -0.5  # pink-ish spectrum
+
+    def f(u):
+        return (amp * np.cos(u @ k.T + phase)).sum(axis=-1)
+
+    return f
+
+
+def _screen_vectors(geometry: DetectorGeometry) -> np.ndarray:
+    h, w = geometry.shape
+    x = (np.arange(w) + 0.5) / w - geometry.pcx
+    y = (h - (np.arange(h) + 0.5)) / w - geometry.pcy
+    return np.stack(
+        [
+            np.broadcast_to(x[None, :], (h, w)),
+            np.broadcast_to(y[:, None], (h, w)),
+            np.full((h, w), geometry.dd),
+        ],
+        axis=-1,
+    )
+
+
+def _render(f, geometry: DetectorGeometry, a: np.ndarray | None = None):
+    """Pattern under deformation gradient ``I + a`` (None = reference)."""
+    r = _screen_vectors(geometry)
+    if a is not None:
+        r = r @ np.linalg.inv(np.eye(3) + a).T
+    u = r / np.linalg.norm(r, axis=-1, keepdims=True)
+    return f(u).astype(np.float32)
+
+
+def _make_a(strain_xx, strain_yy, strain_xy, rot_vec, a33=0.0):
+    eps = np.array(
+        [
+            [strain_xx, strain_xy, 0.0],
+            [strain_xy, strain_yy, 0.0],
+            [0.0, 0.0, a33],
+        ]
+    )
+    wx, wy, wz = rot_vec
+    skew = np.array([[0.0, -wz, wy], [wz, 0.0, -wx], [-wy, wx, 0.0]])
+    return eps + skew
+
+
+class TestShiftMeasurement:
+    def test_known_subpixel_translation(self):
+        """Planar waves shifted by an exact fractional pixel offset."""
+        rng = np.random.default_rng(3)
+        kr = rng.uniform(0.1, 2.8, 40)  # broadband, up to ~0.9 Nyquist
+        ang = rng.uniform(0, 2 * np.pi, 40)
+        kx, ky = kr * np.cos(ang), kr * np.sin(ang)
+        ph = rng.uniform(0, 2 * np.pi, 40)
+
+        def f2d(rr, cc):
+            return sum(
+                np.cos(kxi * cc + kyi * rr + p)
+                for kxi, kyi, p in zip(kx, ky, ph)
+            )
+
+        rows, cols = np.mgrid[0:256, 0:256].astype(np.float64)
+        ref = f2d(rows, cols).astype(np.float32)
+        dr, dc = 0.3, -2.6
+        tgt = f2d(rows - dr, cols - dc).astype(np.float32)[None]
+        centers = default_roi_centers(GEOM, roi_size=64)
+        shifts, quality = measure_roi_shifts(
+            ref, tgt, centers, roi_size=64, upsample=50
+        )
+        # 1/upsample quantization (0.02 px) plus a little leakage slack.
+        assert np.all(np.abs(shifts[0, :, 0] - dr) < 0.025)
+        assert np.all(np.abs(shifts[0, :, 1] - dc) < 0.025)
+        assert np.all(quality > 0.8)
+
+    def test_uint8_input_parity(self):
+        """uint8 frames ship raw and widen on device — same results as
+        pre-widened f32 of the same values."""
+        f = _band_function(29)
+        ref = _render(f, GEOM)
+        pat = _render(f, GEOM, _make_a(3e-3, -2e-3, 0, (1e-3, 0, 0)))
+
+        def to_u8(img):
+            lo, hi = img.min(), img.max()
+            return np.clip(
+                (img - lo) / (hi - lo) * 255.0, 0, 255
+            ).astype(np.uint8)
+
+        ref8, pat8 = to_u8(ref), to_u8(pat)
+        centers = default_roi_centers(GEOM, roi_size=64)
+        s8, q8 = measure_roi_shifts(ref8, pat8[None], centers, upsample=50)
+        sf, qf = measure_roi_shifts(
+            ref8.astype(np.float32), pat8[None].astype(np.float32),
+            centers, upsample=50,
+        )
+        np.testing.assert_array_equal(s8, sf)
+        np.testing.assert_array_equal(q8, qf)
+
+    def test_shape_validation(self):
+        centers = default_roi_centers(GEOM, roi_size=64)
+        with pytest.raises(ValueError, match="expected"):
+            measure_roi_shifts(
+                np.zeros((256, 256), np.float32),
+                np.zeros((256, 256), np.float32),  # missing batch dim
+                centers,
+            )
+        with pytest.raises(ValueError, match="reference"):
+            measure_roi_shifts(
+                np.zeros((128, 128), np.float32),
+                np.zeros((1, 256, 256), np.float32),
+                centers,
+            )
+        with pytest.raises(ValueError, match="outside"):
+            measure_roi_shifts(
+                np.zeros((256, 256), np.float32),
+                np.zeros((1, 256, 256), np.float32),
+                np.array([[10.0, 128.0]]),  # window overruns the top edge
+                roi_size=64,
+            )
+
+
+class TestDeformationRecovery:
+    def test_recovers_gauge_fixed_tensor(self):
+        """Full pipeline vs injected A (a33 = 0 gauge, no stiffness)."""
+        f = _band_function(7)
+        ref = _render(f, GEOM)
+        a_true = np.stack(
+            [
+                _make_a(3e-3, -2e-3, 1e-3, (1e-3, -2e-3, 3e-3)),
+                _make_a(-4e-3, 1e-3, -2e-3, (2e-3, 1e-3, -1e-3)),
+                _make_a(0.0, 0.0, 0.0, (0.0, 0.0, 0.0)),
+            ]
+        )
+        pats = np.stack([_render(f, GEOM, a) for a in a_true])
+        res = hrebsd_map(pats, ref, GEOM, roi_size=64, upsample=50)
+        assert res.stress is None
+        assert np.max(np.abs(res.a - a_true)) < 3e-4
+        # The zero-deformation row is clean to the sub-pixel floor.
+        assert np.max(np.abs(res.a[2])) < 5e-5
+        assert np.all(res.residual_px < 0.1)
+        assert np.all(res.quality > 0.5)
+
+    def test_rotation_only(self):
+        f = _band_function(11)
+        ref = _render(f, GEOM)
+        rot = np.array([1.5e-3, -2.5e-3, 2e-3])
+        a_true = _make_a(0, 0, 0, rot)
+        res = hrebsd_map(
+            _render(f, GEOM, a_true)[None], ref, GEOM, upsample=50
+        )
+        assert np.max(np.abs(res.rotation[0] - rot)) < 1e-4
+        assert np.max(np.abs(res.strain[0])) < 1e-4
+        assert abs(
+            res.rotation_deg[0] - np.degrees(np.linalg.norm(rot))
+        ) < 0.005
+
+    def test_solve_weights_mask_dead_rois(self):
+        """A corrupted ROI with near-zero quality must not poison the
+        solve when masked by min_quality."""
+        f = _band_function(13)
+        ref = _render(f, GEOM)
+        a_true = _make_a(3e-3, -1e-3, 5e-4, (1e-3, 0.0, -1e-3))
+        pat = _render(f, GEOM, a_true)
+        centers = default_roi_centers(GEOM, roi_size=64)
+        shifts, quality = measure_roi_shifts(
+            ref, pat[None], centers, roi_size=64, upsample=50
+        )
+        shifts = shifts.copy()
+        quality = quality.copy()
+        shifts[0, 5] = (17.0, -9.0)  # garbage measurement
+        quality[0, 5] = 0.01
+        a, rms = solve_deformation(
+            shifts, quality, GEOM, centers, min_quality=0.1
+        )
+        assert np.max(np.abs(a[0] - a_true)) < 3e-4
+        assert rms[0] * GEOM.shape[1] < 0.1
+
+
+class TestTractionFree:
+    @staticmethod
+    def _traction_free_strain(c_voigt, g, eps_gauge):
+        """Host oracle: λ with n̂·σ(ε + λI)·n̂ = 0 for n̂ = ẑ, stiffness
+        rotated crystal→detector by g."""
+        pairs = [(0, 0), (1, 1), (2, 2), (1, 2), (0, 2), (0, 1)]
+        c4 = np.zeros((3, 3, 3, 3))
+        for av, (i, j) in enumerate(pairs):
+            for bv, (k, l) in enumerate(pairs):
+                for ii, jj in ((i, j), (j, i)):
+                    for kk, ll in ((k, l), (l, k)):
+                        c4[ii, jj, kk, ll] = c_voigt[av, bv]
+        c4 = np.einsum("ia,jb,kc,ld,abcd->ijkl", g, g, g, g, c4)
+        sig0 = np.einsum("ijkl,kl->ij", c4, eps_gauge)
+        sig_i = np.einsum("ijkk->ij", c4)
+        lam = -sig0[2, 2] / sig_i[2, 2]
+        return eps_gauge + lam * np.eye(3), c4
+
+    def test_full_strain_recovered_with_stiffness(self):
+        """σ33 = 0 closure restores the hydrostatic component."""
+        f = _band_function(17)
+        ref = _render(f, GEOM)
+        c_voigt = cubic_stiffness(*CUBIC_STIFFNESS["ni"])
+        eps_gauge = np.array(
+            [[2e-3, 5e-4, 0.0], [5e-4, -3e-3, 0.0], [0.0, 0.0, 0.0]]
+        )
+        eps_true, c4 = self._traction_free_strain(
+            c_voigt, np.eye(3), eps_gauge
+        )
+        rot = np.array([1e-3, -1e-3, 2e-3])
+        a_true = eps_true + _make_a(0, 0, 0, rot)
+        res = hrebsd_map(
+            _render(f, GEOM, a_true)[None], ref, GEOM,
+            upsample=50, stiffness=c_voigt,
+        )
+        assert res.stress is not None
+        assert np.max(np.abs(res.strain[0] - eps_true)) < 3e-4
+        assert np.max(np.abs(res.rotation[0] - rot)) < 1e-4
+        # The closure enforces σ33 = 0 exactly (n̂ = ẑ at tilt 0); other
+        # components match the Hooke oracle.
+        sig_oracle = np.einsum("ijkl,kl->ij", c4, res.strain[0])
+        assert abs(res.stress[0, 2, 2]) < 1e-4 * np.abs(res.stress).max()
+        assert np.max(np.abs(res.stress[0] - sig_oracle)) < 0.05 * np.abs(
+            sig_oracle
+        ).max() + 1e-3
+
+    def test_rotated_stiffness_orientation(self):
+        """Per-pattern crystal orientation rotates the stiffness before
+        the closure: recovery still matches the rotated-frame oracle."""
+        from scipy.spatial.transform import Rotation as R
+
+        f = _band_function(19)
+        ref = _render(f, GEOM)
+        c_voigt = cubic_stiffness(*CUBIC_STIFFNESS["cu"])
+        g = R.from_euler("zxz", [35.0, 52.0, 12.0], degrees=True).as_matrix()
+        quat = np.roll(
+            R.from_matrix(g).as_quat(), 1
+        )  # scalar-first crystal→detector
+        eps_gauge = np.array(
+            [[-2e-3, 0.0, 4e-4], [0.0, 3e-3, -5e-4], [4e-4, -5e-4, 0.0]]
+        )
+        eps_true, _ = self._traction_free_strain(c_voigt, g, eps_gauge)
+        a_true = eps_true  # no rotation part: isolates the closure
+        res = hrebsd_map(
+            _render(f, GEOM, a_true)[None], ref, GEOM,
+            upsample=50, stiffness=c_voigt, orientations=quat,
+        )
+        assert np.max(np.abs(res.strain[0] - eps_true)) < 3e-4
+        nsn = res.stress[0, 2, 2]
+        assert abs(nsn) < 1e-3 * np.abs(res.stress).max() + 1e-9
+
+
+class TestGeometryHelpers:
+    def test_default_layout(self):
+        centers = default_roi_centers(GEOM, roi_size=64)
+        assert centers.shape == (21, 2)  # 1 + 8 + 12
+        assert np.all(centers >= 32 + 2 - 1e-9)
+        assert np.all(centers <= 256 - 32 - 2 + 1e-9)
+        # First ROI sits on the pattern center.
+        vec = roi_position_vectors(GEOM, centers)
+        assert np.allclose(vec[0, :2], 0.0, atol=1.5 / 256)
+        assert np.allclose(vec[:, 2], GEOM.dd)
+
+    def test_roi_too_big_raises(self):
+        with pytest.raises(ValueError, match="does not fit"):
+            default_roi_centers(
+                DetectorGeometry(shape=(64, 64)), roi_size=64
+            )
+
+    def test_von_mises(self):
+        e = np.diag([2e-3, 0.0, 0.0])
+        dev = e - np.trace(e) / 3 * np.eye(3)
+        want = np.sqrt(2 / 3 * (dev * dev).sum())
+        assert np.isclose(von_mises_strain(e), want)
+        assert von_mises_strain(np.eye(3)) < 1e-12  # pure hydrostatic
+
+
+class TestNoiseBehavior:
+    def test_quality_drops_with_noise_and_recovery_degrades_gracefully(self):
+        f = _band_function(23)
+        ref = _render(f, GEOM)
+        a_true = _make_a(4e-3, -3e-3, 1e-3, (2e-3, -1e-3, 1e-3))
+        clean = _render(f, GEOM, a_true)
+        rng = np.random.default_rng(0)
+        scale = clean.std()
+        noisy = clean + rng.normal(size=clean.shape).astype(
+            np.float32
+        ) * (0.3 * scale)
+        res_c = hrebsd_map(clean[None], ref, GEOM, upsample=50)
+        res_n = hrebsd_map(noisy[None], ref, GEOM, upsample=50)
+        assert res_n.quality.mean() < res_c.quality.mean()
+        assert np.max(np.abs(res_c.a - a_true)) < 3e-4
+        # Noisy recovery stays in the right regime (30% noise, one ROI set).
+        assert np.max(np.abs(res_n.a - a_true)) < 1.5e-3
