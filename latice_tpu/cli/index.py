@@ -1665,12 +1665,47 @@ def cmd_master(args) -> None:
         structure, kv=args.kv, n_beams=args.beams, max_hkl=args.max_hkl,
         min_d=args.min_d,
     )
+    mc_meta = {}
     t0 = time.time()
-    img = dynamical_master_pattern(
-        structure, kv=args.kv, size=args.size,
-        depth_nm=args.depth_nm, absorption_ratio=args.absorption,
-        beams=beams,
-    )
+    if args.mc:
+        from latice_tpu.sim import (
+            mc_weighted_master_pattern,
+            simulate_bse_monte_carlo,
+        )
+
+        mc = simulate_bse_monte_carlo(
+            structure, kv=args.kv, tilt_deg=args.tilt,
+            n_electrons=args.mc_electrons,
+            energy_bins=args.mc_energy_bins,
+            depth_bins=args.mc_depth_bins,
+        )
+        logger.info(
+            f"MC: eta={mc.bse_yield:.3f}, depth p90 "
+            f"{float(np.percentile(mc.max_depth_nm, 90)):.0f} nm"
+        )
+        img = mc_weighted_master_pattern(
+            structure, mc, size=args.size, n_beams=args.beams,
+            absorption_ratio=args.absorption, max_hkl=args.max_hkl,
+            min_d=args.min_d,
+        )
+        mc_meta = {
+            "mc": True,
+            "mc_electrons": args.mc_electrons,
+            "mc_tilt_deg": args.tilt,
+            "mc_bse_yield": round(mc.bse_yield, 4),
+            "mc_energy_weights": [
+                round(float(w), 4) for w in mc.energy_weights
+            ],
+            "mc_energy_edges_kev": [
+                round(float(e), 3) for e in mc.energy_edges_kev
+            ],
+        }
+    else:
+        img = dynamical_master_pattern(
+            structure, kv=args.kv, size=args.size,
+            depth_nm=args.depth_nm, absorption_ratio=args.absorption,
+            beams=beams,
+        )
     dt = time.time() - t0
     out_path = args.out if args.out.endswith(".npy") else args.out + ".npy"
     np.save(out_path, img)
@@ -1689,20 +1724,20 @@ def cmd_master(args) -> None:
         "max_hkl": args.max_hkl,
         "min_d": args.min_d,
         "convention": "sim.master equal-area north hemisphere",
+        **mc_meta,
     }
     with open(out_path + ".mastermeta.json", "w") as f:
         json.dump(meta, f)
-    print(
-        json.dumps(
-            {
-                "size": args.size,
-                "n_beams": len(beams),
-                "mean_inner_potential": round(beams.u0, 6),
-                "seconds": round(dt, 2),
-                "out": out_path,
-            }
-        )
-    )
+    summary = {
+        "size": args.size,
+        "n_beams": len(beams),
+        "mean_inner_potential": round(beams.u0, 6),
+        "seconds": round(dt, 2),
+        "out": out_path,
+    }
+    if args.mc:
+        summary["mc_bse_yield"] = mc_meta["mc_bse_yield"]
+    print(json.dumps(summary))
 
 
 def cmd_analyze(args) -> None:
@@ -2970,6 +3005,31 @@ def main() -> None:
     dm.add_argument(
         "--min-d", type=float, default=0.4,
         help="reflection sweep d-spacing floor, Angstrom",
+    )
+    dm.add_argument(
+        "--mc", action="store_true",
+        help="replace the exponential depth profile with a first-party "
+        "Monte-Carlo backscatter simulation (sim.montecarlo, the "
+        "EMMCOpenCL role): one Bloch master per exit-energy bin with the "
+        "bin's measured generation-depth distribution, summed by "
+        "electron weight. --depth-nm is then ignored.",
+    )
+    dm.add_argument(
+        "--mc-electrons", type=int, default=200_000,
+        help="with --mc: incident electrons traced (default: %(default)s)",
+    )
+    dm.add_argument(
+        "--mc-energy-bins", type=int, default=8,
+        help="with --mc: exit-energy bins (each kept bin costs one Bloch "
+        "master solve; bins under 2%% weight fold into neighbors)",
+    )
+    dm.add_argument(
+        "--mc-depth-bins", type=int, default=40,
+        help="with --mc: generation-depth histogram bins",
+    )
+    dm.add_argument(
+        "--tilt", type=float, default=70.0,
+        help="with --mc: sample tilt from the beam, degrees (EBSD: 70)",
     )
     dm.set_defaults(fn=cmd_master)
 

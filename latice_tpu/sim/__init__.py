@@ -39,6 +39,12 @@ from latice_tpu.sim.master_fit import (
     fit_reflectors_to_master,
     kinematical_master_ncc,
 )
+from latice_tpu.sim.montecarlo import (
+    MonteCarloBSE,
+    effective_medium,
+    mc_weighted_master_pattern,
+    simulate_bse_monte_carlo,
+)
 from latice_tpu.sim.refine import refine_candidates, refine_orientations
 from latice_tpu.sim.kinematical import (
     Reflectors,
@@ -72,6 +78,10 @@ __all__ = [
     "kinematical_master_ncc",
     "lambert_to_directions",
     "make_kinematical_master",
+    "mc_weighted_master_pattern",
+    "MonteCarloBSE",
+    "effective_medium",
+    "simulate_bse_monte_carlo",
     "pixel_directions",
     "render_from_master",
     "reflectors_from_cell",

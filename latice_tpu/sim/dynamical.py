@@ -31,10 +31,12 @@ Physics model (self-contained; every approximation named):
   cos(2π(g−h)·r_a)``, a positive-semidefinite moment matrix), ``q_j`` its
   absorption rate (imaginary potential ``U' = κ·U_0·B/B_00`` — the
   site-localized shape that thermal diffuse scattering has), and the
-  backscatter generation depth is exponential with scale ``z₀``
-  (EMsoft integrates a Monte-Carlo depth profile here; the exponential is
-  the documented simplification). States channeling on atom planes have
-  large σ_j → excess bands with dynamical edge profiles.
+  backscatter generation depth is exponential with scale ``z₀`` by
+  default (EMsoft integrates a Monte-Carlo depth profile here; the
+  exponential is the documented simplification — `sim.montecarlo`
+  removes it by passing a measured histogram through
+  ``depth_centers_nm``/``depth_weights``). States channeling on atom
+  planes have large σ_j → excess bands with dynamical edge profiles.
 * **Scattering factors: Wentzel screened-Coulomb.** ``f_e(s) =
   Z / (8π² a₀ (s² + s_s²))`` with Thomas-Fermi screening ``s_s =
   1/(4πR)``, ``R = 0.885 a₀ Z^{−1/3}`` — self-consistent with Mott-Bethe
@@ -525,30 +527,18 @@ def dynamical_beams(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k_int", "q_scale", "z0"))
-def _channel_chunk(dirs, g, coupling, backscatter, k_int, q_scale, z0):
-    """Channeling yield for one direction chunk: (B, 3) → (B,).
-
-    One XLA program: diagonal build → batched real-symmetric eigh →
-    three (N, N)·(N,) contractions. f32 throughout — eigenvalue spreads
-    are ~1e-2 1/Å against f32's 1e-7 relative floor.
-    """
+def _bloch_states(dirs, g, coupling, k_int):
+    """Excitation |C_0j|² and Bloch eigenvectors for the real path."""
     # Excitation errors for a beam incident along -d (reciprocity):
     # s_g = d·g − |g|²/(2k).
     s_g = dirs @ g.T - (jnp.sum(g * g, axis=1) / (2.0 * k_int))[None, :]
     mats = coupling[None, :, :] + jax.vmap(jnp.diag)(s_g)
     _, vecs = jnp.linalg.eigh(mats)  # (B, N, N), columns = Bloch states
-    alpha2 = vecs[:, 0, :] ** 2  # |C_0j|²: excitation of state j
-    sigma = jnp.einsum("bgj,gh,bhj->bj", vecs, backscatter, vecs)
-    depth = 1.0 / (1.0 + (2.0 * jnp.pi * q_scale * z0) * sigma)
-    return jnp.sum(alpha2 * sigma * depth, axis=1)
+    return vecs[:, 0, :] ** 2, vecs  # |C_0j|²: excitation of state j
 
 
-@functools.partial(jax.jit, static_argnames=("k_int", "q_scale", "z0"))
-def _channel_chunk_hermitian(
-    dirs, g, cr, ci, br, bi, k_int, q_scale, z0
-):
-    """Channeling yield, complex-Hermitian Bloch matrix: (B, 3) → (B,).
+def _bloch_states_hermitian(dirs, g, cr, ci, k_int):
+    """Excitation and embedded eigenvectors for the 2N real embedding.
 
     Solves ``H = A + iB`` (A symmetric incl. the excitation-error
     diagonal, B antisymmetric) through the real embedding
@@ -573,15 +563,78 @@ def _channel_chunk_hermitian(
     )  # (B, 2N, 2N) real symmetric
     _, vecs = jnp.linalg.eigh(mats)
     exc = vecs[:, 0, :] ** 2 + vecs[:, n, :] ** 2  # |C_0j|²
-    bs_emb = jnp.concatenate(
+    return exc, vecs
+
+
+def _embed_backscatter(br, bi):
+    """(2N, 2N) real embedding of the Hermitian backscatter matrix."""
+    return jnp.concatenate(
         [
             jnp.concatenate([br, -bi], axis=1),
             jnp.concatenate([bi, br], axis=1),
         ],
         axis=0,
-    )  # (2N, 2N)
-    sigma = jnp.einsum("bgj,gh,bhj->bj", vecs, bs_emb, vecs)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k_int", "q_scale", "z0"))
+def _channel_chunk(dirs, g, coupling, backscatter, k_int, q_scale, z0):
+    """Channeling yield for one direction chunk: (B, 3) → (B,).
+
+    One XLA program: diagonal build → batched real-symmetric eigh →
+    three (N, N)·(N,) contractions. f32 throughout — eigenvalue spreads
+    are ~1e-2 1/Å against f32's 1e-7 relative floor.
+    """
+    alpha2, vecs = _bloch_states(dirs, g, coupling, k_int)
+    sigma = jnp.einsum("bgj,gh,bhj->bj", vecs, backscatter, vecs)
     depth = 1.0 / (1.0 + (2.0 * jnp.pi * q_scale * z0) * sigma)
+    return jnp.sum(alpha2 * sigma * depth, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k_int", "q_scale", "z0"))
+def _channel_chunk_hermitian(
+    dirs, g, cr, ci, br, bi, k_int, q_scale, z0
+):
+    """Channeling yield, complex-Hermitian Bloch matrix: (B, 3) → (B,).
+
+    See `_bloch_states_hermitian` for the 2N real-embedding argument."""
+    exc, vecs = _bloch_states_hermitian(dirs, g, cr, ci, k_int)
+    sigma = jnp.einsum(
+        "bgj,gh,bhj->bj", vecs, _embed_backscatter(br, bi), vecs
+    )
+    depth = 1.0 / (1.0 + (2.0 * jnp.pi * q_scale * z0) * sigma)
+    return 0.5 * jnp.sum(exc * sigma * depth, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k_int", "q_scale"))
+def _channel_chunk_quad(
+    dirs, g, coupling, backscatter, z_ang, z_w, k_int, q_scale
+):
+    """Channeling yield with a MEASURED depth distribution: (B, 3) → (B,).
+
+    Replaces the exponential-profile closed form ``1/(1 + 2π q_j z₀)``
+    with the quadrature ``Σ_b w_b e^{−2π q_j z_b}`` over histogram bins
+    (z_ang in Å, weights summing to 1) — the Monte-Carlo integration step
+    of EMsoft's EMEBSDmaster, fed by `sim.montecarlo`. With weights
+    sampled from the exponential the two paths agree (pinned by test)."""
+    alpha2, vecs = _bloch_states(dirs, g, coupling, k_int)
+    sigma = jnp.einsum("bgj,gh,bhj->bj", vecs, backscatter, vecs)
+    rate = (2.0 * jnp.pi * q_scale) * sigma  # absorption, 1/Å per state
+    depth = jnp.exp(-rate[..., None] * z_ang) @ z_w  # (B, J, nZ) @ (nZ,)
+    return jnp.sum(alpha2 * sigma * depth, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k_int", "q_scale"))
+def _channel_chunk_hermitian_quad(
+    dirs, g, cr, ci, br, bi, z_ang, z_w, k_int, q_scale
+):
+    """Measured-depth-quadrature variant of `_channel_chunk_hermitian`."""
+    exc, vecs = _bloch_states_hermitian(dirs, g, cr, ci, k_int)
+    sigma = jnp.einsum(
+        "bgj,gh,bhj->bj", vecs, _embed_backscatter(br, bi), vecs
+    )
+    rate = (2.0 * jnp.pi * q_scale) * sigma
+    depth = jnp.exp(-rate[..., None] * z_ang) @ z_w
     return 0.5 * jnp.sum(exc * sigma * depth, axis=1)
 
 
@@ -591,6 +644,8 @@ def channeling_intensities(
     depth_nm: float = 50.0,
     absorption_ratio: float = 0.1,
     chunk: int = 2048,
+    depth_centers_nm: np.ndarray | None = None,
+    depth_weights: np.ndarray | None = None,
 ) -> np.ndarray:
     """Backscatter channeling yield I(d) for unit directions ``dirs``
     (..., 3) in the crystal frame — the master pattern evaluated pointwise
@@ -599,12 +654,23 @@ def channeling_intensities(
     Args:
         dirs: exit directions, any leading shape.
         beams: from `dynamical_beams`.
-        depth_nm: exponential backscatter-generation depth scale z₀, nm.
+        depth_nm: exponential backscatter-generation depth scale z₀, nm —
+            the closed-form default profile. Ignored when a measured
+            distribution is passed.
         absorption_ratio: κ = U'₀/U₀ of the site-localized imaginary
             potential (0.05–0.15 typical).
         chunk: directions per device dispatch (bounds the (chunk, N, N)
             eigh batch).
+        depth_centers_nm / depth_weights: optional MEASURED generation-
+            depth histogram (both or neither; same length; weights are
+            normalized here) — e.g. a `sim.montecarlo` energy bin's depth
+            row. The depth integral then becomes a quadrature over these
+            bins instead of the exponential closed form.
     """
+    if (depth_centers_nm is None) != (depth_weights is None):
+        raise ValueError(
+            "pass depth_centers_nm and depth_weights together (or neither)"
+        )
     d = np.asarray(dirs, np.float32)
     lead = d.shape[:-1]
     d = d.reshape(-1, 3)
@@ -624,13 +690,37 @@ def channeling_intensities(
         absorption_ratio * beams.u0 / (2.0 * beams.k_int)
     )  # 1/Å per unit sigma
     z0 = float(depth_nm * 10.0)  # nm → Å
+    if depth_centers_nm is not None:
+        zc = np.asarray(depth_centers_nm, np.float64)
+        zw = np.asarray(depth_weights, np.float64)
+        if zc.ndim != 1 or zc.shape != zw.shape:
+            raise ValueError(
+                "depth_centers_nm/depth_weights must be matching 1-D "
+                f"arrays, got {zc.shape} vs {zw.shape}"
+            )
+        total = zw.sum()
+        if not total > 0:
+            raise ValueError("depth_weights must have positive mass")
+        z_ang = jnp.asarray(zc * 10.0, jnp.float32)  # nm → Å
+        z_w = jnp.asarray(zw / total, jnp.float32)
     out = np.empty(n, np.float32)
     for start in range(0, n, chunk):
         dc = d[start : start + chunk]
         m = len(dc)
         if m < chunk:  # pad to the static compile shape
             dc = np.concatenate([dc, np.tile(dc[-1:], (chunk - m, 1))])
-        if beams.is_centrosymmetric:
+        if depth_centers_nm is not None:
+            if beams.is_centrosymmetric:
+                res = _channel_chunk_quad(
+                    jnp.asarray(dc), g, coupling, bs, z_ang, z_w,
+                    beams.k_int, q_scale,
+                )
+            else:
+                res = _channel_chunk_hermitian_quad(
+                    jnp.asarray(dc), g, coupling, ci, bs, bi, z_ang, z_w,
+                    beams.k_int, q_scale,
+                )
+        elif beams.is_centrosymmetric:
             res = _channel_chunk(
                 jnp.asarray(dc), g, coupling, bs, beams.k_int, q_scale, z0
             )

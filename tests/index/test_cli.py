@@ -382,6 +382,29 @@ class TestCLI:
         meta = json.loads(Path(mpath + ".mastermeta.json").read_text())
         assert meta["centrosymmetric"] is False
 
+    def test_master_mc_command(self, tmp_path, monkeypatch, capsys):
+        """`master --mc` runs the first-party Monte-Carlo backscatter
+        stage (sim.montecarlo, the EMMCOpenCL role) and records the
+        BSE yield + energy binning in the sidecar metadata."""
+        mpath = str(tmp_path / "mc_master.npy")
+        stdout = _run(
+            ["master", "--out", mpath, "--structure", "fcc", "--element",
+             "ni", "--size", "21", "--beams", "15", "--max-hkl", "2",
+             "--mc", "--mc-electrons", "20000", "--mc-energy-bins", "4"],
+            monkeypatch, capsys,
+        )
+        info = json.loads(stdout.strip().splitlines()[-1])
+        assert 0.4 < info["mc_bse_yield"] < 0.8  # Ni at the 70 deg tilt
+        img = np.load(mpath)
+        assert img.shape == (21, 21) and np.all(np.isfinite(img))
+        meta = json.loads(Path(mpath + ".mastermeta.json").read_text())
+        assert meta["mc"] is True
+        assert len(meta["mc_energy_weights"]) == 4
+        assert len(meta["mc_energy_edges_kev"]) == 5
+        np.testing.assert_allclose(
+            sum(meta["mc_energy_weights"]), 1.0, atol=2e-3
+        )
+
     def test_master_two_species_element_validation(
         self, tmp_path, monkeypatch, capsys
     ):

@@ -1,0 +1,234 @@
+"""Monte-Carlo backscatter simulation (sim.montecarlo): yield physics
+against literature anchors, distribution invariants, and the measured-
+depth quadrature against the exponential closed form it generalizes.
+
+The reference has no simulation stage at all (its data path starts at a
+premade ``.npy`` stack, reference data_module.py:70-78); this plane is
+the first-party EMMCOpenCL/EMEBSDmaster role documented in PARITY.md.
+"""
+
+import numpy as np
+import pytest
+
+from latice_tpu.sim import (
+    channeling_intensities,
+    cubic_structure,
+    dynamical_beams,
+    dynamical_master_pattern,
+    effective_medium,
+    mc_weighted_master_pattern,
+    simulate_bse_monte_carlo,
+    zincblende_structure,
+)
+from latice_tpu.sim.dynamical import AtomSite, CrystalStructure
+
+# Small-but-sufficient MC settings for the 1-core CPU test box: one chunk,
+# 20k walkers give yield standard errors ~0.003 against the >±0.05
+# tolerances asserted below.
+FAST = dict(n_electrons=20_000, n_steps=250, chunk=20_000)
+
+
+def _ni():
+    return cubic_structure("fcc", "ni", 3.52)
+
+
+class TestEffectiveMedium:
+    def test_nickel(self):
+        z, a, rho = effective_medium(_ni())
+        assert z == 28.0
+        np.testing.assert_allclose(a, 58.693, rtol=1e-6)
+        # 4 atoms * 58.693 g/mol / (N_A * (3.52 A)^3) = 8.94 g/cm3
+        np.testing.assert_allclose(rho, 8.91, atol=0.1)
+
+    def test_compound_average(self):
+        z, a, _ = effective_medium(zincblende_structure())
+        assert z == (31 + 33) / 2.0  # GaAs abundance mean
+        np.testing.assert_allclose(a, (69.723 + 74.922) / 2.0, rtol=1e-6)
+
+    def test_integer_z_site_approximates_weight(self):
+        s = CrystalStructure(
+            3.0, 3.0, 3.0, sites=(AtomSite(26, (0, 0, 0)),)
+        )
+        _, a, _ = effective_medium(s)
+        # A ~ 2Z + Z^2/157 fit: 52 + 4.3 = 56.3 vs iron's true 55.8.
+        np.testing.assert_allclose(a, 56.3, atol=0.1)
+
+
+class TestYieldPhysics:
+    def test_nickel_normal_incidence(self):
+        # Literature eta(Ni, 20 keV, normal) ~ 0.30 (Reuter fit 0.295);
+        # the screened-Rutherford CSDA model lands within the family of
+        # published single-scattering MC results.
+        mc = simulate_bse_monte_carlo(_ni(), kv=20.0, tilt_deg=0.0, **FAST)
+        assert 0.20 < mc.bse_yield < 0.38, mc.bse_yield
+
+    def test_tilt_raises_yield(self):
+        mc0 = simulate_bse_monte_carlo(_ni(), kv=20.0, tilt_deg=0.0, **FAST)
+        mc70 = simulate_bse_monte_carlo(
+            _ni(), kv=20.0, tilt_deg=70.0, **FAST
+        )
+        # EBSD geometry: eta(70 deg) ~ 0.55-0.65 for Ni.
+        assert mc70.bse_yield > mc0.bse_yield + 0.15
+        assert 0.45 < mc70.bse_yield < 0.75, mc70.bse_yield
+
+    def test_yield_increases_with_z(self):
+        al = simulate_bse_monte_carlo(
+            kv=20.0, tilt_deg=0.0, z=13, a=26.982, density_g_cm3=2.70,
+            **FAST,
+        )
+        au = simulate_bse_monte_carlo(
+            kv=20.0, tilt_deg=0.0, z=79, a=196.967, density_g_cm3=19.3,
+            **FAST,
+        )
+        # Literature: eta(Al) ~ 0.15, eta(Au) ~ 0.48.
+        assert au.bse_yield > al.bse_yield + 0.15
+
+    def test_depth_scale_sane(self):
+        # 20 keV Ni: BSE generation depths are tens of nm (the full
+        # electron range is ~1 um; BSE come from the top fraction).
+        mc = simulate_bse_monte_carlo(_ni(), kv=20.0, tilt_deg=70.0, **FAST)
+        p50, p99 = np.percentile(mc.max_depth_nm, [50, 99])
+        assert 5.0 < p50 < 150.0, p50
+        assert p99 < 1000.0, p99
+
+
+class TestDistributions:
+    def test_invariants(self):
+        mc = simulate_bse_monte_carlo(
+            _ni(), kv=20.0, tilt_deg=70.0, energy_bins=6, depth_bins=24,
+            **FAST,
+        )
+        np.testing.assert_allclose(mc.energy_weights.sum(), 1.0, rtol=1e-12)
+        np.testing.assert_allclose(
+            mc.depth_weights.sum(axis=1), np.ones(6), rtol=1e-12
+        )
+        assert mc.energy_weights.shape == (6,)
+        assert mc.depth_weights.shape == (6, 24)
+        assert np.all(np.diff(mc.depth_centers_nm) > 0)
+        assert np.all(mc.exit_energy_kev >= 2.0 - 1e-6)  # e_min = kv/10
+        assert np.all(mc.exit_energy_kev <= 20.0 + 1e-6)
+        assert mc.energy_centers_kev.shape == (6,)
+        # BSE spectra peak toward E0 for mid/high-Z at tilt: the top bin
+        # must dominate the bottom one.
+        assert mc.energy_weights[-1] > mc.energy_weights[0]
+
+    def test_deterministic(self):
+        a = simulate_bse_monte_carlo(_ni(), kv=20.0, seed=3, **FAST)
+        b = simulate_bse_monte_carlo(_ni(), kv=20.0, seed=3, **FAST)
+        np.testing.assert_array_equal(a.exit_energy_kev, b.exit_energy_kev)
+        np.testing.assert_array_equal(a.max_depth_nm, b.max_depth_nm)
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="z/a/density"):
+            simulate_bse_monte_carlo(kv=20.0, z=28, **FAST)
+        with pytest.raises(ValueError, match="tilt_deg"):
+            simulate_bse_monte_carlo(_ni(), tilt_deg=95.0, **FAST)
+        with pytest.raises(ValueError, match="backscattered"):
+            simulate_bse_monte_carlo(
+                _ni(), kv=20.0, e_min_kev=19.999, n_electrons=512,
+                n_steps=4, chunk=512,
+            )
+
+
+class TestDepthQuadrature:
+    def _dirs(self, n=48):
+        rng = np.random.default_rng(0)
+        d = rng.normal(size=(n, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d[:, 2] = np.abs(d[:, 2])
+        return d
+
+    def test_matches_exponential_closed_form(self):
+        # Histogram weights sampled from the exponential profile must
+        # reproduce the closed form 1/(1 + 2 pi q z0) the default path
+        # integrates analytically — the correctness pin of the quadrature.
+        beams = dynamical_beams(_ni(), kv=20.0, n_beams=16, max_hkl=2)
+        z0 = 50.0
+        zc = (np.arange(4000) + 0.5) * (20.0 * z0 / 4000)
+        zw = np.exp(-zc / z0)
+        d = self._dirs()
+        ref = channeling_intensities(d, beams, depth_nm=z0, chunk=48)
+        quad = channeling_intensities(
+            d, beams, chunk=48, depth_centers_nm=zc, depth_weights=zw
+        )
+        assert np.abs(quad - ref).max() / np.abs(ref).max() < 2e-3
+
+    def test_matches_on_hermitian_path(self):
+        beams = dynamical_beams(
+            zincblende_structure(), kv=20.0, n_beams=14, max_hkl=2
+        )
+        assert not beams.is_centrosymmetric
+        z0 = 40.0
+        zc = (np.arange(4000) + 0.5) * (20.0 * z0 / 4000)
+        zw = np.exp(-zc / z0)
+        d = self._dirs(32)
+        ref = channeling_intensities(d, beams, depth_nm=z0, chunk=32)
+        quad = channeling_intensities(
+            d, beams, chunk=32, depth_centers_nm=zc, depth_weights=zw
+        )
+        assert np.abs(quad - ref).max() / np.abs(ref).max() < 2e-3
+
+    def test_validation(self):
+        beams = dynamical_beams(_ni(), kv=20.0, n_beams=16, max_hkl=2)
+        d = self._dirs(4)
+        with pytest.raises(ValueError, match="together"):
+            channeling_intensities(d, beams, depth_centers_nm=np.ones(3))
+        with pytest.raises(ValueError, match="matching"):
+            channeling_intensities(
+                d, beams, depth_centers_nm=np.ones(3),
+                depth_weights=np.ones(4),
+            )
+        with pytest.raises(ValueError, match="positive mass"):
+            channeling_intensities(
+                d, beams, depth_centers_nm=np.ones(3),
+                depth_weights=np.zeros(3),
+            )
+
+
+class TestWeightedMaster:
+    def test_close_to_plain_master(self):
+        # The MC-weighted master is the same dynamical physics with a
+        # measured (energy, depth) mixture instead of one exponential —
+        # strongly correlated with the plain master, not identical.
+        ni = _ni()
+        mc = simulate_bse_monte_carlo(
+            ni, kv=20.0, tilt_deg=70.0, energy_bins=5, **FAST
+        )
+        img = mc_weighted_master_pattern(
+            ni, mc, size=31, n_beams=16, max_hkl=2, chunk=31 * 31
+        )
+        ref = dynamical_master_pattern(
+            ni, kv=20.0, size=31, n_beams=16, max_hkl=2, chunk=31 * 31
+        )
+        assert img.shape == (31, 31) and img.dtype == np.float32
+        assert np.all(np.isfinite(img))
+        assert np.corrcoef(img.ravel(), ref.ravel())[0, 1] > 0.9
+
+    def test_bin_folding_keeps_total_weight(self):
+        # min_bin_weight=1.0 folds everything into the heaviest bin: the
+        # master then equals a single-energy solve at that bin's center.
+        ni = _ni()
+        mc = simulate_bse_monte_carlo(
+            ni, kv=20.0, tilt_deg=70.0, energy_bins=5, **FAST
+        )
+        img = mc_weighted_master_pattern(
+            ni, mc, size=21, n_beams=16, max_hkl=2, chunk=441,
+            min_bin_weight=1.0, normalize=False,
+        )
+        b = int(np.argmax(mc.energy_weights))
+        beams = dynamical_beams(
+            ni, kv=float(mc.energy_centers_kev[b]), n_beams=16, max_hkl=2
+        )
+        half = (21 - 1) / 2.0
+        ij = (np.arange(21, dtype=np.float64) - half) / half
+        x, y = np.meshgrid(ij, -ij, indexing="xy")
+        from latice_tpu.sim import lambert_to_directions
+
+        d = lambert_to_directions(np.stack([x, y], axis=-1) * np.sqrt(2.0))
+        expect = channeling_intensities(
+            d, beams, chunk=441,
+            depth_centers_nm=mc.depth_centers_nm,
+            depth_weights=mc.depth_weights[b],
+        )
+        # All folded weight lands on bin b with total weight 1.0.
+        np.testing.assert_allclose(img, expect, rtol=1e-5, atol=1e-7)
