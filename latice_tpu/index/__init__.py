@@ -38,6 +38,11 @@ from latice_tpu.index.knn import (
     quantize_dictionary_int8,
 )
 from latice_tpu.index.result import OrientationResult
+from latice_tpu.index.spherical import (
+    SphericalIndexer,
+    SphericalIndexerConfig,
+    SphericalResult,
+)
 
 __all__ = [
     "ConsensusOutput",
@@ -52,6 +57,9 @@ __all__ = [
     "band_plane_normals",
     "solve_wahba",
     "PatternDictionaryIndexer",
+    "SphericalIndexer",
+    "SphericalIndexerConfig",
+    "SphericalResult",
     "StreamedPatternDI",
     "build_pattern_dictionary",
     "ncc_feature_fn",

@@ -1,0 +1,445 @@
+"""Spherical-harmonic indexing: dictionary-free global orientation search.
+
+The fourth indexing plane (alongside latent k-NN, pattern-NCC DI and
+Hough band voting; the reference only has the DB-backed k-NN plane,
+reference dp_indexer.py:51): instead of comparing against a rendered
+dictionary, each experimental pattern is back-projected onto the sphere
+through the detector geometry and cross-correlated against the master
+pattern over ALL of SO(3) at once — the EMSphInx role, built first-party
+on the `sim.sht` harmonic machinery.
+
+The math (conventions pinned by tests/sim/test_sht.py): a pattern
+``p(d) = M(Rᵀ d)`` samples the master M at crystal-frame directions,
+where R is the crystal→detector orientation (`sim.master`'s rendering
+contract, master.py:248-251). Writing the windowed back-projection
+``f(n) = Σ_i w_i p_i δ(n − d_i)`` and expanding both sides in spherical
+harmonics, the correlation
+
+    X(R) = ∫ f(n) M(Rᵀ n) dn = Σ_{lmν} conj(f̂_lm) m̂_lν D^l_mν(R)
+
+becomes, on a ZYZ Euler grid R = Rz(α)Ry(β)Rz(γ),
+
+    X(α, β_k, γ) = Σ_{mν} W_mν(β_k) e^{−imα} e^{−iνγ},
+    W_mν(β_k)    = Σ_l conj(f̂_lm) m̂_lν d^l_mν(β_k)
+
+— per pattern: one projection matmul (pixels → f̂), one l-contraction
+einsum against the precomputed ``m̂·d`` tables, and two DFT matmuls, all
+MXU-shaped, batched over the pattern chunk in ONE jitted program with a
+fused argmax + 3×3×3 peak-neighborhood extraction (the full X volume
+never leaves the device). Sub-grid accuracy comes from host-side
+parabolic interpolation of the peak; crystal symmetry (master-invariant
+right cosets R·g) is folded by `crystal.reduce_to_fundamental_zone`.
+
+Friedel-symmetric masters (every centrosymmetric phase, and the
+antipodal extension `sim.master` documents) have zero odd-l
+coefficients, so the l-contraction — the FLOPs- and memory-dominant
+stage — automatically keeps only even degrees (the ``l_keep`` mask).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latice_tpu.crystal.sampling import reduce_to_fundamental_zone
+from latice_tpu.crystal.symmetry import ROTATION_GROUPS
+from latice_tpu.sim.geometry import DetectorGeometry, pixel_directions
+from latice_tpu.sim.master import directions_to_lambert
+from latice_tpu.sim.sht import (
+    gauss_legendre_ring_grid,
+    sph_coeffs_dense,
+    sph_matrix_dense,
+    wigner_d_table,
+)
+
+__all__ = [
+    "SphericalIndexer",
+    "SphericalIndexerConfig",
+    "SphericalResult",
+    "master_sph_coefficients",
+]
+
+logger = logging.getLogger(__name__)
+
+
+def _lookup_master(master: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+    """Bilinear master lookup at unit directions (`sim.master` equal-area
+    convention, antipodal for z < 0) — host-side, analysis-time only."""
+    m = np.asarray(master, np.float64)
+    n = m.shape[0]
+    half = (n - 1) / 2.0
+    xy = directions_to_lambert(dirs)
+    col = np.clip(xy[..., 0] / np.sqrt(2.0) * half + half, 0.0, n - 1.0)
+    row = np.clip(-xy[..., 1] / np.sqrt(2.0) * half + half, 0.0, n - 1.0)
+    r0 = np.floor(row).astype(np.int64)
+    c0 = np.floor(col).astype(np.int64)
+    r1 = np.minimum(r0 + 1, n - 1)
+    c1 = np.minimum(c0 + 1, n - 1)
+    fr = row - r0
+    fc = col - c0
+    return (
+        m[r0, c0] * (1 - fr) * (1 - fc)
+        + m[r0, c1] * (1 - fr) * fc
+        + m[r1, c0] * fr * (1 - fc)
+        + m[r1, c1] * fr * fc
+    )
+
+
+def master_sph_coefficients(
+    master: np.ndarray, bandwidth: int
+) -> np.ndarray:
+    """Dense (L, 2L−1) complex SH coefficients of a master image.
+
+    Analyzed over the full sphere on a Gauss–Legendre quadrature grid
+    (southern directions via the antipode, exactly `render_from_master`'s
+    sampling rule), DC (l = 0) removed and unit-normalized so correlation
+    peaks are a cosine-like score.
+    """
+    dirs, w = gauss_legendre_ring_grid(bandwidth)
+    vals = _lookup_master(master, dirs)
+    coef = sph_coeffs_dense(vals, dirs, w, bandwidth)
+    coef[0, :] = 0.0  # remove DC: patterns are zero-meaned too
+    norm = np.sqrt(np.sum(np.abs(coef) ** 2))
+    if norm < 1e-12:
+        raise ValueError("master has no harmonic content below bandwidth")
+    return coef / norm
+
+
+def _solid_angle_weights(geometry: DetectorGeometry) -> np.ndarray:
+    """Per-pixel solid angles (H·W,) — the quadrature weights of the
+    windowed back-projection. Tilt is a rigid rotation about the source,
+    so the untilted gnomonic formula is exact."""
+    h, w = geometry.shape
+    col = (np.arange(w, dtype=np.float64) + 0.5) / w
+    dist_bottom = (h - (np.arange(h, dtype=np.float64) + 0.5)) / w
+    x = col[None, :] - geometry.pcx
+    y = dist_bottom[:, None] - geometry.pcy
+    r2 = x * x + y * y + geometry.dd**2
+    omega = (geometry.dd / (w * w)) / r2**1.5
+    return np.broadcast_to(omega, (h, w)).reshape(-1).copy()
+
+
+@dataclasses.dataclass(frozen=True)
+class SphericalIndexerConfig:
+    """Knobs of the spherical cross-correlation.
+
+    Attributes:
+        bandwidth: harmonic band limit L. Angular resolution of the
+            correlation grid is ~180°/L; 64 gives ~2.8° before the
+            parabolic peak interpolation.
+        beta_count / alpha_count: SO(3) grid sizes over β ∈ (0, π) and
+            α, γ ∈ [0, 2π) (defaults 2L each — matched resolution).
+        detector_bin: mean-pool factor applied to patterns on device
+            before projection (the harmonic window can't resolve more
+            pixels than ~L² anyway; binning cuts the projection matmul).
+        chunk: patterns per device dispatch (bounds the (chunk, K, nA,
+            nG) correlation volume — 32 at the defaults is ~270 MB).
+        symmetry: proper rotation group for the fundamental-zone
+            reduction (`crystal.ROTATION_GROUPS` key).
+        refine: parabolic sub-grid interpolation of the peak (host-side,
+            essentially free; off restores raw grid solutions).
+    """
+
+    bandwidth: int = 64
+    beta_count: int | None = None
+    alpha_count: int | None = None
+    detector_bin: int = 2
+    chunk: int = 32
+    symmetry: str = "432"
+    refine: bool = True
+
+    def __post_init__(self):
+        if self.bandwidth < 4:
+            raise ValueError(f"bandwidth must be >= 4, got {self.bandwidth}")
+        if self.detector_bin < 1:
+            raise ValueError("detector_bin must be >= 1")
+        if self.chunk < 1:
+            raise ValueError("chunk must be >= 1")
+        if self.symmetry not in ROTATION_GROUPS:
+            raise ValueError(
+                f"unknown point group {self.symmetry!r}; choose from "
+                f"{sorted(ROTATION_GROUPS)}"
+            )
+
+
+@dataclasses.dataclass(frozen=True)
+class SphericalResult:
+    """Batch result: scalar-first crystal→detector quaternions (FZ
+    representatives), zxz Euler degrees, and the correlation score
+    (cosine-like; window-limited, comparable across patterns)."""
+
+    quaternions: np.ndarray
+    eulers_deg: np.ndarray
+    scores: np.ndarray
+
+    def __len__(self) -> int:
+        return len(self.quaternions)
+
+
+@functools.partial(jax.jit, static_argnames=("bin_factor",))
+def _correlate_chunk(
+    pats, wvec, yr, yi, dmr, dmi, cm, sm, cg, sg, bin_factor
+):
+    """One chunk of patterns → correlation peak + 3³ neighborhood.
+
+    pats: (b, H, W) f32/uint8. All tables are device residents passed by
+    reference. Returns (peak, k, a, g, neighborhood(b,3,3,3)).
+    """
+    b = pats.shape[0]
+    x = pats.astype(jnp.float32)
+    if pats.dtype == jnp.uint8:
+        x = x / 255.0
+    if bin_factor > 1:
+        hb = x.shape[1] // bin_factor
+        wb = x.shape[2] // bin_factor
+        x = x.reshape(b, hb, bin_factor, wb, bin_factor).mean(axis=(2, 4))
+    x = x.reshape(b, -1)
+    # Windowed zero-mean + solid-angle-weighted normalization: the
+    # back-projected f has unit L2 mass, making X a cosine-like score.
+    wsum = jnp.sum(wvec)
+    mean = (x @ wvec) / wsum
+    xc = x - mean[:, None]
+    norm = jnp.sqrt(jnp.maximum((xc * xc) @ wvec, 1e-20))
+    xcn = xc / norm[:, None]
+    # Projection: f̂ = Σ_i w_i f_i conj(Y(d_i)) — weights folded into Y.
+    n_l, m_dim = dmr.shape[1], dmr.shape[2]
+    fr = (xcn @ yr).reshape(b, n_l, m_dim)
+    fi = (xcn @ yi).reshape(b, n_l, m_dim)
+    # W_mν(β_k) = Σ_l conj(f̂)_lm (m̂·d)_lmν, real/imag explicitly.
+    wr = jnp.einsum("blm,klmv->bkmv", fr, dmr) + jnp.einsum(
+        "blm,klmv->bkmv", fi, dmi
+    )
+    wi = jnp.einsum("blm,klmv->bkmv", fr, dmi) - jnp.einsum(
+        "blm,klmv->bkmv", fi, dmr
+    )
+    # α-DFT: T = Σ_m (cos − i·sin)(mα) W.
+    tr = jnp.einsum("ma,bkmv->bkav", cm, wr) + jnp.einsum(
+        "ma,bkmv->bkav", sm, wi
+    )
+    ti = jnp.einsum("ma,bkmv->bkav", cm, wi) - jnp.einsum(
+        "ma,bkmv->bkav", sm, wr
+    )
+    # γ-DFT, real part only: X = Re(T e^{−iνγ}) = Tr·cos + Ti·sin.
+    xcorr = jnp.einsum("bkav,vg->bkag", tr, cg) + jnp.einsum(
+        "bkav,vg->bkag", ti, sg
+    )
+    k_n, a_n, g_n = xcorr.shape[1:]
+    flat = xcorr.reshape(b, -1)
+    best = jnp.argmax(flat, axis=1)
+    peak = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+    k = best // (a_n * g_n)
+    a = (best // g_n) % a_n
+    g = best % g_n
+    offs = jnp.arange(-1, 2)
+    kk = jnp.clip(k[:, None] + offs[None, :], 0, k_n - 1)
+    aa = (a[:, None] + offs[None, :]) % a_n
+    gg = (g[:, None] + offs[None, :]) % g_n
+    nb = xcorr[
+        jnp.arange(b)[:, None, None, None],
+        kk[:, :, None, None],
+        aa[:, None, :, None],
+        gg[:, None, None, :],
+    ]
+    return peak, k, a, g, nb
+
+
+def _parabolic_offset(xm: np.ndarray, x0: np.ndarray, xp: np.ndarray):
+    """Sub-grid peak offset of a 3-point parabola, clamped to ±0.5."""
+    denom = xm - 2.0 * x0 + xp
+    safe = np.abs(denom) > 1e-12
+    off = np.where(safe, 0.5 * (xm - xp) / np.where(safe, denom, 1.0), 0.0)
+    return np.clip(off, -0.5, 0.5)
+
+
+class SphericalIndexer:
+    """Index patterns by spherical cross-correlation against a master.
+
+    Args:
+        master: ``(N, N)`` master image in `sim.master`'s equal-area
+            convention (`dynamical_master_pattern`, `index.py master`,
+            or an imported external master).
+        geometry: detector description the patterns were captured with.
+        config: `SphericalIndexerConfig`.
+
+    Setup cost is one-time per (master, geometry): harmonic analysis of
+    the master, the Wigner ``m̂·d`` tables, and the windowed projection
+    matrices; ~100 MB–2 GB of device residency depending on bandwidth.
+
+    Multi-chip: pass ``mesh=`` to data-parallelize over the pattern
+    batch — tables replicate, each chunk shards over the mesh's first
+    axis (every stage of the correlation is batch-parallel, so GSPMD
+    inserts no collectives at all); ``config.chunk`` must divide by the
+    device count. Mesh results match single-device bit-for-bit
+    (dryrun-asserted in `__graft_entry__.dryrun_multichip`).
+    """
+
+    def __init__(
+        self,
+        master: np.ndarray,
+        geometry: DetectorGeometry | None = None,
+        config: SphericalIndexerConfig | None = None,
+        mesh=None,
+    ):
+        self.geometry = geometry or DetectorGeometry()
+        self.config = config or SphericalIndexerConfig()
+        cfg = self.config
+        L = cfg.bandwidth
+        h, w = self.geometry.shape
+        if h % cfg.detector_bin or w % cfg.detector_bin:
+            raise ValueError(
+                f"detector_bin={cfg.detector_bin} does not divide "
+                f"detector shape {self.geometry.shape}"
+            )
+
+        coef = master_sph_coefficients(master, L)
+        # Friedel/sparse degrees: keep only l rows that carry master
+        # energy — the dominant einsum and the Wigner tables shrink with
+        # them (odd l vanish for every centrosymmetric master).
+        l_norm = np.sqrt(np.sum(np.abs(coef) ** 2, axis=1))
+        keep = np.flatnonzero(l_norm > 1e-6 * l_norm.max())
+        self._l_keep = keep
+        logger.info(
+            f"spherical indexer: bandwidth {L}, {len(keep)}/{L} degrees "
+            f"carry master energy"
+        )
+
+        bin_geom = (
+            self.geometry
+            if cfg.detector_bin == 1
+            else dataclasses.replace(
+                self.geometry,
+                shape=(h // cfg.detector_bin, w // cfg.detector_bin),
+            )
+        )
+        dirs = pixel_directions(bin_geom).reshape(-1, 3).astype(np.float64)
+        omega = _solid_angle_weights(bin_geom)
+        yr, yi = sph_matrix_dense(L, dirs, omega)
+        m_dim = 2 * L - 1
+        yr = yr.reshape(-1, L, m_dim)[:, keep].reshape(len(dirs), -1)
+        yi = yi.reshape(-1, L, m_dim)[:, keep].reshape(len(dirs), -1)
+
+        k_n = cfg.beta_count or 2 * L
+        a_n = cfg.alpha_count or 2 * L
+        self._betas = (np.arange(k_n) + 0.5) * (np.pi / k_n)
+        self._alphas = np.arange(a_n) * (2.0 * np.pi / a_n)
+        d_tab = wigner_d_table(L, self._betas)[:, keep]
+        mk = coef[keep]
+        dmr = d_tab * mk.real[None, :, None, :]
+        dmi = d_tab * mk.imag[None, :, None, :]
+        ms = np.arange(-(L - 1), L, dtype=np.float64)
+        ang = ms[:, None] * self._alphas[None, :]
+        cm = np.cos(ang)
+        sm = np.sin(ang)
+
+        self._dev = dict(
+            wvec=jnp.asarray(omega, jnp.float32),
+            yr=jnp.asarray(yr, jnp.float32),
+            yi=jnp.asarray(yi, jnp.float32),
+            dmr=jnp.asarray(dmr, jnp.float32),
+            dmi=jnp.asarray(dmi, jnp.float32),
+            cm=jnp.asarray(cm, jnp.float32),
+            sm=jnp.asarray(sm, jnp.float32),
+            cg=jnp.asarray(cm, jnp.float32),  # γ grid == α grid; (ν, g)
+            sg=jnp.asarray(sm, jnp.float32),
+        )
+        self._bin_shape = bin_geom.shape
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = mesh.devices.size
+            if cfg.chunk % n_dev:
+                raise ValueError(
+                    f"chunk={cfg.chunk} must divide by the mesh's "
+                    f"{n_dev} devices"
+                )
+            # Tables replicate; pattern chunks shard over the batch axis.
+            rep = NamedSharding(mesh, P())
+            self._dev = {
+                k: jax.device_put(v, rep) for k, v in self._dev.items()
+            }
+            self._batch_sharding = NamedSharding(
+                mesh, P(mesh.axis_names[0])
+            )
+
+    def index_patterns(self, patterns: np.ndarray) -> SphericalResult:
+        """Solve orientations for a ``(B, H, W)`` pattern stack (f32 or
+        uint8). Returns FZ-reduced quaternions, zxz Euler degrees and
+        correlation scores."""
+        from scipy.spatial.transform import Rotation as R
+
+        p = np.asarray(patterns)
+        if p.ndim == 2:
+            p = p[None]
+        if p.ndim != 3 or p.shape[1:] != self.geometry.shape:
+            raise ValueError(
+                f"expected (B, {self.geometry.shape[0]}, "
+                f"{self.geometry.shape[1]}) patterns, got {p.shape}"
+            )
+        if p.dtype != np.uint8:
+            p = p.astype(np.float32)
+        cfg = self.config
+        n = len(p)
+        ks = np.empty(n, np.int64)
+        as_ = np.empty(n, np.int64)
+        gs = np.empty(n, np.int64)
+        peaks = np.empty(n, np.float64)
+        nbs = np.empty((n, 3, 3, 3), np.float64)
+        for start in range(0, n, cfg.chunk):
+            pc = p[start : start + cfg.chunk]
+            m = len(pc)
+            if m < cfg.chunk:  # pad to the static compile shape
+                pc = np.concatenate(
+                    [pc, np.repeat(pc[-1:], cfg.chunk - m, axis=0)]
+                )
+            pc_dev = (
+                jnp.asarray(pc)
+                if self._batch_sharding is None
+                else jax.device_put(pc, self._batch_sharding)
+            )
+            peak, k, a, g, nb = _correlate_chunk(
+                pc_dev, bin_factor=cfg.detector_bin, **self._dev
+            )
+            sl = slice(start, start + m)
+            peaks[sl] = np.asarray(peak)[:m]
+            ks[sl] = np.asarray(k)[:m]
+            as_[sl] = np.asarray(a)[:m]
+            gs[sl] = np.asarray(g)[:m]
+            nbs[sl] = np.asarray(nb)[:m]
+
+        d_beta = np.pi / len(self._betas)
+        d_alpha = 2.0 * np.pi / len(self._alphas)
+        if cfg.refine:
+            ok = _parabolic_offset(
+                nbs[:, 0, 1, 1], nbs[:, 1, 1, 1], nbs[:, 2, 1, 1]
+            )
+            oa = _parabolic_offset(
+                nbs[:, 1, 0, 1], nbs[:, 1, 1, 1], nbs[:, 1, 2, 1]
+            )
+            og = _parabolic_offset(
+                nbs[:, 1, 1, 0], nbs[:, 1, 1, 1], nbs[:, 1, 1, 2]
+            )
+        else:
+            ok = oa = og = 0.0
+        beta = (ks + 0.5 + ok) * d_beta
+        alpha = (as_ + oa) * d_alpha
+        gamma = (gs + og) * d_alpha
+        rot = R.from_euler(
+            "ZYZ", np.stack([alpha, beta, gamma], axis=1)
+        )
+        quats = np.roll(rot.as_quat(), 1, axis=1)  # scalar-first
+        quats = reduce_to_fundamental_zone(quats, cfg.symmetry)
+        eulers = R.from_quat(np.roll(quats, -1, axis=1)).as_euler(
+            "zxz", degrees=True
+        )
+        return SphericalResult(
+            quaternions=quats.astype(np.float32),
+            eulers_deg=eulers.astype(np.float32),
+            scores=peaks.astype(np.float32),
+        )
