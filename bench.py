@@ -275,6 +275,38 @@ def bench_streamed_di_throughput(
     return batch_size / ((time.time() - t0) / n_iter)
 
 
+def bench_sphere_throughput(batch_size: int = 32, bandwidth: int = 64) -> float:
+    """Spherical-harmonic indexing patterns/sec (the dictionary-free
+    plane, index.spherical) at production bandwidth L=64: projection +
+    Wigner l-contraction + SO(3) DFTs + fused argmax, chip-side.
+
+    Host setup (Wigner tables, ~40 s cold) caches to LATICE_TPU_SHT_CACHE
+    so repeat benches pay only the dispatch loop.
+    """
+    os.environ.setdefault("LATICE_TPU_SHT_CACHE", "/tmp/latice_sht_cache")
+    from latice_tpu.index import SphericalIndexer, SphericalIndexerConfig
+    from latice_tpu.index.spherical import _correlate_chunk
+    from latice_tpu.sim import DetectorGeometry, make_kinematical_master
+
+    rng = np.random.default_rng(6)
+    idx = SphericalIndexer(
+        make_kinematical_master(size=513),
+        DetectorGeometry(shape=(128, 128)),
+        SphericalIndexerConfig(bandwidth=bandwidth, chunk=batch_size),
+    )
+    pats = jnp.asarray(
+        rng.uniform(size=(batch_size, 128, 128)).astype(np.float32)
+    )
+    out = _correlate_chunk(pats, bin_factor=2, **idx._dev)
+    float(np.asarray(out[0]).sum())  # warm + sync
+    n_iter = 15
+    t0 = time.time()
+    for _ in range(n_iter):
+        out = _correlate_chunk(pats, bin_factor=2, **idx._dev)
+    float(np.asarray(out[0]).sum())
+    return batch_size / ((time.time() - t0) / n_iter)
+
+
 def bench_dispatch_overhead() -> float:
     """Per-dispatch overhead of the host<->device link, ms.
 
@@ -296,15 +328,32 @@ def bench_dispatch_overhead() -> float:
     return (time.time() - t0) / n_iter * 1e3
 
 
+def _staged(fn, *args, **kw):
+    """Run one bench stage with a stderr progress line (stdout stays the
+    ONE-json-line contract) — a stalled stage on a congested tunnel is
+    then visible mid-run instead of looking like a silent hang."""
+    import sys
+
+    t0 = time.time()
+    print(f"[bench] {fn.__name__}...", file=sys.stderr, flush=True)
+    out = fn(*args, **kw)
+    print(
+        f"[bench] {fn.__name__}: {out:.1f} ({time.time() - t0:.0f}s)",
+        file=sys.stderr, flush=True,
+    )
+    return out
+
+
 def main() -> None:
-    dispatch_ms = bench_dispatch_overhead()
-    patterns_per_sec = bench_index_throughput()
-    steps_per_sec = bench_train_steps()
-    scaled_encode = bench_scaled_encode()
-    scaled_steps = bench_scaled_train()
-    di_per_sec = bench_di_throughput()
-    hough_per_sec = bench_hough_throughput()
-    streamed_di_per_sec = bench_streamed_di_throughput()
+    dispatch_ms = _staged(bench_dispatch_overhead)
+    patterns_per_sec = _staged(bench_index_throughput)
+    steps_per_sec = _staged(bench_train_steps)
+    scaled_encode = _staged(bench_scaled_encode)
+    scaled_steps = _staged(bench_scaled_train)
+    di_per_sec = _staged(bench_di_throughput)
+    hough_per_sec = _staged(bench_hough_throughput)
+    streamed_di_per_sec = _staged(bench_streamed_di_throughput)
+    sphere_per_sec = _staged(bench_sphere_throughput)
     result = {
         "metric": "encode+top10-index throughput (100k dict, b1024, bf16)",
         "value": round(patterns_per_sec, 1),
@@ -317,6 +366,7 @@ def main() -> None:
         "di_patterns_per_sec": round(di_per_sec, 1),
         "hough_patterns_per_sec": round(hough_per_sec, 1),
         "streamed_di_patterns_per_sec": round(streamed_di_per_sec, 1),
+        "sphere_patterns_per_sec": round(sphere_per_sec, 1),
         "dispatch_ms_per_iter": round(dispatch_ms, 3),
         "device": str(jax.devices()[0]),
     }

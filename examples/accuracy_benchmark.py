@@ -234,6 +234,49 @@ def main(scaled: bool = False):
     )
     eval_pipe(di, q_angles, q, "off-grid DI")
 
+    if _RENDER != "cosine":
+        # Dictionary-free plane: the same noisy off-grid queries solved by
+        # spherical cross-correlation against the master (index.spherical)
+        # — no encoder, no dictionary, no sampling grid. The master IS the
+        # render source here, so this measures the plane's own accuracy
+        # floor at this noise level.
+        print("== spherical-harmonic indexing (dictionary-free) ==")
+        from latice_tpu.crystal.symmetry import (
+            symmetry_reduced_misorientation,
+        )
+        from latice_tpu.index import (
+            SphericalIndexer,
+            SphericalIndexerConfig,
+        )
+
+        if _RENDER == "dynamical":
+            sph_master = _dynamical_master()
+        else:
+            from latice_tpu.sim import make_kinematical_master
+
+            sph_master = make_kinematical_master(size=513)
+        t0 = time.time()
+        sph = SphericalIndexer(
+            sph_master,
+            config=SphericalIndexerConfig(bandwidth=64, chunk=32),
+        )
+        t_setup = time.time() - t0
+        t0 = time.time()
+        sres = sph.index_patterns(q[..., 0])
+        dt = time.time() - t0
+        want_q = np.roll(
+            R.from_euler("zxz", q_angles, degrees=True).as_quat(), 1, axis=1
+        )
+        sph_err = np.degrees(np.asarray(symmetry_reduced_misorientation(
+            jnp.asarray(want_q, jnp.float32),
+            jnp.asarray(sres.quaternions, jnp.float32),
+        )))
+        print(
+            f"spherical L=64: median_err={np.median(sph_err):.3f} deg "
+            f"p90={np.percentile(sph_err, 90):.2f} "
+            f"({len(q)/dt:.0f} patterns/s wall; setup {t_setup:.1f}s)"
+        )
+
     if _RENDER == "dynamical":
         # Model-mismatch robustness: the encoder/dictionary saw dynamical
         # profiles; query with *kinematical* renders of the same

@@ -35,6 +35,9 @@ no fragile three-term recursions, exactly orthogonal by construction.
 
 from __future__ import annotations
 
+import os
+import zlib
+
 import numpy as np
 
 __all__ = [
@@ -185,7 +188,9 @@ def sph_coeffs_dense(
     return coef.reshape(bandwidth, 2 * bandwidth - 1)
 
 
-def wigner_d_table(bandwidth: int, betas: np.ndarray) -> np.ndarray:
+def wigner_d_table(
+    bandwidth: int, betas: np.ndarray, cache_dir: str | None = None
+) -> np.ndarray:
     """Wigner little-d values d^l_{mν}(β) for all l < L at each β.
 
     Returns ``(len(betas), L, 2L−1, 2L−1)`` float64 in the dense layout
@@ -193,8 +198,25 @@ def wigner_d_table(bandwidth: int, betas: np.ndarray) -> np.ndarray:
     Computed as ``exp(βG)`` per degree via one eigendecomposition of the
     real antisymmetric generator (module docstring) — orthogonal to
     machine precision at every β, no recursion error growth.
+
+    ``cache_dir`` (default: the ``LATICE_TPU_SHT_CACHE`` env var) caches
+    the table on disk keyed by (L, β grid) — the build is the dominant
+    indexer-setup cost at production bandwidths (~40 s at L=64, K=128 on
+    one core; cached in float32, the precision the device tables use).
     """
     betas = np.atleast_1d(np.asarray(betas, np.float64))
+    if cache_dir is None:
+        cache_dir = os.environ.get("LATICE_TPU_SHT_CACHE") or None
+    cache_path = None
+    if cache_dir:
+        key = zlib.crc32(betas.tobytes()) & 0xFFFFFFFF
+        cache_path = os.path.join(
+            cache_dir, f"wigner_L{bandwidth}_K{len(betas)}_{key:08x}.npz"
+        )
+        if os.path.exists(cache_path):
+            with np.load(cache_path) as z:
+                if np.array_equal(z["betas"], betas):
+                    return z["d"].astype(np.float64)
     k = len(betas)
     m_dim = 2 * bandwidth - 1
     c0 = bandwidth - 1
@@ -213,4 +235,12 @@ def wigner_d_table(bandwidth: int, betas: np.ndarray) -> np.ndarray:
         d = np.einsum("mj,kj,jn->kmn", v, e, vinv).real
         sl = slice(c0 - ell, c0 + ell + 1)
         out[:, ell, sl, sl] = d
+    if cache_path:
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = cache_path + f".tmp{os.getpid()}.npz"
+            np.savez(tmp, d=out.astype(np.float32), betas=betas)
+            os.replace(tmp, cache_path)
+        except OSError:
+            pass  # cache is best-effort
     return out

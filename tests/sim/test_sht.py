@@ -121,6 +121,18 @@ class TestWignerD:
         )
         np.testing.assert_allclose(d, expect, atol=1e-12)
 
+    def test_disk_cache_roundtrip(self, tmp_path):
+        betas = np.array([0.3, 1.2, 2.4])
+        fresh = wigner_d_table(7, betas, cache_dir=str(tmp_path))
+        files = list(tmp_path.glob("wigner_L7_K3_*.npz"))
+        assert len(files) == 1
+        cached = wigner_d_table(7, betas, cache_dir=str(tmp_path))
+        # Cache stores float32 (the precision the device tables use).
+        np.testing.assert_allclose(cached, fresh, atol=1e-6)
+        # A different beta grid must miss the cache, not alias it.
+        other = wigner_d_table(7, betas + 0.01, cache_dir=str(tmp_path))
+        assert not np.allclose(other, fresh)
+
     def test_orthogonal_and_composes(self):
         bandwidth = 9
         b1, b2 = 0.4, 0.9

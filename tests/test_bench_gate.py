@@ -37,8 +37,9 @@ FLOORS = {
     "scaled_encode_patterns_per_sec": 20_600.0,
     "scaled_train_steps_per_sec": 11.6,
     "di_patterns_per_sec": 65_000.0,  # pattern-DI bin2, 100k dict
-    "hough_patterns_per_sec": 3_000.0,  # band detect + grid vote + q-method
-    "streamed_di_patterns_per_sec": 84.0,  # >HBM stream; host-link bound
+    "hough_patterns_per_sec": 3_070.0,  # band detect + grid vote + q-method
+    "streamed_di_patterns_per_sec": 91.0,  # >HBM stream; host-link bound
+    "sphere_patterns_per_sec": 2_300.0,  # dictionary-free SO(3) search, L=64
     "vs_baseline": 5.3,
 }
 
@@ -48,12 +49,13 @@ FLOORS = {
 # hough/streamed-DI planes (BENCH_HISTORY 2026-08-19T20:55).
 RECORD = {
     "value": 48_059.1,
-    "train_steps_per_sec_b256": 28.68,
+    "train_steps_per_sec_b256": 28.72,
     "scaled_encode_patterns_per_sec": 22_427.9,
     "scaled_train_steps_per_sec": 12.58,
     "di_patterns_per_sec": 70_658.6,
-    "hough_patterns_per_sec": 3_272.4,
-    "streamed_di_patterns_per_sec": 91.4,
+    "hough_patterns_per_sec": 3_337.7,
+    "streamed_di_patterns_per_sec": 99.5,
+    "sphere_patterns_per_sec": 2_526.7,  # r4 full-bench run (BENCH_HISTORY 08-20)
     "vs_baseline": 5.767,
 }
 
