@@ -307,6 +307,66 @@ def bench_sphere_throughput(batch_size: int = 32, bandwidth: int = 64) -> float:
     return batch_size / ((time.time() - t0) / n_iter)
 
 
+def bench_hrebsd_throughput(batch_size: int = 128) -> float:
+    """HR-EBSD patterns/sec at the PARITY.md configuration: 21 ROIs,
+    64² windows, κ=20 sub-pixel upsampling on a 128² detector
+    (latice_tpu.hrebsd, `index.py strain`).
+
+    Times the two jitted programs back to back the way `hrebsd_map`
+    dispatches them — the batched FFT cross-correlation + matrix-DFT
+    localization (`_xcorr_shifts`, the FLOPs) and the weighted 8×8
+    normal-equation solve (`_solve_core`) — with the pixel→detector-frame
+    shift conversion kept on device; host glue (the numpy gauge algebra,
+    ~microseconds/batch) is excluded like the other rows exclude host IO.
+    """
+    from latice_tpu.hrebsd import (
+        _annular_mask,
+        _design_matrix,
+        _hann2,
+        _solve_core,
+        _xcorr_shifts,
+        default_roi_centers,
+        roi_position_vectors,
+    )
+    from latice_tpu.sim import DetectorGeometry
+
+    rng = np.random.default_rng(7)
+    geometry = DetectorGeometry(shape=(128, 128))
+    centers = default_roi_centers(geometry, roi_size=64)
+    centers_px = tuple(
+        map(tuple, np.rint(centers).astype(int).tolist())
+    )
+    hann = jnp.asarray(_hann2(64))
+    fmask = jnp.asarray(_annular_mask(64, 1.5, None))
+    ref = jnp.asarray(rng.uniform(size=(128, 128)).astype(np.float32))
+    x = jnp.asarray(
+        rng.uniform(size=(batch_size, 128, 128)).astype(np.float32)
+    )
+    m = jnp.asarray(
+        _design_matrix(
+            roi_position_vectors(geometry, centers), geometry.dd
+        ),
+        jnp.float32,
+    )
+
+    def step():
+        s, q = _xcorr_shifts(
+            ref, x, hann, fmask, centers_px=centers_px, roi_size=64,
+            upsample=20, window_px=1.0,
+        )
+        q_xy = jnp.stack([s[..., 1], -s[..., 0]], axis=-1) / 128.0
+        return _solve_core(m, q_xy, q)
+
+    p, _ = step()
+    float(np.asarray(p).sum())  # warm + sync
+    n_iter = 10
+    t0 = time.time()
+    for _ in range(n_iter):
+        p, _ = step()
+    float(np.asarray(p).sum())
+    return batch_size / ((time.time() - t0) / n_iter)
+
+
 def bench_dispatch_overhead() -> float:
     """Per-dispatch overhead of the host<->device link, ms.
 
@@ -354,6 +414,7 @@ def main() -> None:
     hough_per_sec = _staged(bench_hough_throughput)
     streamed_di_per_sec = _staged(bench_streamed_di_throughput)
     sphere_per_sec = _staged(bench_sphere_throughput)
+    hrebsd_per_sec = _staged(bench_hrebsd_throughput)
     result = {
         "metric": "encode+top10-index throughput (100k dict, b1024, bf16)",
         "value": round(patterns_per_sec, 1),
@@ -367,6 +428,7 @@ def main() -> None:
         "hough_patterns_per_sec": round(hough_per_sec, 1),
         "streamed_di_patterns_per_sec": round(streamed_di_per_sec, 1),
         "sphere_patterns_per_sec": round(sphere_per_sec, 1),
+        "hrebsd_patterns_per_sec": round(hrebsd_per_sec, 1),
         "dispatch_ms_per_iter": round(dispatch_ms, 3),
         "device": str(jax.devices()[0]),
     }

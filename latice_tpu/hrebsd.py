@@ -308,6 +308,7 @@ def measure_roi_shifts(
     f_min: float = 1.5,
     f_max: float | None = None,
     chunk: int = 128,
+    mesh=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Measure sub-pixel ROI shifts of every pattern against a reference.
 
@@ -323,6 +324,12 @@ def measure_roi_shifts(
             (``f_min`` kills DC/background; ``f_max=None`` keeps all
             high frequencies).
         chunk: patterns per device dispatch.
+        mesh: optional `jax.sharding.Mesh` — pattern chunks shard over
+            the mesh's first axis (every stage is per-(pattern, ROI)
+            local, so GSPMD inserts no collectives); reference/window
+            tables replicate. ``chunk`` must divide by the device count.
+            Mesh results match single-device to float roundoff
+            (dryrun-asserted in `__graft_entry__.dryrun_multichip`).
 
     Returns:
         ``(shifts (B, R, 2) float64 (d_row, d_col) px, quality (B, R))``.
@@ -355,6 +362,21 @@ def measure_roi_shifts(
     ref_dev = jnp.asarray(ref)
     centers_px = tuple(map(tuple, rint.tolist()))
 
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.devices.size
+        if chunk % n_dev:
+            raise ValueError(
+                f"chunk={chunk} must divide by the mesh's {n_dev} devices"
+            )
+        rep = NamedSharding(mesh, P())
+        hann = jax.device_put(hann, rep)
+        fmask = jax.device_put(fmask, rep)
+        ref_dev = jax.device_put(ref_dev, rep)
+        batch_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+
     b = len(x)
     out_s = np.empty((b, n_roi, 2), np.float64)
     out_q = np.empty((b, n_roi), np.float64)
@@ -363,8 +385,13 @@ def measure_roi_shifts(
         n = len(xc)
         if n < chunk:
             xc = np.concatenate([xc, np.tile(xc[-1:], (chunk - n, 1, 1))])
+        xc_dev = (
+            jnp.asarray(xc)
+            if batch_sharding is None
+            else jax.device_put(xc, batch_sharding)
+        )
         s_dev, q_dev = _xcorr_shifts(
-            ref_dev, jnp.asarray(xc), hann, fmask,
+            ref_dev, xc_dev, hann, fmask,
             centers_px=centers_px, roi_size=roi_size,
             upsample=upsample, window_px=window_px,
         )
@@ -515,6 +542,7 @@ def hrebsd_map(
     f_max: float | None = None,
     min_quality: float = 0.1,
     chunk: int = 128,
+    mesh=None,
 ) -> HrebsdResult:
     """Full HR-EBSD pipeline: ROI shifts → deformation → strain/rotation.
 
@@ -534,13 +562,16 @@ def hrebsd_map(
             pattern; None uses the crystal frame as the detector frame.
         min_quality: drop ROIs whose XCF peak falls below this.
         chunk: patterns per device dispatch.
+        mesh: optional `jax.sharding.Mesh` — shards the shift
+            measurement (the FLOPs) over the pattern batch; see
+            `measure_roi_shifts`.
     """
     x = np.asarray(patterns)  # uint8 passes through to the device cast
     if centers is None:
         centers = default_roi_centers(geometry, roi_size=roi_size)
     shifts, quality = measure_roi_shifts(
         reference, x, centers, roi_size=roi_size, upsample=upsample,
-        f_min=f_min, f_max=f_max, chunk=chunk,
+        f_min=f_min, f_max=f_max, chunk=chunk, mesh=mesh,
     )
     a_gauge, rms = solve_deformation(
         shifts, quality, geometry, centers, min_quality=min_quality

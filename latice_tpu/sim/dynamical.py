@@ -248,9 +248,9 @@ class CrystalStructure:
                 )
                 return dataclasses.replace(self, sites=new_sites)
         raise NotImplementedError(
-            "no inversion center found: dynamical simulation currently "
-            "supports centrosymmetric structures only (real Bloch matrix; "
-            "see sim/dynamical.py module docstring)"
+            "no inversion center found: this structure has no "
+            "centrosymmetric setting (callers fall back to the "
+            "complex-Hermitian Bloch path — see reflector_beams)"
         )
 
 

@@ -40,6 +40,7 @@ FLOORS = {
     "hough_patterns_per_sec": 3_070.0,  # band detect + grid vote + q-method
     "streamed_di_patterns_per_sec": 91.0,  # >HBM stream; host-link bound
     "sphere_patterns_per_sec": 2_300.0,  # dictionary-free SO(3) search, L=64
+    "hrebsd_patterns_per_sec": 9_650.0,  # XCF shifts + 8x8 solve, 21 ROIs
     "vs_baseline": 5.3,
 }
 
@@ -56,6 +57,7 @@ RECORD = {
     "hough_patterns_per_sec": 3_337.7,
     "streamed_di_patterns_per_sec": 99.5,
     "sphere_patterns_per_sec": 2_526.7,  # r4 full-bench run (BENCH_HISTORY 08-20)
+    "hrebsd_patterns_per_sec": 10_515.2,  # r4 on-chip measurement (08-20)
     "vs_baseline": 5.767,
 }
 

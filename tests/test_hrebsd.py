@@ -327,3 +327,52 @@ class TestNoiseBehavior:
         assert np.max(np.abs(res_c.a - a_true)) < 3e-4
         # Noisy recovery stays in the right regime (30% noise, one ROI set).
         assert np.max(np.abs(res_n.a - a_true)) < 1.5e-3
+
+
+class TestMeshSharding:
+    def test_mesh_matches_single_device(self):
+        """The shift measurement shards over the pattern batch (no
+        collectives — every stage is per-(pattern, ROI) local); mesh
+        results must match single-device to float roundoff, full map
+        included. chunk=8 over the 8-device test mesh puts exactly one
+        pattern per device, the worst case for layout divergence."""
+        import jax
+        from jax.sharding import Mesh
+
+        f = _band_function(41)
+        geom = DetectorGeometry(shape=(64, 64), pcx=0.5, pcy=0.5, dd=0.7)
+        ref = _render(f, geom)
+        rng = np.random.default_rng(1)
+        pats = np.stack([
+            _render(f, geom, _make_a(
+                3e-3 * rng.standard_normal(),
+                3e-3 * rng.standard_normal(),
+                1e-3 * rng.standard_normal(),
+                1e-3 * rng.standard_normal(3),
+            ))
+            for _ in range(8)
+        ])
+        centers = default_roi_centers(geom, roi_size=32)
+        kw = dict(centers=centers, roi_size=32, upsample=20, chunk=8)
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+        one = hrebsd_map(pats, ref, geom, **kw)
+        sharded = hrebsd_map(pats, ref, geom, mesh=mesh, **kw)
+        np.testing.assert_allclose(
+            sharded.shifts_px, one.shifts_px, atol=1e-4
+        )
+        np.testing.assert_allclose(sharded.quality, one.quality, atol=1e-5)
+        np.testing.assert_allclose(sharded.a, one.a, atol=1e-6)
+
+    def test_mesh_chunk_must_divide(self):
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+        geom = DetectorGeometry(shape=(64, 64), pcx=0.5, pcy=0.5, dd=0.7)
+        ref = np.zeros((64, 64), np.float32)
+        centers = default_roi_centers(geom, roi_size=32)
+        with pytest.raises(ValueError, match="divide"):
+            measure_roi_shifts(
+                ref, np.zeros((4, 64, 64), np.float32), centers,
+                roi_size=32, chunk=3, mesh=mesh,
+            )
