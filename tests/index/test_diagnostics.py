@@ -46,13 +46,15 @@ class TestCandidateAmbiguity:
         assert not amb.ambiguous(max_gap=0.001)[0]
 
     def test_symmetry_equivalent_candidate_is_same_solution(self):
-        # A cubic 90-degree-rotated image of the top-1 is the SAME physical
-        # orientation: it must not count as a rival (the pseudo-symmetry-
-        # aware part of the diagnostic).
+        # A CRYSTAL-side cubic image of the top-1 (q ⊗ s — the equivalence
+        # side of this repo's crystal→detector convention, the same side
+        # `reduce_to_fundamental_zone` canonicalizes with) is the SAME
+        # physical orientation: it must not count as a rival (the
+        # pseudo-symmetry-aware part of the diagnostic).
         from scipy.spatial.transform import Rotation as R
 
         base = R.from_euler("zxz", [30.0, 45.0, 60.0], degrees=True)
-        sym_img = R.from_euler("z", 90, degrees=True) * base
+        sym_img = base * R.from_euler("z", 90, degrees=True)
         angles = np.stack(
             [
                 [30.0, 45.0, 60.0],
@@ -67,6 +69,28 @@ class TestCandidateAmbiguity:
         amb1 = candidate_ambiguity(res, angles, group="1", chunk=4)
         assert amb1.has_rival[0]
         assert amb1.angle_deg[0] == pytest.approx(90.0, abs=0.5)
+
+    def test_lab_frame_image_is_a_rival(self):
+        # A LAB-frame (premultiplied, s ⊗ q) 90° image is a genuinely
+        # different physical orientation — a 90° rotation about an
+        # arbitrary crystal direction is not a cubic operator — so the
+        # diagnostic must flag it. (Until r4 the reduction premultiplied,
+        # silently suppressing exactly this class of rival; the crystal-
+        # side default of `symmetry_reduced_misorientation` fixed it.)
+        from scipy.spatial.transform import Rotation as R
+
+        base = R.from_euler("zxz", [30.0, 45.0, 60.0], degrees=True)
+        lab_img = R.from_euler("z", 90, degrees=True) * base
+        angles = np.stack(
+            [
+                [30.0, 45.0, 60.0],
+                lab_img.as_euler("zxz", degrees=True),
+            ]
+        )
+        res = _result([[0, 1]], [[0.99, 0.98]])
+        amb = candidate_ambiguity(res, angles, group="432", chunk=4)
+        assert amb.has_rival[0]
+        assert amb.angle_deg[0] > 3.0
 
     def test_rival_is_highest_scored_not_largest_angle(self):
         angles = np.asarray(
