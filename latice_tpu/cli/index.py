@@ -1015,17 +1015,33 @@ def cmd_sphere(args) -> None:
     rendering, no orientation sampling grid to choose.
     """
     from latice_tpu.index.spherical import (
-        SphericalIndexer,
+        MultiPhaseSphericalIndexer,
         SphericalIndexerConfig,
     )
     from latice_tpu.index.pipeline import DenseIndexResult
     from latice_tpu.sim import DetectorGeometry
 
-    master = np.load(args.master)
+    masters = [np.load(p) for p in args.master]
     if args.master_layout == "square":
         from latice_tpu.sim import resample_square_lambert
 
-        master = resample_square_lambert(master)
+        masters = [resample_square_lambert(m) for m in masters]
+    n_phases = len(masters)
+
+    def _per_phase(values, fallback, flag):
+        if not values:
+            return [fallback] * n_phases
+        if len(values) == 1:
+            return list(values) * n_phases
+        if len(values) != n_phases:
+            raise SystemExit(
+                f"{flag} given {len(values)} times for {n_phases} "
+                f"--master flags (give it once to share, or once per "
+                f"master)"
+            )
+        return list(values)
+
+    groups = _per_phase(args.group, "432", "--group")
 
     raw = _load_raw_pattern_stack(args)
     if raw.ndim == 4:  # (rows, cols, H, W) scans flatten to a stack
@@ -1043,11 +1059,13 @@ def cmd_sphere(args) -> None:
         alpha_count=args.alpha_count,
         detector_bin=args.bin,
         chunk=args.batch_size,
-        symmetry=args.group,
+        symmetry=groups[0],
         refine=not args.no_refine,
     )
     t0 = time.time()
-    indexer = SphericalIndexer(master, geometry, cfg)
+    indexer = MultiPhaseSphericalIndexer(
+        masters, geometry, cfg, symmetries=groups
+    )
     t_build = time.time() - t0
     t0 = time.time()
     res = indexer.index_patterns(raw)
@@ -1063,16 +1081,23 @@ def cmd_sphere(args) -> None:
         quaternions=res.quaternions,
         eulers_deg=res.eulers_deg,
         scores=res.scores,
+        phase=res.phase,
+        phase_scores=res.phase_scores,
     )
     summary = {
         "n_patterns": n,
+        "n_phases": n_phases,
         "bandwidth": args.bandwidth,
-        "kept_degrees": len(indexer._l_keep),
+        "kept_degrees": [len(ix._l_keep) for ix in indexer.indexers],
         "mean_score": round(float(res.scores.mean()), 4),
         "build_seconds": round(t_build, 2),
         "seconds": round(dt, 2),
         "out": args.out,
     }
+    if n_phases > 1:
+        summary["phase_counts"] = np.bincount(
+            res.phase, minlength=n_phases
+        ).tolist()
     if args.ang or args.ctf:
         success = np.ones(n, bool)
         dense = DenseIndexResult(
@@ -1082,27 +1107,32 @@ def cmd_sphere(args) -> None:
             n_similar=np.ones(n, np.int64),
             indices=np.zeros((n, 1), np.int64),
             scores=res.scores[:, None].astype(np.float64),
+            phase=res.phase,
         )
         grid = tuple(args.scan_grid) if args.scan_grid else None
-        name = [args.phase_name]
-        groups = [args.group]
-        lattices = (
-            [(args.lattice, args.lattice, args.lattice_c or args.lattice)]
-            if args.lattice
-            else None
-        )
+        names = _per_phase(args.phase_name, None, "--phase-name")
+        names = [
+            nm if nm is not None else f"phase{i + 1}"
+            for i, nm in enumerate(names)
+        ]
+        lat_a = _per_phase(args.lattice, 3.52, "--lattice")
+        lat_c = _per_phase(args.lattice_c, None, "--lattice-c")
+        lattices = [
+            (a, a, c if c is not None else a)
+            for a, c in zip(lat_a, lat_c)
+        ]
         if args.ang:
             from latice_tpu.data import write_ang
 
             write_ang(args.ang, dense, grid=grid, step=args.step,
-                      phase_names=name, phase_groups=groups,
+                      phase_names=names, phase_groups=groups,
                       phase_lattices=lattices)
             summary["ang_out"] = args.ang
         if args.ctf:
             from latice_tpu.data import write_ctf
 
             write_ctf(args.ctf, dense, grid=grid, step=args.step,
-                      phase_names=name, phase_groups=groups,
+                      phase_names=names, phase_groups=groups,
                       phase_lattices=lattices)
             summary["ctf_out"] = args.ctf
     print(json.dumps(summary))
@@ -2687,13 +2717,15 @@ def main() -> None:
     )
     sp.add_argument("--h5-dataset", default=None)
     sp.add_argument(
-        "--master", required=True,
+        "--master", required=True, action="append",
         help="master image .npy (index.py master output, or an external "
-        "master — see --master-layout)",
+        "master — see --master-layout); repeat the flag for multi-phase "
+        "indexing (per-pattern phase = highest correlation peak)",
     )
     sp.add_argument(
         "--master-layout", choices=("circle", "square"), default="circle",
-        help="'square' imports square-Lambert (EMsoft-style) masters",
+        help="'square' imports square-Lambert (EMsoft-style) masters "
+        "(applies to every --master)",
     )
     sp.add_argument("--out", default="sphere_orientations.npy")
     sp.add_argument(
@@ -2714,8 +2746,9 @@ def main() -> None:
         help="detector mean-pool factor before projection",
     )
     sp.add_argument(
-        "--group", default="432",
-        help="proper point group for the fundamental-zone reduction",
+        "--group", default=None, action="append",
+        help="proper point group for the fundamental-zone reduction "
+        "(default 432); repeat per --master, or give once to share",
     )
     sp.add_argument(
         "--no-refine", action="store_true",
@@ -2732,16 +2765,19 @@ def main() -> None:
     )
     sp.add_argument("--batch-size", type=int, default=32)
     sp.add_argument(
-        "--phase-name", default="phase1",
-        help="phase name written to .ang/.ctf headers",
+        "--phase-name", default=None, action="append",
+        help="phase name(s) written to .ang/.ctf headers — repeat per "
+        "--master (default phase1, phase2, ...)",
     )
     sp.add_argument(
-        "--lattice", type=float, default=3.52,
-        help="lattice parameter a for .ang/.ctf headers, Angstrom",
+        "--lattice", type=float, default=None, action="append",
+        help="lattice parameter a for .ang/.ctf headers, Angstrom — "
+        "repeat per --master (default 3.52)",
     )
     sp.add_argument(
-        "--lattice-c", type=float, default=None,
-        help="c parameter for .ang/.ctf headers (default: a)",
+        "--lattice-c", type=float, default=None, action="append",
+        help="c parameter for .ang/.ctf headers (default: a) — repeat "
+        "per --master",
     )
     sp.add_argument(
         "--scan-grid", type=int, nargs=2, metavar=("ROWS", "COLS"),

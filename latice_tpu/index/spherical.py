@@ -59,6 +59,8 @@ from latice_tpu.sim.sht import (
 )
 
 __all__ = [
+    "MultiPhaseSphericalIndexer",
+    "MultiPhaseSphericalResult",
     "SphericalIndexer",
     "SphericalIndexerConfig",
     "SphericalResult",
@@ -442,4 +444,102 @@ class SphericalIndexer:
             quaternions=quats.astype(np.float32),
             eulers_deg=eulers.astype(np.float32),
             scores=peaks.astype(np.float32),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiPhaseSphericalResult:
+    """Multi-phase batch result: the winning phase's solution per pattern
+    plus the full per-phase score matrix (the phase-discrimination
+    ambiguity diagnostic, analogous to `index.diagnostics`' margins)."""
+
+    quaternions: np.ndarray  # (B, 4) scalar-first, winning phase's FZ
+    eulers_deg: np.ndarray  # (B, 3) zxz degrees
+    scores: np.ndarray  # (B,) winning correlation score
+    phase: np.ndarray  # (B,) int64 index into the masters list
+    phase_scores: np.ndarray  # (B, K) per-phase peak correlations
+
+    def __len__(self) -> int:
+        return len(self.quaternions)
+
+
+class MultiPhaseSphericalIndexer:
+    """Phase discrimination + orientation, dictionary-free.
+
+    One `SphericalIndexer` per candidate phase's master pattern; each
+    pattern is cross-correlated against every master over all of SO(3)
+    and the per-pixel phase is the master with the highest peak. The
+    peak scores are cross-master comparable because both sides of the
+    correlation are unit-normalized (`master_sph_coefficients` divides
+    by the total harmonic energy; `_correlate_chunk` normalizes the
+    windowed back-projection), making X(R) a cosine — the same
+    normalized-score argmax the pattern-NCC DI and multi-phase Hough
+    planes use for phase picking. The reference is single-phase end to
+    end (reference dp_indexer.py:51, constants.py:13-39 cubic only).
+
+    Args:
+        masters: sequence of ``(N, N)`` master images, one per phase
+            (sizes may differ; each is analyzed independently).
+        geometry: shared detector description.
+        config: shared `SphericalIndexerConfig`; per-phase symmetry
+            comes from ``symmetries`` (``config.symmetry`` is the
+            fallback for every phase).
+        symmetries: optional per-phase proper point-group names for the
+            fundamental-zone reduction (e.g. ``["432", "622"]``).
+        mesh: optional `jax.sharding.Mesh`, forwarded to every
+            per-phase indexer (tables replicate, pattern chunks shard).
+
+    Setup cost and device residency scale with the number of phases
+    (each master gets its own Wigner/projection tables — the kept-degree
+    sets differ per master, so the programs genuinely differ); the
+    per-pattern cost is K single-phase correlations.
+    """
+
+    def __init__(
+        self,
+        masters,
+        geometry: DetectorGeometry | None = None,
+        config: SphericalIndexerConfig | None = None,
+        symmetries=None,
+        mesh=None,
+    ):
+        masters = list(masters)
+        if not masters:
+            raise ValueError("need at least one master pattern")
+        cfg = config or SphericalIndexerConfig()
+        if symmetries is None:
+            symmetries = [cfg.symmetry] * len(masters)
+        symmetries = list(symmetries)
+        if len(symmetries) != len(masters):
+            raise ValueError(
+                f"{len(masters)} masters but {len(symmetries)} symmetries"
+            )
+        self.config = cfg
+        self.symmetries = symmetries
+        self.indexers = [
+            SphericalIndexer(
+                m,
+                geometry,
+                dataclasses.replace(cfg, symmetry=s),
+                mesh=mesh,
+            )
+            for m, s in zip(masters, symmetries)
+        ]
+
+    def index_patterns(self, patterns: np.ndarray) -> MultiPhaseSphericalResult:
+        """Solve phase + orientation for a ``(B, H, W)`` stack (f32 or
+        uint8). Returns the winning phase's FZ quaternion/Euler solution
+        per pattern and the full (B, K) score matrix."""
+        results = [ix.index_patterns(patterns) for ix in self.indexers]
+        phase_scores = np.stack([r.scores for r in results], axis=1)
+        phase = phase_scores.argmax(axis=1)
+        rows = np.arange(len(phase))
+        quats = np.stack([r.quaternions for r in results], axis=1)
+        eulers = np.stack([r.eulers_deg for r in results], axis=1)
+        return MultiPhaseSphericalResult(
+            quaternions=quats[rows, phase],
+            eulers_deg=eulers[rows, phase],
+            scores=phase_scores[rows, phase],
+            phase=phase.astype(np.int64),
+            phase_scores=phase_scores.astype(np.float32),
         )

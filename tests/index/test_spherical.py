@@ -17,6 +17,7 @@ from latice_tpu.crystal.symmetry import (
     symmetry_reduced_misorientation,
 )
 from latice_tpu.index.spherical import (
+    MultiPhaseSphericalIndexer,
     SphericalIndexer,
     SphericalIndexerConfig,
     master_sph_coefficients,
@@ -147,6 +148,71 @@ class TestHexagonal:
             q_true, idx.index_patterns(pats).quaternions, group="622"
         )
         assert np.median(err) < 1.2, err
+
+
+class TestMultiPhase:
+    """Dictionary-free phase discrimination: per-pattern winner = highest
+    normalized correlation peak across the candidate masters (the
+    multi-phase capability the DI/Hough planes already have; the
+    reference is single-phase cubic end to end, constants.py:13-39)."""
+
+    def test_two_phase_discrimination_and_accuracy(self):
+        rng = np.random.default_rng(4)
+        m_fcc = make_kinematical_master(size=257)
+        m_hcp = make_kinematical_master(
+            size=257, reflectors=hexagonal_reflectors()
+        )
+        geom = DetectorGeometry(shape=(128, 128))
+        q_f = np.roll(R.random(4, rng).as_quat(), 1, axis=1)
+        q_h = np.roll(R.random(4, rng).as_quat(), 1, axis=1)
+        pats = np.concatenate(
+            [
+                render_from_master(m_fcc, q_f, geom),
+                render_from_master(m_hcp, q_h, geom),
+            ]
+        )
+        idx = MultiPhaseSphericalIndexer(
+            [m_fcc, m_hcp],
+            geom,
+            SphericalIndexerConfig(bandwidth=24, chunk=4),
+            symmetries=["432", "622"],
+        )
+        res = idx.index_patterns(pats)
+        np.testing.assert_array_equal(res.phase, [0] * 4 + [1] * 4)
+        assert res.phase_scores.shape == (8, 2)
+        np.testing.assert_allclose(
+            res.scores, res.phase_scores.max(axis=1), rtol=1e-6
+        )
+        err_f = _err_deg(q_f, res.quaternions[:4], group="432")
+        err_h = _err_deg(q_h, res.quaternions[4:], group="622")
+        assert np.median(err_f) < 2.0, err_f  # 7.5 deg grid at L=24
+        assert np.median(err_h) < 2.0, err_h
+
+    def test_single_phase_matches_spherical_indexer(self, cubic_setup):
+        # K=1 is exactly the single-phase indexer plus a zero phase map —
+        # the composition contract the CLI relies on.
+        master, geom, _, patterns, indexer = cubic_setup
+        multi = MultiPhaseSphericalIndexer(
+            [master], geom, indexer.config
+        )
+        a = indexer.index_patterns(patterns[:4])
+        b = multi.index_patterns(patterns[:4])
+        np.testing.assert_array_equal(a.quaternions, b.quaternions)
+        np.testing.assert_array_equal(a.scores, b.scores)
+        np.testing.assert_array_equal(b.phase, 0)
+        np.testing.assert_array_equal(b.phase_scores[:, 0], a.scores)
+
+    def test_validation(self, cubic_setup):
+        master, geom, _, _, indexer = cubic_setup
+        with pytest.raises(ValueError, match="at least one"):
+            MultiPhaseSphericalIndexer([], geom, indexer.config)
+        with pytest.raises(ValueError, match="symmetries"):
+            MultiPhaseSphericalIndexer(
+                [master, master],
+                geom,
+                indexer.config,
+                symmetries=["432"] * 3,
+            )
 
 
 class TestStructure:
