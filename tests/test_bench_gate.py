@@ -38,7 +38,15 @@ FLOORS = {
     "scaled_train_steps_per_sec": 11.6,
     "di_patterns_per_sec": 65_000.0,  # pattern-DI bin2, 100k dict
     "hough_patterns_per_sec": 3_070.0,  # band detect + grid vote + q-method
-    "streamed_di_patterns_per_sec": 91.0,  # >HBM stream; host-link bound
+    # The streamed-DI WALL row is host-link + tenancy bound by design and
+    # measured 45.8-99.5 across runs of UNCHANGED code (BENCH_HISTORY
+    # 08-19/08-20 + the r5 recalibration run under deliberate CPU
+    # contention) — its floor only guards "the path still works", never
+    # regression-detects (VERDICT r4 weak #1). The tight floor lives on
+    # the CHIP row below: merge folds over pre-staged device chunks,
+    # which link jitter cannot touch.
+    "streamed_di_patterns_per_sec": 30.0,
+    "streamed_di_chip_patterns_per_sec": 51_500.0,  # ~8% under record
     "sphere_patterns_per_sec": 2_300.0,  # dictionary-free SO(3) search, L=64
     "hrebsd_patterns_per_sec": 9_650.0,  # XCF shifts + 8x8 solve, 21 ROIs
     "vs_baseline": 5.3,
@@ -49,13 +57,14 @@ FLOORS = {
 # BENCH_HISTORY.jsonl's r3 runs and the first r4 rows for the new
 # hough/streamed-DI planes (BENCH_HISTORY 2026-08-19T20:55).
 RECORD = {
-    "value": 48_059.1,
+    "value": 48_066.2,  # r4 driver bench (BENCH_r04.json)
     "train_steps_per_sec_b256": 28.72,
     "scaled_encode_patterns_per_sec": 22_427.9,
     "scaled_train_steps_per_sec": 12.58,
     "di_patterns_per_sec": 70_658.6,
     "hough_patterns_per_sec": 3_337.7,
     "streamed_di_patterns_per_sec": 99.5,
+    "streamed_di_chip_patterns_per_sec": 55_895.7,  # r5 recalibration run
     "sphere_patterns_per_sec": 2_526.7,  # r4 full-bench run (BENCH_HISTORY 08-20)
     "hrebsd_patterns_per_sec": 10_515.2,  # r4 on-chip measurement (08-20)
     "vs_baseline": 5.767,
@@ -83,8 +92,19 @@ class TestGateLogic:
     def test_ten_percent_slowdown_trips(self):
         slowed = {k: v * 0.9 for k, v in RECORD.items()}
         violations = check_floors(slowed)
-        # Every ratcheted floor is within 10% of the record, so all trip.
-        assert len(violations) == len(FLOORS), violations
+        # Every ratcheted floor is within 10% of the record, so all trip —
+        # except the streamed-DI WALL row, whose floor is deliberately
+        # loose (measured 2x run-to-run tenancy spread; the chip row
+        # carries its regression duty and DOES trip here).
+        loose = {"streamed_di_patterns_per_sec"}
+        assert len(violations) == len(FLOORS) - len(loose), violations
+        assert any("streamed_di_chip" in v for v in violations)
+
+    def test_streamed_wall_collapse_still_trips(self):
+        dead = dict(RECORD, streamed_di_patterns_per_sec=5.0)
+        assert any(
+            "streamed_di_patterns_per_sec" in v for v in check_floors(dead)
+        )
 
     def test_missing_metric_trips(self):
         partial = {k: v for k, v in RECORD.items() if k != "scaled_train_steps_per_sec"}
