@@ -1042,6 +1042,33 @@ def cmd_sphere(args) -> None:
         return list(values)
 
     groups = _per_phase(args.group, "432", "--group")
+    # Flag-count usage errors must surface BEFORE the (potentially
+    # multi-minute) indexing run, not in the export block after it
+    # (round-4 advisor finding).
+    names = _per_phase(args.phase_name, None, "--phase-name")
+    names = [
+        nm if nm is not None else f"phase{i + 1}"
+        for i, nm in enumerate(names)
+    ]
+    lat_a = _per_phase(args.lattice, 3.52, "--lattice")
+    lat_c = _per_phase(args.lattice_c, None, "--lattice-c")
+    if (
+        args.lattice_c
+        and len(args.lattice_c) == 1
+        and n_phases > 1
+        and len(set(groups)) > 1
+    ):
+        logger.warning(
+            "a single --lattice-c is broadcast to all %d phases with "
+            "differing point groups (%s) — the shared c lands in every "
+            "phase's lattice header; give --lattice-c once per --master "
+            "if the phases differ",
+            n_phases, "/".join(groups),
+        )
+    lattices = [
+        (a, a, c if c is not None else a)
+        for a, c in zip(lat_a, lat_c)
+    ]
 
     raw = _load_raw_pattern_stack(args)
     if raw.ndim == 4:  # (rows, cols, H, W) scans flatten to a stack
@@ -1088,7 +1115,13 @@ def cmd_sphere(args) -> None:
         "n_patterns": n,
         "n_phases": n_phases,
         "bandwidth": args.bandwidth,
-        "kept_degrees": [len(ix._l_keep) for ix in indexer.indexers],
+        # Single-phase keeps the scalar JSON contract of the original
+        # command; the list form is multi-phase only (r4 advisor).
+        "kept_degrees": (
+            len(indexer.indexers[0]._l_keep)
+            if n_phases == 1
+            else [len(ix._l_keep) for ix in indexer.indexers]
+        ),
         "mean_score": round(float(res.scores.mean()), 4),
         "build_seconds": round(t_build, 2),
         "seconds": round(dt, 2),
@@ -1110,17 +1143,6 @@ def cmd_sphere(args) -> None:
             phase=res.phase,
         )
         grid = tuple(args.scan_grid) if args.scan_grid else None
-        names = _per_phase(args.phase_name, None, "--phase-name")
-        names = [
-            nm if nm is not None else f"phase{i + 1}"
-            for i, nm in enumerate(names)
-        ]
-        lat_a = _per_phase(args.lattice, 3.52, "--lattice")
-        lat_c = _per_phase(args.lattice_c, None, "--lattice-c")
-        lattices = [
-            (a, a, c if c is not None else a)
-            for a, c in zip(lat_a, lat_c)
-        ]
         if args.ang:
             from latice_tpu.data import write_ang
 
@@ -1259,6 +1281,42 @@ def cmd_strain(args) -> None:
             from_euler_zxz_deg(jnp.asarray([args.euler], jnp.float32))
         )[0]
 
+    calibration = scan_xy = None
+    if args.calibration:
+        from latice_tpu.sim.calibrate import ScanCalibration
+
+        if not args.scan_grid:
+            raise SystemExit(
+                "--calibration needs --scan-grid ROWS COLS (per-pattern "
+                "scan positions evaluate the PC model)"
+            )
+        blob = np.load(args.calibration)
+        for key in ("pc0", "gradient"):
+            if key not in blob:
+                raise SystemExit(
+                    f"--calibration {args.calibration}: missing {key!r} "
+                    "(expected the `index.py calibrate --scan-grid` npz)"
+                )
+        calibration = ScanCalibration(
+            pc0=blob["pc0"], gradient=blob["gradient"],
+            shape=raw.shape[1:], tilt=args.tilt,
+        )
+        rows, cols = args.scan_grid
+        if rows * cols != len(raw):
+            raise SystemExit(
+                f"--scan-grid {rows}x{cols} does not hold {len(raw)} "
+                "patterns"
+            )
+        rr, cc = np.divmod(np.arange(len(raw)), cols)
+        # Same (x = col·step, y = row·step) convention `calibrate
+        # --scan-grid` fit the model in.
+        scan_xy = np.stack(
+            [cc * args.calibration_step, rr * args.calibration_step],
+            axis=1,
+        )
+        # The deformation model expands around the REFERENCE's geometry.
+        geometry = calibration.geometry_at(scan_xy[args.ref])
+
     t0 = time.time()
     res = hrebsd_map(
         raw, raw[args.ref], geometry,
@@ -1266,6 +1324,8 @@ def cmd_strain(args) -> None:
         stiffness=stiffness, orientations=orientations,
         f_min=args.f_min, f_max=args.f_max,
         min_quality=args.min_quality, chunk=args.batch_size,
+        remap_iterations=args.remap,
+        calibration=calibration, scan_xy=scan_xy,
     )
     dt = time.time() - t0
 
@@ -1290,6 +1350,7 @@ def cmd_strain(args) -> None:
         "mean_quality": round(float(res.quality.mean()), 4),
         "median_residual_px": round(float(np.median(res.residual_px)), 4),
         "first_order_valid": bool(res.rotation_deg.max() < 1.5),
+        "remap_iterations": args.remap,
         "seconds": round(dt, 2),
         "output": args.out,
     }
@@ -2848,6 +2909,27 @@ def main() -> None:
     st.add_argument(
         "--min-quality", type=float, default=0.1,
         help="drop ROIs whose XCF peak quality falls below this",
+    )
+    st.add_argument(
+        "--calibration", default=None, metavar="CAL.npz",
+        help="scan-varying PC model from `index.py calibrate --scan-grid` "
+        "(pc0 + gradient): every pattern's design matrix and remap warp "
+        "then use its own pattern center, so a PC gradient across the "
+        "scan cannot masquerade as a strain gradient; needs --scan-grid "
+        "(and --calibration-step if the fit used a scan step)",
+    )
+    st.add_argument(
+        "--calibration-step", type=float, default=1.0,
+        help="scan step in the calibration's units (must match the "
+        "--step used at `index.py calibrate`; default %(default)s)",
+    )
+    st.add_argument(
+        "--remap", type=int, default=1, metavar="N",
+        help="iterative remapping passes (CrossCourt-style): re-project "
+        "each pattern through the recovered deformation and re-correlate "
+        "— keeps strain accurate under rotations of several degrees; "
+        "accepted per pattern only where the fit residual drops; 0 "
+        "disables",
     )
     st.add_argument("--batch-size", type=int, default=128)
     st.add_argument(

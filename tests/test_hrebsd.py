@@ -329,6 +329,247 @@ class TestNoiseBehavior:
         assert np.max(np.abs(res_n.a - a_true)) < 1.5e-3
 
 
+class TestIterativeRemapping:
+    """CrossCourt-style pass 2 (VERDICT r4 #2): remap by the first-pass
+    estimate, re-correlate, compose — strain stays ~1e-4 under lattice
+    rotations of several degrees where the first-order solve biases."""
+
+    @staticmethod
+    def _large_rotation_case(theta_deg: float, seed: int = 57):
+        from scipy.spatial.transform import Rotation as R
+
+        f = _band_function(seed)
+        ref = _render(f, GEOM)
+        axis = np.array([0.3, -0.5, 0.8])
+        axis /= np.linalg.norm(axis)
+        rot = R.from_rotvec(np.radians(theta_deg) * axis).as_matrix()
+        eps = np.array(
+            [[1e-3, 3e-4, 0.0], [3e-4, -8e-4, 2e-4], [0.0, 2e-4, 0.0]]
+        )
+        a_true = rot @ (np.eye(3) + eps) - np.eye(3)
+        a_true -= a_true[2, 2] * np.eye(3)  # the solve's gauge
+        return ref, _render(f, GEOM, a_true)[None], a_true
+
+    def test_three_degree_rotation_recovers_strain(self):
+        """At 3 deg the bare first-order solve biases A by ~1e-3; one
+        remap pass brings it under 1e-4 (the CrossCourt capability)."""
+        ref, pat, a_true = self._large_rotation_case(3.0)
+        bare = hrebsd_map(
+            pat, ref, GEOM, upsample=50, remap_iterations=0
+        )
+        remapped = hrebsd_map(
+            pat, ref, GEOM, upsample=50, remap_iterations=1
+        )
+        err_bare = np.max(np.abs(bare.a[0] - a_true))
+        err_remap = np.max(np.abs(remapped.a[0] - a_true))
+        assert err_bare > 4e-4  # the failure mode the pass exists for
+        assert err_remap < 1e-4
+        # The accepted pass's residual reflects the better fit.
+        assert remapped.residual_px[0] < bare.residual_px[0]
+        assert remapped.quality.mean() > bare.quality.mean()
+
+    def test_five_degree_rotation_two_passes(self):
+        ref, pat, a_true = self._large_rotation_case(5.0, seed=61)
+        res = hrebsd_map(
+            pat, ref, GEOM, upsample=50, remap_iterations=2
+        )
+        assert np.max(np.abs(res.a[0] - a_true)) < 2e-4
+        assert abs(res.rotation_deg[0] - 5.0) < 0.05
+
+    def test_small_deformations_keep_direct_measurement(self):
+        """Per-pattern acceptance: near-reference patterns must NOT pick
+        up the warp's resampling noise — remap on equals remap off."""
+        f = _band_function(7)
+        ref = _render(f, GEOM)
+        a_true = _make_a(3e-3, -2e-3, 1e-3, (1e-3, -2e-3, 3e-3))
+        pat = _render(f, GEOM, a_true)[None]
+        off = hrebsd_map(pat, ref, GEOM, upsample=50, remap_iterations=0)
+        on = hrebsd_map(pat, ref, GEOM, upsample=50, remap_iterations=1)
+        np.testing.assert_array_equal(on.a, off.a)
+        np.testing.assert_array_equal(on.shifts_px, off.shifts_px)
+
+    def test_mixed_batch_per_pattern_acceptance(self):
+        """A batch mixing a tiny and a 3-deg deformation: each pattern
+        takes its own best pass."""
+        from scipy.spatial.transform import Rotation as R
+
+        f = _band_function(57)
+        ref = _render(f, GEOM)
+        a_small = _make_a(2e-3, -1e-3, 5e-4, (1e-3, 0.0, -1e-3))
+        axis = np.array([0.3, -0.5, 0.8])
+        axis /= np.linalg.norm(axis)
+        a_big = R.from_rotvec(np.radians(3.0) * axis).as_matrix() - np.eye(3)
+        a_big -= a_big[2, 2] * np.eye(3)
+        pats = np.stack(
+            [_render(f, GEOM, a_small), _render(f, GEOM, a_big)]
+        )
+        res = hrebsd_map(pats, ref, GEOM, upsample=50, remap_iterations=1)
+        assert np.max(np.abs(res.a[0] - a_small)) < 1e-4
+        assert np.max(np.abs(res.a[1] - a_big)) < 1e-4
+
+    def test_remap_patterns_roundtrip(self):
+        """remap_patterns(deformed, A) reproduces the reference away from
+        the clamped borders (the warp is the oracle's exact inverse).
+
+        Band-limited content (k ≤ ~0.4 rad/px): bilinear resampling
+        attenuates near-Nyquist detail, so the default near-Nyquist
+        oracle would show its interpolation floor, not warp errors."""
+        from latice_tpu.hrebsd import remap_patterns
+
+        rng = np.random.default_rng(63)
+        k = rng.normal(size=(40, 3))
+        k /= np.linalg.norm(k, axis=1, keepdims=True)
+        k *= rng.uniform(20.0, 70.0, size=(40, 1))
+        phase = rng.uniform(0, 2 * np.pi, 40)
+
+        def f(u):
+            return np.cos(u @ k.T + phase).sum(axis=-1)
+
+        ref = _render(f, GEOM)
+        a = _make_a(0, 0, 0, (0.0, 0.0, np.radians(2.0)))
+        pat = _render(f, GEOM, a)
+        back = remap_patterns(pat[None], a[None], GEOM)[0]
+        inner = (slice(48, -48), slice(48, -48))
+        num = np.abs(back[inner] - ref[inner]).mean()
+        den = np.abs(ref[inner] - ref[inner].mean()).mean()
+        assert num / den < 0.02
+        assert (
+            np.corrcoef(back[inner].ravel(), ref[inner].ravel())[0, 1]
+            > 0.999
+        )
+
+    def test_remap_patterns_validation(self):
+        from latice_tpu.hrebsd import remap_patterns
+
+        with pytest.raises(ValueError, match="expected"):
+            remap_patterns(
+                np.zeros((4, 4), np.float32), np.eye(3), GEOM
+            )
+        with pytest.raises(ValueError, match="deformation"):
+            remap_patterns(
+                np.zeros((2, 64, 64), np.float32),
+                np.zeros((3, 3, 3)), GEOM,
+            )
+
+
+class TestScanVaryingPC:
+    """HR-EBSD × scan-varying PC composition (VERDICT r4 #3): a known PC
+    gradient across the scan must not masquerade as a strain gradient.
+
+    Oracle: undeformed patterns rendered at per-position PCs — the ONLY
+    signal is the PC shift. With a fixed nominal PC the solve reports a
+    phantom deformation growing across the scan; with the per-pattern PC
+    field it reports ~zero."""
+
+    @staticmethod
+    def _render_at_pc(f, shape, pc):
+        h, w = shape
+        x = (np.arange(w) + 0.5) / w - pc[0]
+        y = (h - (np.arange(h) + 0.5)) / w - pc[1]
+        r = np.stack(
+            [
+                np.broadcast_to(x[None, :], (h, w)),
+                np.broadcast_to(y[:, None], (h, w)),
+                np.full((h, w), pc[2]),
+            ],
+            axis=-1,
+        )
+        u = r / np.linalg.norm(r, axis=-1, keepdims=True)
+        return f(u).astype(np.float32)
+
+    def _scan_case(self):
+        from latice_tpu.sim.calibrate import ScanCalibration
+
+        f = _band_function(71)
+        pc0 = np.array([0.5, 0.5, 0.7])
+        grad = np.array([[2e-3, 0.0], [0.0, -1.5e-3], [1e-3, 1e-3]])
+        cal = ScanCalibration(
+            pc0=pc0, gradient=grad, shape=GEOM.shape, tilt=0.0
+        )
+        scan_xy = np.array(
+            [[0.0, 0.0], [0.5, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]
+        )
+        pcs = cal.pc_at(scan_xy)
+        pats = np.stack(
+            [self._render_at_pc(f, GEOM.shape, p) for p in pcs]
+        )
+        ref = pats[0]  # reference at scan origin, PC = pc0
+        geometry = cal.geometry_at(scan_xy[0])
+        return cal, scan_xy, pats, ref, geometry
+
+    def test_pc_gradient_bias_and_removal(self):
+        cal, scan_xy, pats, ref, geometry = self._scan_case()
+        biased = hrebsd_map(
+            pats, ref, geometry, upsample=50, remap_iterations=0
+        )
+        fixed = hrebsd_map(
+            pats, ref, geometry, upsample=50, remap_iterations=0,
+            calibration=cal, scan_xy=scan_xy,
+        )
+        # Fixed-PC phantom deformation ~ the PC swing (1e-3-scale),
+        # growing with scan distance from the reference.
+        assert np.abs(biased.a[2]).max() > 1e-3
+        assert np.abs(biased.a[4]).max() > 1e-3
+        # The calibration removes it to near the measurement floor.
+        assert np.abs(fixed.a).max() < 1e-4
+        assert np.abs(fixed.rotation_deg).max() < 0.005
+
+    def test_calibration_composes_with_real_deformation(self):
+        """PC gradient + real strain: the field recovers the injected
+        deformation, not the PC-contaminated one."""
+        from latice_tpu.sim.calibrate import ScanCalibration
+
+        f = _band_function(73)
+        pc0 = np.array([0.5, 0.5, 0.7])
+        grad = np.array([[2e-3, 0.0], [0.0, -1.5e-3], [1e-3, 0.0]])
+        cal = ScanCalibration(
+            pc0=pc0, gradient=grad, shape=GEOM.shape, tilt=0.0
+        )
+        scan_xy = np.array([[0.0, 0.0], [1.0, 1.0]])
+        pcs = cal.pc_at(scan_xy)
+        a_true = _make_a(2e-3, -1e-3, 5e-4, (1e-3, -5e-4, 1e-3))
+
+        def render_deformed(pc, a):
+            h, w = GEOM.shape
+            x = (np.arange(w) + 0.5) / w - pc[0]
+            y = (h - (np.arange(h) + 0.5)) / w - pc[1]
+            r = np.stack(
+                [
+                    np.broadcast_to(x[None, :], (h, w)),
+                    np.broadcast_to(y[:, None], (h, w)),
+                    np.full((h, w), pc[2]),
+                ],
+                axis=-1,
+            )
+            r = r @ np.linalg.inv(np.eye(3) + a).T
+            u = r / np.linalg.norm(r, axis=-1, keepdims=True)
+            return f(u).astype(np.float32)
+
+        ref = render_deformed(pcs[0], np.zeros((3, 3)))
+        pats = np.stack(
+            [ref, render_deformed(pcs[1], a_true)]
+        )
+        geometry = cal.geometry_at(scan_xy[0])
+        res = hrebsd_map(
+            pats, ref, geometry, upsample=50, remap_iterations=1,
+            calibration=cal, scan_xy=scan_xy,
+        )
+        assert np.max(np.abs(res.a[1] - a_true)) < 2e-4
+        assert np.max(np.abs(res.a[0])) < 5e-5
+
+    def test_validation(self):
+        cal, scan_xy, pats, ref, geometry = self._scan_case()
+        with pytest.raises(ValueError, match="scan_xy"):
+            hrebsd_map(pats, ref, geometry, calibration=cal)
+        with pytest.raises(ValueError, match="not both"):
+            hrebsd_map(
+                pats, ref, geometry, calibration=cal,
+                scan_xy=scan_xy, pc=np.zeros((len(pats), 3)),
+            )
+        with pytest.raises(ValueError, match="pc must be"):
+            hrebsd_map(pats, ref, geometry, pc=np.zeros((2, 3)))
+
+
 class TestMeshSharding:
     def test_mesh_matches_single_device(self):
         """The shift measurement shards over the pattern batch (no
