@@ -104,6 +104,49 @@ def main() -> None:
         help="shard the dictionary over all attached devices (1-D mesh; "
         "per-shard top-k merged with a k-row all_gather over ICI)",
     )
+    # --- zero-training planes (no checkpoint, no dictionary needed) ---
+    p.add_argument(
+        "--pc", type=float, nargs=3, default=(0.5, 0.5, 0.7),
+        metavar=("PCX", "PCY", "DD"),
+        help="detector geometry for the /hough, /sphere and /strain "
+        "planes (pattern center + distance, width units)",
+    )
+    p.add_argument(
+        "--tilt", type=float, default=0.0,
+        help="detector tilt (degrees) for the zero-training planes",
+    )
+    p.add_argument(
+        "--group", default="432",
+        help="point group for /hough and /sphere FZ reduction",
+    )
+    p.add_argument(
+        "--hough", action="store_true",
+        help="enable POST /hough: band-based orientation indexing with "
+        "cubic reflectors at --pc (zero training)",
+    )
+    p.add_argument(
+        "--sphere-master", default=None, metavar="MASTER.npy",
+        help="enable POST /sphere: spherical-harmonic indexing against "
+        "this master pattern (index.py master output; zero training)",
+    )
+    p.add_argument(
+        "--sphere-bandwidth", type=int, default=64,
+        help="spherical-harmonic band limit L (default %(default)s)",
+    )
+    p.add_argument(
+        "--strain-ref", default=None, metavar="REF.npy",
+        help="enable POST /strain: HR-EBSD strain/rotation of every "
+        "POSTed pattern against this reference pattern",
+    )
+    p.add_argument(
+        "--strain-stiffness", default=None, metavar="PHASE|C11,C12,C44",
+        help="cubic stiffness for the traction-free closure + stress "
+        "output (preset name or GPa triplet)",
+    )
+    p.add_argument(
+        "--strain-remap", type=int, default=1,
+        help="HR-EBSD iterative remapping passes (0 disables)",
+    )
     args = p.parse_args()
 
     from latice_tpu.cli.index import _load_model
@@ -150,7 +193,13 @@ def main() -> None:
         )
         model = params = db = None
     elif not args.db:
-        raise SystemExit("pass --db (latent engine) or --di-dict (pattern DI)")
+        if not (args.hough or args.sphere_master or args.strain_ref):
+            raise SystemExit(
+                "pass --db (latent engine), --di-dict (pattern DI), or at "
+                "least one zero-training plane (--hough / --sphere-master "
+                "/ --strain-ref)"
+            )
+        model = params = db = None
     else:
         model, params = _load_model(
             args.checkpoint, args.inplanes, args.latent_dim
@@ -192,6 +241,66 @@ def main() -> None:
         _, new_params = _load_model(checkpoint, args.inplanes, args.latent_dim)
         return new_params
 
+    # --- zero-training planes ---
+    from latice_tpu.sim import DetectorGeometry
+
+    plane_geom = DetectorGeometry(
+        pcx=args.pc[0], pcy=args.pc[1], dd=args.pc[2], tilt=args.tilt,
+    )
+    hough_indexer = None
+    if args.hough:
+        from latice_tpu.index import HoughIndexer
+        from latice_tpu.sim import cubic_reflectors
+
+        hough_indexer = HoughIndexer(
+            cubic_reflectors(), plane_geom, group=args.group,
+        )
+    sphere_indexer = None
+    if args.sphere_master:
+        import numpy as np
+
+        from latice_tpu.index import SphericalIndexer, SphericalIndexerConfig
+
+        sphere_indexer = SphericalIndexer(
+            np.load(args.sphere_master),
+            plane_geom,
+            SphericalIndexerConfig(
+                bandwidth=args.sphere_bandwidth, symmetry=args.group,
+            ),
+        )
+    strain_config = None
+    if args.strain_ref:
+        import numpy as np
+
+        ref = np.load(args.strain_ref)
+        stiffness = None
+        if args.strain_stiffness:
+            from latice_tpu.crystal.elastic import (
+                CUBIC_STIFFNESS,
+                cubic_stiffness,
+            )
+
+            parts = args.strain_stiffness.split(",")
+            if len(parts) == 3:
+                stiffness = cubic_stiffness(*(float(v) for v in parts))
+            elif args.strain_stiffness in CUBIC_STIFFNESS:
+                stiffness = cubic_stiffness(
+                    *CUBIC_STIFFNESS[args.strain_stiffness]
+                )
+            else:
+                raise SystemExit(
+                    f"--strain-stiffness {args.strain_stiffness!r}: use "
+                    f"C11,C12,C44 (GPa) or one of {sorted(CUBIC_STIFFNESS)}"
+                )
+        import dataclasses
+
+        strain_config = dict(
+            reference=ref,
+            geometry=dataclasses.replace(plane_geom, shape=ref.shape),
+            stiffness=stiffness,
+            remap_iterations=args.strain_remap,
+        )
+
     checkpoint_root = args.checkpoint_root
     if checkpoint_root is None and args.checkpoint is not None:
         import os
@@ -216,20 +325,26 @@ def main() -> None:
         nlpar_radius=args.nlpar_radius,
         di_dictionary=di_dictionary,
         di_bin=args.di_bin,
+        hough_indexer=hough_indexer,
+        sphere_indexer=sphere_indexer,
+        strain_config=strain_config,
     )
     warm_s = service.warmup()
     server = make_server(service, args.host, args.port)
+    if di_dictionary is not None:
+        mode, count = "pattern-di", len(di_dictionary[1])
+    elif db is not None:
+        mode, count = "latent", db.get_count()
+    else:
+        mode, count = "zero-training", 0
     print(
         json.dumps(
             {
                 "status": "serving",
-                "mode": "pattern-di" if di_dictionary is not None else "latent",
+                "mode": mode,
                 "addr": f"http://{args.host}:{server.server_address[1]}",
-                "count": (
-                    len(di_dictionary[1])
-                    if di_dictionary is not None
-                    else db.get_count()
-                ),
+                "count": count,
+                "planes": service.health()["planes"],
                 "warmup_s": round(warm_s, 1),
             }
         ),

@@ -22,6 +22,19 @@ Endpoints:
   POST /encode   -> body: .npy patterns; reply: {"latents": ...}
   POST /reload   -> body: {"checkpoint": path}; hot-swaps the model (new
                     pipeline compiles outside the lock, then pointer-swap)
+  POST /quality  -> body: .npy patterns; reply: Hough band counts + IQ
+  POST /hough    -> body: .npy patterns; reply: band-based orientations
+                    (zero training — needs only reflectors + geometry)
+  POST /sphere   -> body: .npy patterns; reply: spherical-harmonic SO(3)
+                    orientations (zero training — needs only a master)
+  POST /strain   -> body: .npy patterns; reply: HR-EBSD strain/rotation
+                    tensors vs the held reference pattern
+
+The three zero-training planes are opt-in at construction
+(``hough_indexer=`` / ``sphere_indexer=`` / ``strain_config=``); a server
+may run them WITHOUT any checkpoint or dictionary at all (``/index`` then
+answers 400) — the cheapest possible deployment, since nothing has to be
+trained or built first.
 
 Responses are strict RFC-8259 JSON: consensus failures surface as ``null``
 rows in ``mean_orientations`` (never bare ``NaN`` tokens), and the encoder
@@ -94,6 +107,22 @@ class IndexService:
             db=None``; ``/encode`` and ``/reload`` then answer 400 (there
             is no encoder to run or swap).
         di_bin: DI mean-pool factor (both sides; the DI speed knob).
+        hough_indexer: optional `index.HoughIndexer` (or multi-phase
+            variant) enabling ``POST /hough`` — band-based orientation
+            indexing, zero training.
+        sphere_indexer: optional `index.SphericalIndexer` (or
+            `MultiPhaseSphericalIndexer`) enabling ``POST /sphere`` —
+            dictionary-free SO(3) correlation indexing.
+        strain_config: optional dict enabling ``POST /strain`` (HR-EBSD
+            against a held reference): required keys ``reference``
+            ((H, W) array) and ``geometry`` (`sim.DetectorGeometry`);
+            any remaining keys pass through to `hrebsd_map`
+            (``stiffness``, ``remap_iterations``, ``roi_size``, ...).
+            ``chunk`` defaults to 128.
+
+    With any of the three zero-training planes configured, ``model`` /
+    ``db`` / ``di_dictionary`` may ALL be None — ``/index`` and
+    ``/encode`` then answer 400.
     """
 
     def __init__(
@@ -116,12 +145,40 @@ class IndexService:
         nlpar_radius: int = 1,
         di_dictionary: tuple | None = None,
         di_bin: int = 1,
+        hough_indexer: Any = None,
+        sphere_indexer: Any = None,
+        strain_config: dict | None = None,
     ) -> None:
         import jax
 
-        if di_dictionary is None and (model is None or db is None):
+        self._hough = hough_indexer
+        self._sphere = sphere_indexer
+        self._strain = None
+        if strain_config is not None:
+            sc = dict(strain_config)
+            strain_ref = np.asarray(sc.pop("reference"))
+            strain_geom = sc.pop("geometry")
+            if strain_ref.shape != tuple(strain_geom.shape):
+                raise ValueError(
+                    f"strain reference {strain_ref.shape} does not match "
+                    f"geometry {strain_geom.shape}"
+                )
+            sc.setdefault("chunk", 128)
+            self._strain = (strain_ref, strain_geom, sc)
+        zero_planes = (
+            hough_indexer is not None
+            or sphere_indexer is not None
+            or self._strain is not None
+        )
+        if (
+            di_dictionary is None
+            and (model is None or db is None)
+            and not zero_planes
+        ):
             raise ValueError(
-                "pass model/params/db, or di_dictionary for pattern-DI mode"
+                "pass model/params/db, di_dictionary for pattern-DI mode, "
+                "or at least one zero-training plane (hough_indexer / "
+                "sphere_indexer / strain_config)"
             )
 
         # Captured before compiling the recipe: scan-mode NLPAR must repair
@@ -172,6 +229,15 @@ class IndexService:
         self.max_body_bytes = int(max_body_bytes)
         self.model_version = 0
         self._quality_detector = None
+        if db is None and di_dictionary is None:
+            # Zero-training-planes-only service: nothing to search with,
+            # so /index, /encode and /reload answer 400.
+            self.pipeline = None
+            self._encode = None
+            self.started = time.time()
+            self.requests = 0
+            self.patterns_indexed = 0
+            return
         self.pipeline = self._build_pipeline(params)
         if model is None:
             # Pattern-DI mode: no encoder exists; /encode and /reload
@@ -278,13 +344,25 @@ class IndexService:
 
         Both pipeline input traces are compiled — uint8 (device-side /255)
         and float32 — since jit treats them as distinct programs and either
-        may arrive first.
+        may arrive first. Enabled zero-training planes warm too, so their
+        first request never eats a compile.
         """
         t0 = time.time()
+        h, w = self.image_size
         with self._lock:
-            self._compile_all(self.pipeline)
+            if self.pipeline is not None:
+                self._compile_all(self.pipeline)
+            if self._hough is not None:
+                self._hough(np.zeros((1, h, w), np.float32))
+            if self._sphere is not None:
+                self._sphere.index_patterns(np.zeros((1, h, w), np.float32))
+            if self._strain is not None:
+                ref, geom, kw = self._strain
+                from latice_tpu.hrebsd import hrebsd_map
+
+                hrebsd_map(ref[None], ref, geom, **kw)
         dt = time.time() - t0
-        logger.info(f"warmup compiled pipeline + encoder in {dt:.1f}s")
+        logger.info(f"warmup compiled served programs in {dt:.1f}s")
         return dt
 
     def _warm_pipeline(self, pipeline) -> None:
@@ -321,6 +399,12 @@ class IndexService:
         With ``nlpar_h`` configured, a 4-D ``(R, C, H, W)`` body is treated
         as a scan: NLPAR-denoised over the grid, then indexed row-major.
         """
+        if self.pipeline is None:
+            raise ValueError(
+                "this server runs only zero-training planes (no "
+                "dictionary/checkpoint loaded); POST /hough, /sphere or "
+                "/strain"
+            )
         scan_grid = None
         arr = np.asarray(patterns)
         if arr.ndim == 4 and arr.shape[-1] not in (1, 3):
@@ -436,7 +520,11 @@ class IndexService:
                 self._quality_detector = BandDetector(
                     height=self.image_size[0],
                     width=self.image_size[1],
-                    batch_size=min(self.pipeline.batch_size, 256),
+                    batch_size=(
+                        256
+                        if self.pipeline is None
+                        else min(self.pipeline.batch_size, 256)
+                    ),
                 )
             det = self._quality_detector(x)
             self.requests += 1
@@ -448,10 +536,110 @@ class IndexService:
             "seconds": time.time() - t0,
         }
 
+    def hough(self, patterns: np.ndarray) -> dict:
+        """Band-based orientation indexing (`index.HoughIndexer`) — zero
+        training: only reflectors + geometry, no checkpoint."""
+        if self._hough is None:
+            raise ValueError(
+                "server started without a Hough indexer (serve.py --hough)"
+            )
+        x = self._prepare(patterns)
+        t0 = time.time()
+        with self._lock:
+            res = self._hough(x)
+            self.requests += 1
+            self.patterns_indexed += len(x)
+        out = {
+            "n": int(len(x)),
+            "orientations": res.eulers_deg.tolist(),
+            "success": res.success.tolist(),
+            "fit_deg": res.fit_deg.tolist(),
+            "n_matched": res.n_matched.tolist(),
+            "iq": res.bands.iq.tolist(),
+            "seconds": time.time() - t0,
+            "input_dtype": str(x.dtype),
+        }
+        if getattr(res, "phase", None) is not None:
+            out["phase"] = res.phase.tolist()
+        return out
+
+    def sphere(self, patterns: np.ndarray) -> dict:
+        """Spherical-harmonic SO(3) indexing (`index.SphericalIndexer`) —
+        dictionary-free: only a master pattern + geometry."""
+        if self._sphere is None:
+            raise ValueError(
+                "server started without a spherical indexer "
+                "(serve.py --sphere-master)"
+            )
+        x = self._prepare(patterns)
+        t0 = time.time()
+        with self._lock:
+            res = self._sphere.index_patterns(x)
+            self.requests += 1
+            self.patterns_indexed += len(x)
+        out = {
+            "n": int(len(x)),
+            "orientations": res.eulers_deg.tolist(),
+            "scores": res.scores.tolist(),
+            "seconds": time.time() - t0,
+            "input_dtype": str(x.dtype),
+        }
+        phase = getattr(res, "phase", None)
+        if phase is not None:
+            out["phase"] = phase.tolist()
+        return out
+
+    def strain(self, patterns: np.ndarray) -> dict:
+        """HR-EBSD strain/rotation vs the held reference (`hrebsd_map`)."""
+        if self._strain is None:
+            raise ValueError(
+                "server started without a strain reference "
+                "(serve.py --strain-ref)"
+            )
+        from latice_tpu.hrebsd import hrebsd_map, von_mises_strain
+
+        ref, geom, kw = self._strain
+        # No _prepare here: XCF shifts need the RAW frame (center-crop
+        # padding would plant false features), and hrebsd widens uint8 on
+        # device itself.
+        x = np.asarray(patterns)
+        if x.ndim == 2:
+            x = x[None]
+        if x.ndim == 4 and x.shape[-1] == 1:
+            x = x[..., 0]
+        if x.ndim != 3 or x.shape[1:] != tuple(geom.shape):
+            raise ValueError(
+                f"strain patterns must be (N, {geom.shape[0]}, "
+                f"{geom.shape[1]}) matching the reference; got "
+                f"{np.asarray(patterns).shape}"
+            )
+        t0 = time.time()
+        with self._lock:
+            res = hrebsd_map(x, ref, geom, **kw)
+            self.requests += 1
+            self.patterns_indexed += len(x)
+        out = {
+            "n": int(len(x)),
+            "strain": res.strain.tolist(),
+            "rotation": res.rotation.tolist(),
+            "rotation_deg": res.rotation_deg.tolist(),
+            "von_mises": von_mises_strain(res.strain).tolist(),
+            "residual_px": res.residual_px.tolist(),
+            "mean_quality": float(res.quality.mean()) if len(x) else None,
+            "seconds": time.time() - t0,
+            "input_dtype": str(x.dtype),
+        }
+        if res.stress is not None:
+            out["stress"] = res.stress.tolist()
+        return out
+
     def health(self) -> dict:
         from latice_tpu.utils import get_platform
 
-        if self._db is None:
+        if self._db is None and self._di is None:
+            count, dimension, multiphase = 0, 0, False
+            mode = "zero-training"
+        elif self._db is None:
             count = int(len(self._di[1]))
             dimension = int(self.pipeline.pipeline._dict_dev.shape[1])
             multiphase = len(self._di) == 4 and self._di[2] is not None
@@ -461,14 +649,24 @@ class IndexService:
             dimension = int(self._db.dimension)
             multiphase = bool(getattr(self._db, "_has_phases", False))
             mode = "latent"
+        planes = [p for p in ("index",) if self.pipeline is not None]
+        if self._hough is not None:
+            planes.append("hough")
+        if self._sphere is not None:
+            planes.append("sphere")
+        if self._strain is not None:
+            planes.append("strain")
         return {
             "status": "ok",
             "mode": mode,
             "count": count,
             "dimension": dimension,
             "platform": get_platform(),
-            "batch_size": int(self.pipeline.batch_size),
+            "batch_size": (
+                0 if self.pipeline is None else int(self.pipeline.batch_size)
+            ),
             "multiphase": multiphase,
+            "planes": planes,
             "mesh_devices": 0 if self.mesh is None else int(self.mesh.size),
             "model_version": self.model_version,
             "uptime_s": time.time() - self.started,
@@ -540,6 +738,9 @@ class _Handler(BaseHTTPRequestHandler):
             "/index": self.service.index,
             "/encode": self.service.encode,
             "/quality": self.service.quality,
+            "/hough": self.service.hough,
+            "/sphere": self.service.sphere,
+            "/strain": self.service.strain,
         }
         if self.path not in routes:
             self._reply(404, {"error": f"unknown path {self.path}"})

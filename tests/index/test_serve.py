@@ -615,3 +615,154 @@ class TestQualityOnLatentServe:
         url, patterns, *_ = served
         out = _post(f"{url}/quality", _npy_bytes(patterns[:3]))
         assert out["n"] == 3 and len(out["iq"]) == 3
+
+
+@pytest.fixture(scope="module")
+def served_zero_training():
+    """A live server running ONLY the zero-training planes — no
+    checkpoint, no dictionary (VERDICT r4 #6: the planes a service can
+    expose most cheaply). Hough + sphere + strain on a 64² geometry."""
+    from latice_tpu.hrebsd import default_roi_centers
+    from latice_tpu.index import HoughIndexer, SphericalIndexer, SphericalIndexerConfig
+    from latice_tpu.sim import (
+        DetectorGeometry,
+        cubic_reflectors,
+        make_kinematical_master,
+        simulate_patterns,
+    )
+
+    from latice_tpu.data import BandDetector
+
+    rng = np.random.default_rng(7)
+    geom = DetectorGeometry(shape=(64, 64))
+    eulers = rng.uniform([15, 30, 15], [165, 130, 165], size=(6, 3))
+    reflectors = cubic_reflectors("fcc", a=3.52, kv=20.0)
+    master = make_kinematical_master(size=257, reflectors=reflectors)
+    # Direct kinematical renders: sharp bands for Hough, and the master is
+    # built from the same band model so /sphere correlates them too.
+    patterns = simulate_patterns(
+        eulers, geom, reflectors, chunk=8, angles_in_degrees=True
+    ).astype(np.float32)
+
+    strain_ref = rng.uniform(size=(64, 64)).astype(np.float32)
+    service = IndexService(
+        None, None, None,
+        image_size=(64, 64),
+        hough_indexer=HoughIndexer(
+            reflectors, geom, batch_size=8,
+            grid_resolution_deg=4.0, tolerance_deg=4.0,
+            detector=BandDetector(
+                height=64, width=64, n_theta=90, n_rho=64, k=8,
+                band_width_px=5.0, batch_size=8,
+            ),
+        ),
+        sphere_indexer=SphericalIndexer(
+            master, geom, SphericalIndexerConfig(bandwidth=16, chunk=8),
+        ),
+        strain_config=dict(
+            reference=strain_ref,
+            geometry=geom,
+            centers=default_roi_centers(geom, roi_size=32),
+            roi_size=32,
+            upsample=10,
+            chunk=8,
+        ),
+    )
+    service.warmup()
+    server = make_server(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    yield url, patterns, eulers, strain_ref
+    server.shutdown()
+
+
+class TestZeroTrainingServe:
+    def test_health_reports_planes(self, served_zero_training):
+        url, *_ = served_zero_training
+        h = json.load(urllib.request.urlopen(f"{url}/healthz", timeout=30))
+        assert h["mode"] == "zero-training"
+        assert h["count"] == 0
+        assert set(h["planes"]) == {"hough", "sphere", "strain"}
+
+    def test_index_and_encode_are_400(self, served_zero_training):
+        url, patterns, *_ = served_zero_training
+        code, body = _post_error(f"{url}/index", _npy_bytes(patterns[:2]))
+        assert code == 400 and "zero-training" in body["error"]
+        code, _ = _post_error(f"{url}/encode", _npy_bytes(patterns[:2]))
+        assert code == 400
+
+    def test_hough_endpoint_recovers_orientations(self, served_zero_training):
+        from scipy.spatial.transform import Rotation as R
+
+        from latice_tpu.crystal.symmetry import (
+            ROTATION_GROUPS,
+            symmetry_reduced_misorientation,
+        )
+
+        url, patterns, eulers, _ = served_zero_training
+        out = _post(f"{url}/hough", _npy_bytes(patterns))
+        assert out["n"] == len(patterns)
+        assert len(out["orientations"]) == len(patterns)
+        assert len(out["iq"]) == len(patterns)
+        got = np.asarray(out["orientations"])[np.asarray(out["success"])]
+        want = eulers[np.asarray(out["success"])]
+        assert len(got) >= 4  # clean rendered patterns: most must index
+        sym = jnp.asarray(np.asarray(ROTATION_GROUPS["432"], np.float32))
+        err = np.degrees(np.asarray(symmetry_reduced_misorientation(
+            jnp.asarray(np.roll(
+                R.from_euler("zxz", want, degrees=True).as_quat(), 1, axis=1
+            ), jnp.float32),
+            jnp.asarray(np.roll(
+                R.from_euler("zxz", got, degrees=True).as_quat(), 1, axis=1
+            ), jnp.float32),
+            sym,
+        )))
+        assert np.median(err) < 2.0, err
+
+    def test_sphere_endpoint_recovers_orientations(self, served_zero_training):
+        from scipy.spatial.transform import Rotation as R
+
+        from latice_tpu.crystal.symmetry import (
+            ROTATION_GROUPS,
+            symmetry_reduced_misorientation,
+        )
+
+        url, patterns, eulers, _ = served_zero_training
+        out = _post(f"{url}/sphere", _npy_bytes(patterns))
+        assert out["n"] == len(patterns)
+        assert all(np.isfinite(out["scores"]))
+        sym = jnp.asarray(np.asarray(ROTATION_GROUPS["432"], np.float32))
+        err = np.degrees(np.asarray(symmetry_reduced_misorientation(
+            jnp.asarray(np.roll(
+                R.from_euler("zxz", eulers, degrees=True).as_quat(), 1, axis=1
+            ), jnp.float32),
+            jnp.asarray(np.roll(
+                R.from_euler(
+                    "zxz", np.asarray(out["orientations"]), degrees=True
+                ).as_quat(), 1, axis=1
+            ), jnp.float32),
+            sym,
+        )))
+        # L=16 grid is ~11°; Newton refinement must land well below it.
+        assert np.median(err) < 4.0, err
+
+    def test_strain_endpoint(self, served_zero_training):
+        url, _, _, strain_ref = served_zero_training
+        # Identical patterns → ~zero strain; a strict-JSON sanity check.
+        body = np.stack([strain_ref, strain_ref])
+        out = _post(f"{url}/strain", _npy_bytes(body))
+        assert out["n"] == 2
+        a = np.asarray(out["strain"])
+        assert a.shape == (2, 3, 3)
+        assert np.abs(a).max() < 1e-4
+        assert np.asarray(out["von_mises"]).shape == (2,)
+        assert all(np.isfinite(out["residual_px"]))
+
+    def test_strain_shape_mismatch_is_400(self, served_zero_training):
+        url, *_ = served_zero_training
+        code, body = _post_error(
+            f"{url}/strain",
+            _npy_bytes(np.zeros((1, 32, 32), np.float32)),
+        )
+        assert code == 400
