@@ -1860,6 +1860,22 @@ def cmd_master(args) -> None:
         structure, kv=args.kv, n_beams=args.beams, max_hkl=args.max_hkl,
         min_d=args.min_d,
     )
+    mesh = None
+    if getattr(args, "devices", None) and args.devices > 1:
+        import jax
+
+        from latice_tpu.parallel import make_mesh
+
+        if jax.local_device_count() >= args.devices:
+            mesh = make_mesh(args.devices)
+            logger.info(
+                f"sharding master generation over {mesh.size} devices"
+            )
+        else:
+            logger.warning(
+                f"--devices {args.devices} ignored: only "
+                f"{jax.local_device_count()} attached"
+            )
     mc_meta = {}
     t0 = time.time()
     if args.mc:
@@ -1873,6 +1889,7 @@ def cmd_master(args) -> None:
             n_electrons=args.mc_electrons,
             energy_bins=args.mc_energy_bins,
             depth_bins=args.mc_depth_bins,
+            mesh=mesh,
         )
         logger.info(
             f"MC: eta={mc.bse_yield:.3f}, depth p90 "
@@ -1881,7 +1898,7 @@ def cmd_master(args) -> None:
         img = mc_weighted_master_pattern(
             structure, mc, size=args.size, n_beams=args.beams,
             absorption_ratio=args.absorption, max_hkl=args.max_hkl,
-            min_d=args.min_d,
+            min_d=args.min_d, mesh=mesh,
         )
         mc_meta = {
             "mc": True,
@@ -1899,7 +1916,7 @@ def cmd_master(args) -> None:
         img = dynamical_master_pattern(
             structure, kv=args.kv, size=args.size,
             depth_nm=args.depth_nm, absorption_ratio=args.absorption,
-            beams=beams,
+            beams=beams, mesh=mesh,
         )
     dt = time.time() - t0
     out_path = args.out if args.out.endswith(".npy") else args.out + ".npy"
@@ -3330,6 +3347,12 @@ def main() -> None:
     dm.add_argument(
         "--tilt", type=float, default=70.0,
         help="with --mc: sample tilt from the beam, degrees (EBSD: 70)",
+    )
+    dm.add_argument(
+        "--devices", type=int, default=0,
+        help="shard master generation over this many devices (Bloch eigh "
+        "direction chunks + MC walker chunks are embarrassingly "
+        "parallel; results match single-device)",
     )
     dm.set_defaults(fn=cmd_master)
 

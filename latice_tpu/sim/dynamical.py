@@ -646,6 +646,7 @@ def channeling_intensities(
     chunk: int = 2048,
     depth_centers_nm: np.ndarray | None = None,
     depth_weights: np.ndarray | None = None,
+    mesh=None,
 ) -> np.ndarray:
     """Backscatter channeling yield I(d) for unit directions ``dirs``
     (..., 3) in the crystal frame — the master pattern evaluated pointwise
@@ -666,6 +667,13 @@ def channeling_intensities(
             normalized here) — e.g. a `sim.montecarlo` energy bin's depth
             row. The depth integral then becomes a quadrature over these
             bins instead of the exponential closed form.
+        mesh: optional `jax.sharding.Mesh` — direction chunks shard over
+            the mesh's first axis (each direction's Bloch eigh is
+            independent, so GSPMD inserts no collectives); beam tables
+            replicate. ``chunk`` must divide by the device count. Master
+            generation is the slowest native step (ROADMAP: 45.8 s
+            non-centro on one chip), and the only heavy path that was
+            still single-device before r5.
     """
     if (depth_centers_nm is None) != (depth_weights is None):
         raise ValueError(
@@ -703,12 +711,34 @@ def channeling_intensities(
             raise ValueError("depth_weights must have positive mass")
         z_ang = jnp.asarray(zc * 10.0, jnp.float32)  # nm → Å
         z_w = jnp.asarray(zw / total, jnp.float32)
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.devices.size
+        if chunk % n_dev:
+            raise ValueError(
+                f"chunk={chunk} must divide by the mesh's {n_dev} devices"
+            )
+        rep = NamedSharding(mesh, P())
+        g = jax.device_put(g, rep)
+        coupling = jax.device_put(coupling, rep)
+        bs = jax.device_put(bs, rep)
+        if not beams.is_centrosymmetric:
+            ci = jax.device_put(ci, rep)
+            bi = jax.device_put(bi, rep)
+        if depth_centers_nm is not None:
+            z_ang = jax.device_put(z_ang, rep)
+            z_w = jax.device_put(z_w, rep)
+        batch_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
     out = np.empty(n, np.float32)
     for start in range(0, n, chunk):
         dc = d[start : start + chunk]
         m = len(dc)
         if m < chunk:  # pad to the static compile shape
             dc = np.concatenate([dc, np.tile(dc[-1:], (chunk - m, 1))])
+        if batch_sharding is not None:
+            dc = jax.device_put(dc, batch_sharding)
         if depth_centers_nm is not None:
             if beams.is_centrosymmetric:
                 res = _channel_chunk_quad(
@@ -745,6 +775,7 @@ def dynamical_master_pattern(
     chunk: int = 2048,
     normalize: bool = True,
     beams: DynamicalBeams | None = None,
+    mesh=None,
 ) -> np.ndarray:
     """Compute a north-hemisphere dynamical master pattern.
 
@@ -766,6 +797,9 @@ def dynamical_master_pattern(
         beams: precomputed `dynamical_beams` result — pass it to skip the
             host beam-selection sweep (the structure/kv/n_beams/max_hkl/
             min_d arguments are then ignored for selection).
+        mesh: optional `jax.sharding.Mesh` — pixel chunks shard over the
+            mesh (see `channeling_intensities`); `index.py master
+            --devices N`.
     """
     if size < 3:
         raise ValueError(f"master size must be >= 3, got {size}")
@@ -780,7 +814,7 @@ def dynamical_master_pattern(
     d = lambert_to_directions(xy)
     img = channeling_intensities(
         d, beams, depth_nm=depth_nm, absorption_ratio=absorption_ratio,
-        chunk=chunk,
+        chunk=chunk, mesh=mesh,
     )
     if normalize:
         lo, hi = float(img.min()), float(img.max())

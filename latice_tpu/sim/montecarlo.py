@@ -273,6 +273,7 @@ def simulate_bse_monte_carlo(
     z: float | None = None,
     a: float | None = None,
     density_g_cm3: float | None = None,
+    mesh=None,
 ) -> MonteCarloBSE:
     """Simulate backscattered-electron (energy, depth) statistics.
 
@@ -292,6 +293,13 @@ def simulate_bse_monte_carlo(
         seed: RNG seed (deterministic for a fixed chunk size).
         chunk: walkers per device dispatch.
         z / a / density_g_cm3: explicit effective medium override.
+        mesh: optional `jax.sharding.Mesh` — the mesh's N devices trace N
+            walker chunks CONCURRENTLY (one vmapped walk over a sharded
+            per-chunk seed vector). The per-chunk seed derivation is
+            unchanged, so results are IDENTICAL to the sequential
+            single-device run at the same ``seed``/``chunk`` (pinned by
+            test and `dryrun_multichip`); walkers are embarrassingly
+            parallel, so scaling is linear.
 
     Returns:
         `MonteCarloBSE`.
@@ -315,18 +323,60 @@ def simulate_bse_monte_carlo(
     e_min = float(e_min_kev if e_min_kev is not None else kv / 10.0)
 
     t = math.radians(tilt_deg)
+
+    def _sub_seed(idx: int) -> np.uint32:
+        # Per-chunk derived seed — shared by the sequential and mesh
+        # paths, which is what makes them bit-identical.
+        return np.uint32((seed * 1_000_003 + idx) & 0xFFFFFFFF)
+
+    walk_many = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.devices.size
+        sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+
+        def _one(s):
+            return _walk_chunk(
+                s, n=chunk, n_steps=n_steps, z=z_eff, a=a_eff,
+                density=rho, e_min_kev=e_min, e0_kev=float(kv),
+                tilt_rad=t,
+            )
+
+        walk_many = jax.jit(
+            jax.vmap(_one), in_shardings=sh, out_shardings=sh
+        )
+
     exit_e = np.empty(0, np.float32)
     max_z = np.empty(0, np.float32)
     done = 0
     chunk_index = 0
     while done < n_electrons:
+        if walk_many is not None:
+            # One vmapped dispatch traces n_dev chunks, one per device.
+            seeds = np.asarray(
+                [_sub_seed(chunk_index + i) for i in range(n_dev)],
+                np.uint32,
+            )
+            ee_all, mz_all = walk_many(seeds)
+            ee_all = np.asarray(ee_all)
+            mz_all = np.asarray(mz_all)
+            for i in range(n_dev):
+                m = min(chunk, n_electrons - done)
+                if m <= 0:
+                    break
+                exit_e = np.concatenate([exit_e, ee_all[i][:m]])
+                max_z = np.concatenate([max_z, mz_all[i][:m]])
+                done += m
+            chunk_index += n_dev
+            continue
         m = min(chunk, n_electrons - done)
-        # Per-chunk derived seed; the walk pads to the static chunk shape
-        # and padded walkers are sliced off below.
-        sub = np.uint32((seed * 1_000_003 + chunk_index) & 0xFFFFFFFF)
+        # The walk pads to the static chunk shape and padded walkers are
+        # sliced off below.
         ee, mz = _walk_chunk(
-            sub, n=chunk, n_steps=n_steps, z=z_eff, a=a_eff,
-            density=rho, e_min_kev=e_min, e0_kev=float(kv), tilt_rad=t,
+            _sub_seed(chunk_index), n=chunk, n_steps=n_steps, z=z_eff,
+            a=a_eff, density=rho, e_min_kev=e_min, e0_kev=float(kv),
+            tilt_rad=t,
         )
         exit_e = np.concatenate([exit_e, np.asarray(ee)[:m]])
         max_z = np.concatenate([max_z, np.asarray(mz)[:m]])
@@ -388,6 +438,7 @@ def mc_weighted_master_pattern(
     chunk: int = 2048,
     min_bin_weight: float = 0.02,
     normalize: bool = True,
+    mesh=None,
 ) -> np.ndarray:
     """Energy- and depth-weighted dynamical master pattern.
 
@@ -429,6 +480,7 @@ def mc_weighted_master_pattern(
             d, beams, absorption_ratio=absorption_ratio, chunk=chunk,
             depth_centers_nm=mc.depth_centers_nm,
             depth_weights=mc.depth_weights[b],
+            mesh=mesh,
         )
         img += weights[b] * part.astype(np.float64)
     if normalize:

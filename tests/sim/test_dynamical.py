@@ -438,3 +438,40 @@ class TestMasterPattern:
             DetectorGeometry(shape=(24, 24)),
         )
         assert np.all(np.isfinite(pats)) and pats.std() > 0.01
+
+
+class TestMeshSharding:
+    def test_mesh_master_bit_matches_single_device(self):
+        """Direction chunks shard over the mesh (VERDICT r4 #7): every
+        direction's Bloch eigh is independent, so the mesh result must
+        be IDENTICAL to single-device."""
+        import jax
+
+        from latice_tpu.parallel import make_mesh
+        from latice_tpu.sim import cubic_structure, dynamical_master_pattern
+
+        s = cubic_structure("fcc", "ni", a=3.52)
+        mesh = make_mesh(min(8, jax.local_device_count()))
+        one = dynamical_master_pattern(s, size=17, n_beams=16, chunk=64)
+        sharded = dynamical_master_pattern(
+            s, size=17, n_beams=16, chunk=64, mesh=mesh
+        )
+        np.testing.assert_array_equal(sharded, one)
+
+    def test_mesh_chunk_must_divide(self):
+        import jax
+
+        from latice_tpu.parallel import make_mesh
+        from latice_tpu.sim import cubic_structure
+        from latice_tpu.sim.dynamical import (
+            channeling_intensities,
+            dynamical_beams,
+        )
+
+        s = cubic_structure("fcc", "ni", a=3.52)
+        beams = dynamical_beams(s, n_beams=16)
+        mesh = make_mesh(min(8, jax.local_device_count()))
+        with pytest.raises(ValueError, match="divide"):
+            channeling_intensities(
+                np.zeros((6, 3)) + [0, 0, 1.0], beams, chunk=6, mesh=mesh
+            )

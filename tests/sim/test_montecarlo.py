@@ -232,3 +232,31 @@ class TestWeightedMaster:
         )
         # All folded weight lands on bin b with total weight 1.0.
         np.testing.assert_allclose(img, expect, rtol=1e-5, atol=1e-7)
+
+
+class TestMeshSharding:
+    def test_mesh_walkers_bit_match_single_device(self):
+        """The mesh path traces N chunks per dispatch with the SAME
+        per-chunk seeds as the sequential loop (VERDICT r4 #7), so the
+        walker statistics must be identical, not just statistically
+        compatible."""
+        import jax
+
+        from latice_tpu.parallel import make_mesh
+        from latice_tpu.sim import cubic_structure, simulate_bse_monte_carlo
+
+        s = cubic_structure("fcc", "ni", a=3.52)
+        mesh = make_mesh(min(8, jax.local_device_count()))
+        kw = dict(n_electrons=2048, n_steps=40, chunk=256)
+        one = simulate_bse_monte_carlo(s, **kw)
+        sharded = simulate_bse_monte_carlo(s, mesh=mesh, **kw)
+        assert sharded.bse_yield == one.bse_yield
+        np.testing.assert_array_equal(
+            sharded.exit_energy_kev, one.exit_energy_kev
+        )
+        np.testing.assert_array_equal(
+            sharded.max_depth_nm, one.max_depth_nm
+        )
+        np.testing.assert_array_equal(
+            sharded.depth_weights, one.depth_weights
+        )
