@@ -416,23 +416,27 @@ def _xcorr_shifts(
     # link traffic; XCF is affine-invariant so no /255 is needed).
     ref = ref.astype(jnp.float32)
     x = x.astype(jnp.float32)
-    ref_rois = _static_rois(ref[None], centers_px, s)  # (1, R, S, S)
-    tgt_rois = _static_rois(x, centers_px, s).reshape(b * n_roi, s, s)
-    ref_rois = jnp.broadcast_to(ref_rois, (b, n_roi, s, s)).reshape(
-        b * n_roi, s, s
-    )
+    # The reference spectrum is batch-invariant: compute it on the (R,
+    # S, S) ROI stack ONCE and let the cross-spectrum multiply broadcast
+    # it. (Broadcasting BEFORE the FFT recomputed the identical
+    # reference transform b times — ~1/3 of the program's FFT work at
+    # b128, r5 trace pass.)
+    ref_rois = _static_rois(ref[None], centers_px, s)[0]  # (R, S, S)
+    tgt_rois = _static_rois(x, centers_px, s)  # (B, R, S, S)
     refz = ref_rois - ref_rois.mean(axis=(-2, -1), keepdims=True)
     tgtz = tgt_rois - tgt_rois.mean(axis=(-2, -1), keepdims=True)
-    fr = jnp.fft.fft2(refz * hann) * fmask
-    ft = jnp.fft.fft2(tgtz * hann) * fmask
-    cross = ft * jnp.conj(fr)  # corr(s) = sum_p ref(p)·tgt(p+s)
-    corr = jnp.fft.ifft2(cross).real  # (N, S, S), index = shift mod S
+    fr = jnp.fft.fft2(refz * hann) * fmask  # (R, S, S)
+    ft = jnp.fft.fft2(tgtz * hann) * fmask  # (B, R, S, S)
+    cross = ft * jnp.conj(fr)[None]  # corr(s) = sum_p ref(p)·tgt(p+s)
+    corr = jnp.fft.ifft2(cross).real  # (B, R, S, S), index = shift mod S
     # Normalize to an NCC-style quality: peak / (||ref||·||tgt||) of the
     # filtered, windowed panels (Parseval on the masked spectra).
     norm = jnp.sqrt(
-        (jnp.abs(fr) ** 2).sum(axis=(-2, -1))
+        (jnp.abs(fr) ** 2).sum(axis=(-2, -1))[None]
         * (jnp.abs(ft) ** 2).sum(axis=(-2, -1))
-    ) / (s * s)
+    ).reshape(b * n_roi) / (s * s)
+    cross = cross.reshape(b * n_roi, s, s)
+    corr = corr.reshape(b * n_roi, s, s)
     flat = corr.reshape(corr.shape[0], -1)
     coarse = jnp.argmax(flat, axis=-1)
     quality = jnp.take_along_axis(flat, coarse[:, None], axis=-1)[:, 0]

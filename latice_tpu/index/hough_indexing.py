@@ -131,19 +131,41 @@ def _rotate(q: jax.Array, v: jax.Array) -> jax.Array:
     return jnp.einsum("bij,kj->bki", r, v)
 
 
-def solve_wahba(b_mat: jax.Array) -> jax.Array:
+def solve_wahba(
+    b_mat: jax.Array,
+    init: jax.Array | None = None,
+    iterations: int = 64,
+) -> jax.Array:
     """Davenport q-method: optimal rotation from a cross-covariance stack.
 
     Given ``b_mat (..., 3, 3)`` = Σᵢ wᵢ·nᵢ·cᵢᵀ over paired unit vectors
     (``n`` observed in the detector frame, ``c`` in the crystal frame),
     returns the scalar-first unit quaternion of the proper rotation R
     (crystal → detector) maximizing Σ wᵢ·nᵢᵀ·R·cᵢ — the principal
-    eigenvector of the 4×4 Davenport matrix (one batched `eigh`; unlike
-    SVD-based Kabsch there is no reflection branch to fix). The classic
-    q-method solves the *passive* (attitude-matrix) convention, whose
-    quaternion is the conjugate of the active scipy-style rotation used
-    throughout this repo — the conjugation below converts; pinned by tests
-    against scipy rotations.
+    eigenvector of the 4×4 Davenport matrix (unlike SVD-based Kabsch
+    there is no reflection branch to fix). The classic q-method solves
+    the *passive* (attitude-matrix) convention, whose quaternion is the
+    conjugate of the active scipy-style rotation used throughout this
+    repo — the conjugation below converts; pinned by tests against scipy
+    rotations.
+
+    Args:
+        init: optional ``(..., 4)`` scalar-first ACTIVE quaternion near
+            the solution. When given, the principal eigenvector is found
+            by shifted power iteration seeded at ``init``, applied as
+            ``ceil(log2(iterations))`` repeated SQUARINGS of the
+            normalized shifted matrix — ~6 fuseable 4×4 matmuls instead
+            of an eigendecomposition. `jnp.linalg.eigh` on TPU is an
+            iterative Jacobi program (while-loop + custom calls + sorts)
+            that measured **51.5 ms of the hough solve's 62.7 ms** at
+            b256×16 candidates (trace 2026-08-20); the squaring path
+            solves the same batch in the fusion noise. The shift
+            ``‖K‖_F + ε`` ≥ ρ(K) makes the iteration matrix PSD so the
+            power limit is the MOST POSITIVE eigenvalue (not the largest
+            magnitude); the measured worst-case spectral ratio ~0.85
+            (noisy partial-match fits) still contracts to f32 precision
+            at the default 64 effective steps. Without ``init`` the
+            exact `eigh` path is used.
     """
     tr = jnp.trace(b_mat, axis1=-2, axis2=-1)
     z = jnp.stack(
@@ -160,11 +182,38 @@ def solve_wahba(b_mat: jax.Array) -> jax.Array:
     top = jnp.concatenate([tr[..., None, None], z[..., None, :]], axis=-1)
     bottom = jnp.concatenate([z[..., :, None], lower], axis=-1)
     k4 = jnp.concatenate([top, bottom], axis=-2)
-    _, vecs = jnp.linalg.eigh(k4)
-    q = vecs[..., -1]  # largest eigenvalue
+    conj = jnp.asarray([1.0, -1.0, -1.0, -1.0], b_mat.dtype)
+    if init is None:
+        _, vecs = jnp.linalg.eigh(k4)
+        q = vecs[..., -1]  # largest eigenvalue
+    else:
+        # Active → passive seed (the eigenvector convention of K).
+        v = init * conj
+        # Frobenius norm bounds the spectral radius; ε keeps a zero K
+        # (fully masked fit — callers gate those) at the seed instead of
+        # 0/0.
+        shift = jnp.sqrt(
+            jnp.sum(k4 * k4, axis=(-2, -1), keepdims=True)
+        ) + 1e-6
+        m = k4 + shift * jnp.eye(4, dtype=b_mat.dtype)
+        # Repeated squaring: m^(2^j), renormalized each squaring so the
+        # amplified spectrum stays in f32 range. Unrolled on purpose
+        # (a lax loop of tiny 4×4 matmuls becomes padded micro-kernels
+        # on TPU; unrolled, XLA fuses the chain — same rationale as
+        # crystal.quaternion.quat_mean).
+        for _ in range(max(1, math.ceil(math.log2(max(iterations, 2))))):
+            m = jnp.einsum("...ij,...jk->...ik", m, m)
+            m = m / jnp.maximum(
+                jnp.sqrt(jnp.sum(m * m, axis=(-2, -1), keepdims=True)),
+                1e-30,
+            )
+        v = jnp.einsum("...ij,...j->...i", m, v)
+        q = v / jnp.maximum(
+            jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30
+        )
     # Passive → active: conjugate. Canonical sign (scalar ≥ 0) on top:
     # the eigenvector sign is arbitrary.
-    q = q * jnp.asarray([1.0, -1.0, -1.0, -1.0], q.dtype)
+    q = q * conj
     return q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
 
 
@@ -497,7 +546,12 @@ def _index_bands(nrm, wts, grid_q, grid_normals, refl, refl_i, *, tol_rad,
         gate = jax.nn.sigmoid((best - cos_tol) / soft)
         return jnp.einsum("bng,bn->gb", gate, wts)
 
-    scores = jax.lax.map(score_chunk, grid_normals)  # (n_chunks, G, B)
+    # Unrolled on purpose (not `lax.map`): the while-loop machinery around
+    # ~20 small score fusions measured 4.4 ms of pure overhead at b256
+    # (trace 2026-08-20); unrolled, XLA pipelines the chunks back to back.
+    scores = jnp.stack(
+        [score_chunk(grid_normals[i]) for i in range(grid_normals.shape[0])]
+    )  # (n_chunks, G, B)
     scores = scores.reshape(-1, nrm.shape[0]).T  # (B, M_local)
     # Chunk-padding rows are tiled copies of grid[0] with live vote
     # scores; left in, they can flood the top_k candidate list with
@@ -548,19 +602,22 @@ def _index_bands(nrm, wts, grid_q, grid_normals, refl, refl_i, *, tol_rad,
         c = jnp.einsum("bnk,kc->bnc", sel, refl) * jnp.sign(dotj)[..., None]
         w = wts_p * (ang < tol)
         b_mat = jnp.einsum("bn,bnc,bnd->bcd", w, nrm_p, c)
-        q_new = solve_wahba(b_mat)
+        # The grid candidate (then the previous round's solve) seeds the
+        # power iteration — it is within the vote tolerance of the
+        # optimum, and the seeded path avoids TPU `eigh` (solve_wahba
+        # docstring: 51.5 ms of the 62.7 ms solve at this batch shape).
+        q_new = solve_wahba(b_mat, init=q)
         # A candidate with <2 usable bands has a degenerate Davenport
-        # matrix; keep the previous orientation instead of eigh noise.
+        # matrix; keep the previous orientation instead of solver noise.
         ok = (w > 0).sum(axis=-1) >= 2
-        return jnp.where(ok[:, None], q_new, q), None
+        return jnp.where(ok[:, None], q_new, q)
 
     # First round accepts residuals up to the grid covering radius (the
     # unrefined candidate is up to that far off); later rounds tighten to
-    # the reported tolerance.
-    tols = jnp.full(refine_iters, tol_rad).at[0].set(
-        max(tol_rad, vote_tol_rad)
-    )
-    q, _ = jax.lax.scan(refine_once, q, tols)
+    # the reported tolerance. Unrolled (a 2-trip scan of small fused ops
+    # only adds while-loop overhead on TPU).
+    for it in range(refine_iters):
+        q = refine_once(q, max(tol_rad, vote_tol_rad) if it == 0 else tol_rad)
 
     # Rank the refined candidates by SOFT band credit, not hard matched
     # count:

@@ -34,6 +34,24 @@ Friedel-symmetric masters (every centrosymmetric phase, and the
 antipodal extension `sim.master` documents) have zero odd-l
 coefficients, so the l-contraction — the FLOPs- and memory-dominant
 stage — automatically keeps only even degrees (the ``l_keep`` mask).
+
+Two further structural reductions (r5 trace-roofline pass):
+
+* **Hermitian half-plane**: the pattern and master are real, so
+  ``W_{-m,-ν} = conj(W_{mν})`` and the correlation is exactly
+  ``X = Re Σ_{m≥0} c_m Σ_ν W_mν e^{−i(mα+νγ)}`` with pair weights
+  ``c_0 = 1, c_{m>0} = 2`` folded into the α-DFT tables — only the
+  m ≥ 0 rows are ever computed, halving the l-contraction and α-DFT
+  FLOPs and the ``W`` intermediates.
+* **bf16-resident device tables** on TPU: XLA's default matmul
+  precision already rounds every einsum operand to bf16 — but with f32
+  residents it re-converted the ~0.5 GB of Wigner tables on EVERY
+  dispatch (~1.3 ms of pure convert/copy at L=64, trace 2026-08-20).
+  Storing the tables in bf16 feeds the MXU the same values without the
+  per-call conversion. On CPU (tests) everything stays f32 — CPU
+  matmuls are true f32, and the pinned accuracy numbers are unchanged.
+  All contractions request ``preferred_element_type=float32``, so
+  accumulation is f32 either way.
 """
 
 from __future__ import annotations
@@ -208,7 +226,7 @@ class SphericalResult:
     jax.jit, static_argnames=("bin_factor", "refine_mode", "newton_steps")
 )
 def _correlate_chunk(
-    pats, wvec, yr, yi, dmr, dmi, cm, sm, cg, sg, bin_factor,
+    pats, wvec, yr, yi, dmr, dmi, cc, cgs, bin_factor,
     refine_mode="grid", newton_steps=8,
 ):
     """One chunk of patterns → correlation peak (+ refinement).
@@ -249,35 +267,66 @@ def _correlate_chunk(
     xc = x - mean[:, None]
     norm = jnp.sqrt(jnp.maximum((xc * xc) @ wvec, 1e-20))
     xcn = xc / norm[:, None]
+    # The big contractions run in the tables' dtype (bf16 residents on
+    # TPU — the values XLA's default matmul precision feeds the MXU
+    # anyway — f32 on CPU) and accumulate f32 (module docstring).
+    cdt = dmr.dtype
+    f32 = jnp.float32
     # Projection: f̂ = Σ_i w_i f_i conj(Y(d_i)) — weights folded into Y.
-    n_l, m_dim = dmr.shape[1], dmr.shape[2]
-    fr = (xcn @ yr).reshape(b, n_l, m_dim)
-    fi = (xcn @ yi).reshape(b, n_l, m_dim)
-    # W_mν(β_k) = Σ_l conj(f̂)_lm (m̂·d)_lmν, real/imag explicitly.
-    wr = jnp.einsum("blm,klmv->bkmv", fr, dmr) + jnp.einsum(
-        "blm,klmv->bkmv", fi, dmi
-    )
-    wi = jnp.einsum("blm,klmv->bkmv", fr, dmi) - jnp.einsum(
-        "blm,klmv->bkmv", fi, dmr
-    )
-    # α-DFT: T = Σ_m (cos − i·sin)(mα) W.
-    tr = jnp.einsum("ma,bkmv->bkav", cm, wr) + jnp.einsum(
-        "ma,bkmv->bkav", sm, wi
-    )
-    ti = jnp.einsum("ma,bkmv->bkav", cm, wi) - jnp.einsum(
-        "ma,bkmv->bkav", sm, wr
-    )
+    # m ≥ 0 columns only (Hermitian half-plane, module docstring).
+    n_l, m_half = dmr.shape[1], dmr.shape[2]
+    xcn_c = xcn.astype(cdt)
+    fr = jnp.einsum(
+        "bd,dx->bx", xcn_c, yr, preferred_element_type=f32
+    ).reshape(b, n_l, m_half)
+    fi = jnp.einsum(
+        "bd,dx->bx", xcn_c, yi, preferred_element_type=f32
+    ).reshape(b, n_l, m_half)
+    # W_mν(β_k) = Σ_l conj(f̂)_lm (m̂·d)_lmν, real/imag explicitly;
+    # the four l-contractions keep each Wigner table read exactly once.
+    # The complex pair stacks along one axis ([wr; wi], 2L rows) so the
+    # two DFT stages are ONE matmul each against block coefficient
+    # tables (cc/cgs, built in `SphericalIndexer.__init__`) — no f32
+    # (b,k,a,ν) partial ever materializes and the real/imaginary adds
+    # ride the MXU epilogue (the split formulation spent ~1 ms/chunk on
+    # f32 partial-sum traffic, r5 trace pass). Newton needs the f32 W
+    # rows; the grid path casts straight to the contraction dtype.
+    frc = fr.astype(cdt)
+    fic = fi.astype(cdt)
+    wr = jnp.einsum(
+        "blm,klmv->bkmv", frc, dmr, preferred_element_type=f32
+    ) + jnp.einsum("blm,klmv->bkmv", fic, dmi, preferred_element_type=f32)
+    wi = jnp.einsum(
+        "blm,klmv->bkmv", frc, dmi, preferred_element_type=f32
+    ) - jnp.einsum("blm,klmv->bkmv", fic, dmr, preferred_element_type=f32)
+    # Only Newton consumes the f32 W rows; in grid mode XLA fuses the
+    # adds + cast into the concat and materializes bf16 only.
+    wstack = jnp.concatenate([wr, wi], axis=2).astype(cdt)
+    # α-DFT over the stacked complex pair: T2[..., t] = (Tr, Ti) with
+    # the c_m pair weights folded into cc.
+    t2 = jnp.einsum(
+        "Mat,bkMv->bkavt", cc, wstack, preferred_element_type=f32
+    ).astype(cdt)
     # γ-DFT, real part only: X = Re(T e^{−iνγ}) = Tr·cos + Ti·sin.
-    xcorr = jnp.einsum("bkav,vg->bkag", tr, cg) + jnp.einsum(
-        "bkav,vg->bkag", ti, sg
+    xcorr = jnp.einsum(
+        "bkavt,vtg->bkag", t2, cgs, preferred_element_type=f32
     )
     k_n, a_n, g_n = xcorr.shape[1:]
-    flat = xcorr.reshape(b, -1)
-    best = jnp.argmax(flat, axis=1)
-    peak = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
-    k = best // (a_n * g_n)
-    a = (best // g_n) % a_n
-    g = best % g_n
+    # Hierarchical argmax: reduce the γ axis first (XLA fuses the
+    # max/argmax pair into the producing fusion), then argmax the small
+    # (k_n·a_n) survivor table — the flat argmax forced a full-size
+    # layout copy of the (b, k·a·g) volume (0.8 ms at L=64, trace
+    # 2026-08-20).
+    mg = jnp.max(xcorr, axis=3)  # (b, k, a)
+    ig = jnp.argmax(xcorr, axis=3)
+    flat2 = mg.reshape(b, -1)
+    best2 = jnp.argmax(flat2, axis=1)
+    peak = jnp.take_along_axis(flat2, best2[:, None], axis=1)[:, 0]
+    k = best2 // a_n
+    a = best2 % a_n
+    g = jnp.take_along_axis(
+        ig.reshape(b, -1), best2[:, None], axis=1
+    )[:, 0]
     if refine_mode != "newton":
         offs = jnp.arange(-1, 2)
         kk = jnp.clip(k[:, None] + offs[None, :], 0, k_n - 1)
@@ -296,13 +345,26 @@ def _correlate_chunk(
     d_alpha = 2.0 * jnp.pi / a_n
     # β stencil: 5 DISTINCT rows centered near the peak (shift the
     # stencil at the ends instead of clipping rows — duplicate Lagrange
-    # nodes would be singular).
+    # nodes would be singular). One-hot matmul selection, not
+    # take_along_axis: the slice gather forced full f32 materialization
+    # + layout copies of W (~3.9 ms at L=64, trace 2026-08-20), while
+    # the einsum consumes W in its produced layout. HIGHEST keeps the
+    # selection exact in f32 (it is a 0/1 matrix).
     center = jnp.clip(k, 2, k_n - 3)
     rows = center[:, None] + jnp.arange(-2, 3)[None, :]
-    wr5 = jnp.take_along_axis(wr, rows[:, :, None, None], axis=1)
-    wi5 = jnp.take_along_axis(wi, rows[:, :, None, None], axis=1)
-    half_l = (wr.shape[2] + 1) // 2  # bandwidth L
-    ms = jnp.arange(-(half_l - 1), half_l, dtype=jnp.float32)
+    onehot = jax.nn.one_hot(rows, k_n, dtype=jnp.float32)  # (b, 5, k)
+    wr5 = jnp.einsum(
+        "bjk,bkmv->bjmv", onehot, wr, precision=jax.lax.Precision.HIGHEST
+    )
+    wi5 = jnp.einsum(
+        "bjk,bkmv->bjmv", onehot, wi, precision=jax.lax.Precision.HIGHEST
+    )
+    # Hermitian half-plane: rows are m ∈ [0, L), columns ν full; the
+    # pair weights c_m re-apply here (the table-folded copies only feed
+    # the grid DFTs).
+    ms_m = jnp.arange(0, m_half, dtype=jnp.float32)
+    ms_v = jnp.arange(-(m_half - 1), m_half, dtype=jnp.float32)
+    pair_w = jnp.where(ms_m == 0, 1.0, 2.0)[:, None]
     nodes = jnp.arange(-2.0, 3.0)
 
     def xval(p, w5r, w5i):
@@ -317,8 +379,10 @@ def _correlate_chunk(
         lw = jnp.stack(lw)
         wr_t = jnp.einsum("j,jmv->mv", lw, w5r)
         wi_t = jnp.einsum("j,jmv->mv", lw, w5i)
-        ang = ms[:, None] * p[1] + ms[None, :] * p[2]
-        return jnp.sum(wr_t * jnp.cos(ang) + wi_t * jnp.sin(ang))
+        ang = ms_m[:, None] * p[1] + ms_v[None, :] * p[2]
+        return jnp.sum(
+            pair_w * (wr_t * jnp.cos(ang) + wi_t * jnp.sin(ang))
+        )
 
     step_lim = jnp.asarray([1.0, d_alpha, d_alpha], jnp.float32)
 
@@ -483,31 +547,61 @@ class SphericalIndexer:
         omega = tables["omega"]
         n_dirs = len(omega)
         m_dim = 2 * L - 1
-        yr = tables["yr"].reshape(-1, L, m_dim)[:, keep].reshape(n_dirs, -1)
-        yi = tables["yi"].reshape(-1, L, m_dim)[:, keep].reshape(n_dirs, -1)
+        # Hermitian half-plane (module docstring): only the m ≥ 0
+        # projection columns and Wigner rows are kept; the α-DFT tables
+        # fold the c_m pair weights.
+        yr = (
+            tables["yr"]
+            .reshape(-1, L, m_dim)[:, keep, L - 1 :]
+            .reshape(n_dirs, -1)
+        )
+        yi = (
+            tables["yi"]
+            .reshape(-1, L, m_dim)[:, keep, L - 1 :]
+            .reshape(n_dirs, -1)
+        )
 
         a_n = cfg.alpha_count or 2 * L
         self._betas = tables["betas"]
         self._alphas = np.arange(a_n) * (2.0 * np.pi / a_n)
-        d_tab = tables["d"][:, keep]
+        d_tab = tables["d"][:, keep][:, :, L - 1 :, :]  # m ≥ 0 rows, ν full
         mk = coef[keep]
         dmr = d_tab * mk.real[None, :, None, :]
         dmi = d_tab * mk.imag[None, :, None, :]
-        ms = np.arange(-(L - 1), L, dtype=np.float64)
-        ang = ms[:, None] * self._alphas[None, :]
-        cm = np.cos(ang)
-        sm = np.sin(ang)
+        # Block DFT coefficient tables for the stacked [W_r; W_i] pair
+        # (`_correlate_chunk` docstring): cc (2L, a, 2) carries the α-DFT
+        # of both T components with the c_m pair weights folded; cgs
+        # (2L−1, 2, g) the γ-DFT (γ grid == α grid).
+        ms_half = np.arange(0, L, dtype=np.float64)
+        pair = np.where(ms_half == 0, 1.0, 2.0)[:, None]
+        ang_a = ms_half[:, None] * self._alphas[None, :]
+        cm = pair * np.cos(ang_a)
+        sm = pair * np.sin(ang_a)
+        cc = np.zeros((2 * L, a_n, 2))
+        cc[:L, :, 0] = cm  # Tr ← cos · Wr
+        cc[L:, :, 0] = sm  # Tr ← sin · Wi
+        cc[:L, :, 1] = -sm  # Ti ← −sin · Wr
+        cc[L:, :, 1] = cm  # Ti ← cos · Wi
+        ms_full = np.arange(-(L - 1), L, dtype=np.float64)
+        ang_g = ms_full[:, None] * self._alphas[None, :]
+        cgs = np.stack([np.cos(ang_g), np.sin(ang_g)], axis=1)
 
+        # bf16 residents on TPU — identical MXU inputs to XLA's default
+        # matmul precision, without re-converting ~0.5 GB of tables per
+        # dispatch; true-f32 on CPU (tests). See the module docstring.
+        tdt = (
+            jnp.float32
+            if jax.default_backend() == "cpu"
+            else jnp.bfloat16
+        )
         self._dev = dict(
             wvec=jnp.asarray(omega, jnp.float32),
-            yr=jnp.asarray(yr, jnp.float32),
-            yi=jnp.asarray(yi, jnp.float32),
-            dmr=jnp.asarray(dmr, jnp.float32),
-            dmi=jnp.asarray(dmi, jnp.float32),
-            cm=jnp.asarray(cm, jnp.float32),
-            sm=jnp.asarray(sm, jnp.float32),
-            cg=jnp.asarray(cm, jnp.float32),  # γ grid == α grid; (ν, g)
-            sg=jnp.asarray(sm, jnp.float32),
+            yr=jnp.asarray(yr, tdt),
+            yi=jnp.asarray(yi, tdt),
+            dmr=jnp.asarray(dmr, tdt),
+            dmi=jnp.asarray(dmi, tdt),
+            cc=jnp.asarray(cc, tdt),
+            cgs=jnp.asarray(cgs, tdt),
         )
         self._bin_shape = tables["bin_shape"]
         self._batch_sharding = None

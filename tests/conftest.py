@@ -12,6 +12,9 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 # Persistent compilation cache: repeated test runs skip recompiles.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+# Wigner-table disk cache (sim/sht.py): the spherical-indexing fixtures
+# rebuild O(10 s) host tables per run without it.
+os.environ.setdefault("LATICE_TPU_SHT_CACHE", "/tmp/latice_test_sht_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 _flags = os.environ.get("XLA_FLAGS", "")

@@ -10,6 +10,7 @@ accuracy).
 
 import math
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from scipy.spatial.transform import Rotation as R
@@ -77,6 +78,46 @@ class TestSolveWahba:
             np.linalg.norm(q + q_true, axis=1),
         )
         assert err.max() < 1e-3
+
+    def test_power_iteration_matches_eigh(self):
+        """The seeded power path (the TPU production route — `eigh` is a
+        ~50 ms iterative program on TPU, solve_wahba docstring) must agree
+        with the exact eigendecomposition, including from seeds several
+        degrees off and under noisy partial-match weights."""
+        rng = np.random.default_rng(5)
+        rots = R.random(64, random_state=6)
+        c = rng.normal(size=(64, 8, 3))
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        n = np.einsum("bij,bkj->bki", rots.as_matrix(), c)
+        n += rng.normal(scale=0.02, size=n.shape)  # measurement noise
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        w = rng.uniform(0.2, 1.0, size=(64, 8))
+        w[:, 6:] = 0.0  # unmatched bands
+        b_mat = np.einsum("bk,bki,bkj->bij", w, n, c).astype(np.float32)
+        q_exact = np.asarray(solve_wahba(jnp.asarray(b_mat)))
+        # Seed = truth perturbed by a ~5-degree random rotation (the vote
+        # grid's covering radius).
+        pert = R.from_rotvec(
+            rng.normal(scale=np.radians(3.0), size=(64, 3))
+        )
+        seed = np.roll((rots * pert).as_quat(), 1, axis=1).astype(np.float32)
+        q_pow = np.asarray(solve_wahba(jnp.asarray(b_mat), init=jnp.asarray(seed)))
+        err = np.minimum(
+            np.linalg.norm(q_pow - q_exact, axis=1),
+            np.linalg.norm(q_pow + q_exact, axis=1),
+        )
+        assert err.max() < 5e-5
+
+    def test_power_iteration_zero_matrix_keeps_seed_finite(self):
+        """A fully-masked fit (K = 0) must return a finite unit quaternion
+        (callers gate these rows via the ok-mask; the solver must not NaN)."""
+        seed = np.asarray([[0.9, 0.1, 0.3, -0.2]], np.float32)
+        seed /= np.linalg.norm(seed)
+        q = np.asarray(
+            solve_wahba(jnp.zeros((1, 3, 3)), init=jnp.asarray(seed))
+        )
+        assert np.all(np.isfinite(q))
+        assert abs(np.linalg.norm(q[0]) - 1.0) < 1e-5
 
     def test_weighted_outlier_rejected(self):
         """Zero-weight rows must not influence the solution."""
