@@ -31,3 +31,11 @@ import jax  # noqa: E402  (after env setup by design)
 # (the XLA_FLAGS spelling is kept above for older versions).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# The same too-late trap silently disabled the persistent compilation
+# cache for every suite run (the env vars above never reached the
+# pre-imported jax; /tmp/jax_test_cache had literally never been
+# created): config updates are authoritative here too. The suite is
+# compile-bound on this 1-core box, so warm runs win minutes.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
