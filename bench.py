@@ -326,9 +326,10 @@ def bench_streamed_di_throughput(
     return wall, chip
 
 
-def bench_sphere_throughput(batch_size: int = 32, bandwidth: int = 64) -> float:
+def bench_sphere_throughput(batch_size: int = 64, bandwidth: int = 64) -> float:
     """Spherical-harmonic indexing patterns/sec (the dictionary-free
-    plane, index.spherical) at production bandwidth L=64: projection +
+    plane, index.spherical) at production bandwidth L=64 and the
+    production chunk (64 — the r5 probe's throughput knee): projection +
     Wigner l-contraction + SO(3) DFTs + fused argmax, chip-side.
 
     Host setup (Wigner tables, ~40 s cold) caches to LATICE_TPU_SHT_CACHE

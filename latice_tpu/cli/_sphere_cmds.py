@@ -229,7 +229,7 @@ def register(sub, common) -> None:
         "--tilt", type=float, default=0.0,
         help="detector tilt about the horizontal axis, degrees",
     )
-    sp.add_argument("--batch-size", type=int, default=32)
+    sp.add_argument("--batch-size", type=int, default=64)
     sp.add_argument(
         "--phase-name", default=None, action="append",
         help="phase name(s) written to .ang/.ctf headers — repeat per "

@@ -160,7 +160,9 @@ class SphericalIndexerConfig:
             before projection (the harmonic window can't resolve more
             pixels than ~L² anyway; binning cuts the projection matmul).
         chunk: patterns per device dispatch (bounds the (chunk, K, nA,
-            nG) correlation volume — 32 at the defaults is ~270 MB).
+            nG) correlation volume — 64 at the defaults is ~540 MB f32;
+            measured on v5e: 64 is +35% throughput over 32 and 128 only
+            +9% more, r5 chunk probe).
         symmetry: proper rotation group for the fundamental-zone
             reduction (`crystal.ROTATION_GROUPS` key).
         refine: sub-grid peak treatment — ``"newton"`` (default, also
@@ -177,7 +179,7 @@ class SphericalIndexerConfig:
     beta_count: int | None = None
     alpha_count: int | None = None
     detector_bin: int = 2
-    chunk: int = 32
+    chunk: int = 64
     symmetry: str = "432"
     refine: bool | str = "newton"
     newton_steps: int = 8

@@ -202,7 +202,9 @@ def wigner_d_table(
     ``cache_dir`` (default: the ``LATICE_TPU_SHT_CACHE`` env var) caches
     the table on disk keyed by (L, β grid) — the build is the dominant
     indexer-setup cost at production bandwidths (~40 s at L=64, K=128 on
-    one core; cached in float32, the precision the device tables use).
+    one core). Cached in float64: an f32 cache once made results depend
+    on whether the table came from the cache or a fresh build (the r5
+    flaky-pin incident) — the cache must be value-transparent.
     """
     betas = np.atleast_1d(np.asarray(betas, np.float64))
     if cache_dir is None:
@@ -210,8 +212,9 @@ def wigner_d_table(
     cache_path = None
     if cache_dir:
         key = zlib.crc32(betas.tobytes()) & 0xFFFFFFFF
+        # "f64" suffix: ignores stale float32-era cache files (docstring).
         cache_path = os.path.join(
-            cache_dir, f"wigner_L{bandwidth}_K{len(betas)}_{key:08x}.npz"
+            cache_dir, f"wigner_L{bandwidth}_K{len(betas)}_{key:08x}_f64.npz"
         )
         if os.path.exists(cache_path):
             with np.load(cache_path) as z:
@@ -239,7 +242,7 @@ def wigner_d_table(
         try:
             os.makedirs(cache_dir, exist_ok=True)
             tmp = cache_path + f".tmp{os.getpid()}.npz"
-            np.savez(tmp, d=out.astype(np.float32), betas=betas)
+            np.savez(tmp, d=out, betas=betas)
             os.replace(tmp, cache_path)
         except OSError:
             pass  # cache is best-effort

@@ -55,7 +55,10 @@ FLOORS = {
     # dispatches per iter — but any real regression of the 8.4x rewrite
     # overshoots 18% by an order of magnitude.
     "hough_patterns_per_sec": 16_500.0,
-    "sphere_patterns_per_sec": 5_150.0,  # dictionary-free SO(3) search, L=64
+    # Sphere row moved to the production chunk=64 (r5 probe: +35% over
+    # chunk 32); floor ~8% under the single 64-chunk sample, consistent
+    # with the +/-2% spread measured at chunk 32.
+    "sphere_patterns_per_sec": 5_900.0,  # dictionary-free SO(3) search, L=64
     # HR-EBSD wall spread measured 7.7k-11.8k across same-binary runs
     # (two small dispatches per iter — tenancy-bound even with the
     # median-of-5; chip-side truth 7.44 ms/b128 = 17.2k/s is in ROADMAP
@@ -78,7 +81,7 @@ RECORD = {
     "hough_patterns_per_sec": 20_151.9,  # r5 roofline rewrite (08-20)
     "streamed_di_patterns_per_sec": 99.5,
     "streamed_di_chip_patterns_per_sec": 55_895.7,  # r5 recalibration run
-    "sphere_patterns_per_sec": 5_680.7,  # r5 roofline rewrite (08-20)
+    "sphere_patterns_per_sec": 6_425.0,  # r5 roofline rewrite + chunk 64 (08-21)
     "hrebsd_patterns_per_sec": 11_786.5,  # r5 best-of-4 wall (08-20)
     "vs_baseline": 5.767,
 }
