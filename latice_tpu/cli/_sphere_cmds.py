@@ -165,6 +165,35 @@ def cmd_sphere(args) -> None:
                       phase_names=names, phase_groups=groups,
                       phase_lattices=lattices)
             summary["ctf_out"] = args.ctf
+    if args.ambiguity:
+        # Secondary-peak pseudo-symmetry diagnostic (the EMSphInx
+        # secondary-peak report; same npz/vocabulary as `query
+        # --ambiguity`). The rival search reads one master's correlation
+        # volume, so multi-phase runs diagnose against the FIRST master
+        # — run per master for per-phase diagnostics.
+        if n_phases > 1:
+            logger.warning(
+                "--ambiguity with %d masters diagnoses orientation "
+                "pseudo-symmetry against the FIRST master only (phase "
+                "ambiguity is already in phase_scores)", n_phases,
+            )
+        amb = indexer.indexers[0].ambiguity(
+            raw, min_separation_deg=args.ambiguity_separation,
+        )
+        np.savez(
+            args.ambiguity,
+            angle_deg=amb.angle_deg,
+            score_gap=amb.score_gap,
+            has_rival=amb.has_rival,
+        )
+        flagged = amb.ambiguous(max_gap=args.ambiguity_gap)
+        summary["ambiguity_out"] = args.ambiguity
+        summary["ambiguous_frac"] = round(float(flagged.mean()), 4)
+        logger.info(
+            f"{flagged.sum()} / {len(flagged)} pixels ambiguous "
+            f"(rival SO(3) peak within {args.ambiguity_gap} correlation "
+            f"score)"
+        )
     print(json.dumps(summary))
 
 
@@ -253,6 +282,24 @@ def register(sub, common) -> None:
     sp.add_argument("--ang", default=None, help="also write a TSL .ang file")
     sp.add_argument(
         "--ctf", default=None, help="also write a Channel .ctf file"
+    )
+    sp.add_argument(
+        "--ambiguity", default=None, metavar="OUT.npz",
+        help="write the secondary-SO(3)-peak pseudo-symmetry diagnostic "
+        "(per-pixel angle and correlation-score gap to the best "
+        "genuinely different basin; same vocabulary as `query "
+        "--ambiguity`) and report the ambiguous fraction",
+    )
+    sp.add_argument(
+        "--ambiguity-gap", type=float, default=0.02,
+        help="score margin under which a rival basin counts as ambiguous "
+        "(default: %(default)s)",
+    )
+    sp.add_argument(
+        "--ambiguity-separation", type=float, default=None,
+        help="disorientation (deg) below which a cell belongs to the "
+        "winner's own basin (default: 2x the SO(3) grid spacing, "
+        "2*180/L)",
     )
     sp.set_defaults(fn=cmd_sphere)
 

@@ -224,35 +224,11 @@ class SphericalResult:
         return len(self.quaternions)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("bin_factor", "refine_mode", "newton_steps")
-)
-def _correlate_chunk(
-    pats, wvec, yr, yi, dmr, dmi, cc, cgs, bin_factor,
-    refine_mode="grid", newton_steps=8,
-):
-    """One chunk of patterns → correlation peak (+ refinement).
-
-    pats: (b, H, W) f32/uint8. All tables are device residents passed by
-    reference.
-
-    refine_mode="grid": returns (peak, k, a, g, neighborhood(b,3,3,3))
-    — the raw argmax and its 3³ surroundings for host-side parabolic
-    interpolation.
-
-    refine_mode="newton": TRUE refinement of the band-limited correlation
-    itself (the EMSphInx approach, VERDICT r4 #4) — the grid only
-    *locates* the basin; the maximized function is the continuous
-    ``X(β, α, γ) = Σ_mν W_mν(β)·[cos, sin](mα + νγ)``, which is an EXACT
-    finite Fourier series in (α, γ) and smooth in β (``W_mν(β)`` rows are
-    Lagrange-interpolated over 5 grid β's around the peak — the rows are
-    band-limited with 2x-oversampled sampling, so quartic interpolation
-    sits far below the accuracy floor). ``newton_steps`` damped Newton
-    iterations via autodiff (forward-over-reverse Hessian of the scalar
-    X), batched with vmap; steps are clamped to one grid cell and the
-    best-seen point is tracked, so the result can never be worse than
-    the grid argmax. Returns (score, beta, alpha, gamma) in radians.
-    """
+def _correlation_volume(pats, wvec, yr, yi, dmr, dmi, cc, cgs, bin_factor):
+    """Shared pipeline: (b, H, W) patterns → the full SO(3) correlation
+    volume ``xcorr (b, k, a, g)`` f32 plus the f32 ``W`` row pair (the
+    Newton refinement's continuous representation). Traced inside both
+    jitted entry points (`_correlate_chunk`, `_top_cells_chunk`)."""
     b = pats.shape[0]
     x = pats.astype(jnp.float32)
     if pats.dtype == jnp.uint8:
@@ -313,6 +289,64 @@ def _correlate_chunk(
     xcorr = jnp.einsum(
         "bkavt,vtg->bkag", t2, cgs, preferred_element_type=f32
     )
+    return xcorr, wr, wi
+
+
+@functools.partial(jax.jit, static_argnames=("bin_factor", "n_cells"))
+def _top_cells_chunk(pats, wvec, yr, yi, dmr, dmi, cc, cgs, bin_factor,
+                     n_cells):
+    """Top ``n_cells`` correlation cells per pattern — the raw material
+    of the pseudo-symmetry diagnostic (`SphericalIndexer.ambiguity`):
+    the γ axis reduces first (as in the argmax path), then one
+    `lax.top_k` over the small (k·a) survivor table ranks basins.
+    Returns ``(scores (b, P), k, a, g)`` sorted descending."""
+    xcorr, _, _ = _correlation_volume(
+        pats, wvec, yr, yi, dmr, dmi, cc, cgs, bin_factor
+    )
+    b = xcorr.shape[0]
+    a_n = xcorr.shape[2]
+    mg = jnp.max(xcorr, axis=3)
+    ig = jnp.argmax(xcorr, axis=3)
+    vals, idx = jax.lax.top_k(mg.reshape(b, -1), n_cells)  # (b, P)
+    k = idx // a_n
+    a = idx % a_n
+    g = jnp.take_along_axis(ig.reshape(b, -1), idx, axis=1)
+    return vals, k, a, g
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bin_factor", "refine_mode", "newton_steps")
+)
+def _correlate_chunk(
+    pats, wvec, yr, yi, dmr, dmi, cc, cgs, bin_factor,
+    refine_mode="grid", newton_steps=8,
+):
+    """One chunk of patterns → correlation peak (+ refinement).
+
+    pats: (b, H, W) f32/uint8. All tables are device residents passed by
+    reference.
+
+    refine_mode="grid": returns (peak, k, a, g, neighborhood(b,3,3,3))
+    — the raw argmax and its 3³ surroundings for host-side parabolic
+    interpolation.
+
+    refine_mode="newton": TRUE refinement of the band-limited correlation
+    itself (the EMSphInx approach, VERDICT r4 #4) — the grid only
+    *locates* the basin; the maximized function is the continuous
+    ``X(β, α, γ) = Σ_mν W_mν(β)·[cos, sin](mα + νγ)``, which is an EXACT
+    finite Fourier series in (α, γ) and smooth in β (``W_mν(β)`` rows are
+    Lagrange-interpolated over 5 grid β's around the peak — the rows are
+    band-limited with 2x-oversampled sampling, so quartic interpolation
+    sits far below the accuracy floor). ``newton_steps`` damped Newton
+    iterations via autodiff (forward-over-reverse Hessian of the scalar
+    X), batched with vmap; steps are clamped to one grid cell and the
+    best-seen point is tracked, so the result can never be worse than
+    the grid argmax. Returns (score, beta, alpha, gamma) in radians.
+    """
+    b = pats.shape[0]
+    xcorr, wr, wi = _correlation_volume(
+        pats, wvec, yr, yi, dmr, dmi, cc, cgs, bin_factor
+    )
     k_n, a_n, g_n = xcorr.shape[1:]
     # Hierarchical argmax: reduce the γ axis first (XLA fuses the
     # max/argmax pair into the producing fusion), then argmax the small
@@ -364,6 +398,7 @@ def _correlate_chunk(
     # Hermitian half-plane: rows are m ∈ [0, L), columns ν full; the
     # pair weights c_m re-apply here (the table-folded copies only feed
     # the grid DFTs).
+    m_half = dmr.shape[2]  # m >= 0 rows (the bandwidth L)
     ms_m = jnp.arange(0, m_half, dtype=jnp.float32)
     ms_v = jnp.arange(-(m_half - 1), m_half, dtype=jnp.float32)
     pair_w = jnp.where(ms_m == 0, 1.0, 2.0)[:, None]
@@ -717,6 +752,119 @@ class SphericalIndexer:
             quaternions=quats.astype(np.float32),
             eulers_deg=eulers.astype(np.float32),
             scores=peaks.astype(np.float32),
+        )
+
+    def ambiguity(
+        self,
+        patterns: np.ndarray,
+        n_cells: int = 32,
+        min_separation_deg: float | None = None,
+    ):
+        """Pseudo-symmetry diagnostic from the secondary SO(3) peaks.
+
+        The correlation volume ranks EVERY orientation at once, so the
+        best *rival* basin — the highest-scored cell whose
+        symmetry-reduced disorientation from the winner exceeds
+        ``min_separation_deg`` (grid neighbors of the same solution
+        don't count) — is available for free, where the dictionary
+        planes need `index.diagnostics.candidate_ambiguity` over their
+        top-k lists. Pseudo-symmetric phases (hexagonal 30°-about-c,
+        tetragonal c/a ≈ 1) show up as small ``score_gap``: flag those
+        pixels, exactly the secondary-peak diagnostic EMSphInx reports.
+
+        Args:
+            patterns: ``(B, H, W)`` stack (f32 or uint8).
+            n_cells: correlation cells ranked per pattern (the rival
+                search depth; the top basin spans a few neighboring
+                cells, so keep this comfortably above 2).
+            min_separation_deg: disorientation below which a cell counts
+                as the winner's own basin rather than a rival. Default:
+                2× the SO(3) grid spacing (2·180°/L — the basin
+                covering radius, the same 2x rule the hough vote uses),
+                so adjacent/diagonal cells of the winner's own peak
+                never masquerade as rivals.
+
+        Returns:
+            `index.diagnostics.AmbiguityResult` — the same vocabulary
+            (``angle_deg``/``score_gap``/``has_rival`` + ``ambiguous()``)
+            as the dictionary planes' diagnostic.
+        """
+        from scipy.spatial.transform import Rotation as R
+
+        from latice_tpu.index.diagnostics import AmbiguityResult
+
+        if n_cells < 2:
+            raise ValueError(f"n_cells must be >= 2, got {n_cells}")
+        if min_separation_deg is None:
+            min_separation_deg = 2.0 * 180.0 / self.config.bandwidth
+        p = np.asarray(patterns)
+        if p.ndim == 2:
+            p = p[None]
+        if p.ndim != 3 or p.shape[1:] != self.geometry.shape:
+            raise ValueError(
+                f"expected (B, {self.geometry.shape[0]}, "
+                f"{self.geometry.shape[1]}) patterns, got {p.shape}"
+            )
+        if p.dtype != np.uint8:
+            p = p.astype(np.float32)
+        cfg = self.config
+        n = len(p)
+        vals = np.empty((n, n_cells), np.float64)
+        ks = np.empty((n, n_cells), np.int64)
+        as_ = np.empty((n, n_cells), np.int64)
+        gs = np.empty((n, n_cells), np.int64)
+        for start in range(0, n, cfg.chunk):
+            pc = p[start : start + cfg.chunk]
+            m = len(pc)
+            if m < cfg.chunk:  # pad to the static compile shape
+                pc = np.concatenate(
+                    [pc, np.repeat(pc[-1:], cfg.chunk - m, axis=0)]
+                )
+            pc_dev = (
+                jnp.asarray(pc)
+                if self._batch_sharding is None
+                else jax.device_put(pc, self._batch_sharding)
+            )
+            v, k, a, g = _top_cells_chunk(
+                pc_dev, bin_factor=cfg.detector_bin, n_cells=n_cells,
+                **self._dev,
+            )
+            sl = slice(start, start + m)
+            vals[sl] = np.asarray(v)[:m]
+            ks[sl] = np.asarray(k)[:m]
+            as_[sl] = np.asarray(a)[:m]
+            gs[sl] = np.asarray(g)[:m]
+
+        # Host: grid cells → rotations → first genuinely different rival.
+        d_beta = np.pi / len(self._betas)
+        d_alpha = 2.0 * np.pi / len(self._alphas)
+        beta = (ks + 0.5) * d_beta
+        alpha = as_ * d_alpha
+        gamma = gs * d_alpha
+        eul = np.stack([alpha, beta, gamma], axis=-1).reshape(-1, 3)
+        cells = R.from_euler("ZYZ", eul).as_quat().reshape(n, n_cells, 4)
+        sym_q = np.roll(ROTATION_GROUPS[cfg.symmetry], -1, axis=1)  # xyzw
+        # rel_i = top_i^{-1} ∘ cell_ij for every secondary cell, then the
+        # symmetry-reduced disorientation via the unit-quaternion
+        # identity cos(θ_g/2) = |⟨rel, g⟩| (the group is inversion-closed
+        # so reducing rel∘g and reading the dot against g coincide).
+        top = R.from_quat(np.repeat(cells[:, 0], n_cells - 1, axis=0))
+        others = R.from_quat(cells[:, 1:].reshape(-1, 4))
+        rel = (top.inv() * others).as_quat()
+        cosh = np.abs(rel @ sym_q.T).max(axis=1)
+        dis = 2.0 * np.degrees(
+            np.arccos(np.clip(cosh, -1.0, 1.0))
+        ).reshape(n, n_cells - 1)
+        rival_mask = dis > min_separation_deg
+        has = rival_mask.any(axis=1)
+        first = np.argmax(rival_mask, axis=1)  # valid only where has
+        rows = np.arange(n)
+        angle = np.where(has, dis[rows, first], np.nan)
+        gap = np.where(
+            has, vals[:, 0] - vals[rows, first + 1], np.nan
+        )
+        return AmbiguityResult(
+            angle_deg=angle, score_gap=gap, has_rival=has
         )
 
 

@@ -1474,14 +1474,28 @@ class TestSphereCli:
         np.save(ppath, pats.astype(np.float32))
         out = str(tmp_path / "s.npy")
         angf = str(tmp_path / "s.ang")
+        ambf = str(tmp_path / "amb.npz")
         stdout = _run(
             ["sphere", "--patterns", ppath, "--master", mpath,
              "--out", out, "--bandwidth", "24", "--batch-size", "6",
-             "--ang", angf, "--scan-grid", "2", "3"],
+             "--ang", angf, "--scan-grid", "2", "3",
+             "--ambiguity", ambf],
             monkeypatch, capsys,
         )
         summary = json.loads(stdout.strip().splitlines()[-1])
         assert summary["n_patterns"] == 6
+        # Secondary-peak pseudo-symmetry diagnostic: same npz contract
+        # as `query --ambiguity` (angle/gap/has_rival per pixel).
+        assert summary["ambiguity_out"] == ambf
+        assert 0.0 <= summary["ambiguous_frac"] <= 1.0
+        amb = np.load(ambf)
+        assert amb["angle_deg"].shape == (6,)
+        # At L=24 the own-basin radius is 15 deg — a rival beyond it may
+        # or may not appear in the default cell budget per pattern.
+        has = amb["has_rival"]
+        assert (amb["score_gap"][has] >= 0).all()
+        assert (amb["angle_deg"][has] > 15.0).all()
+        assert np.isnan(amb["score_gap"][~has]).all()
         # Single-phase keeps the scalar JSON contract (r4 advisor).
         assert summary["kept_degrees"] <= 12  # Friedel: even l only
         eulers = np.load(out)

