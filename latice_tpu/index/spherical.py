@@ -347,6 +347,15 @@ def _correlate_chunk(
     xcorr, wr, wi = _correlation_volume(
         pats, wvec, yr, yi, dmr, dmi, cc, cgs, bin_factor
     )
+    if refine_mode == "newton" and dmr.dtype != jnp.float32:
+        # Newton only uses the volume to LOCATE the basin (the refined
+        # value comes from the f32 W rows), so the (b,k,a,g) write can
+        # ride the tables' bf16: +6.5% measured with bit-identical basin
+        # selection on the accuracy oracle (r5 probe). The parabolic
+        # path keeps f32 — its sub-grid offsets difference near-equal
+        # neighbors — and so does the ambiguity diagnostic (bf16 would
+        # quantize the score gaps it reports).
+        xcorr = xcorr.astype(dmr.dtype)
     k_n, a_n, g_n = xcorr.shape[1:]
     # Hierarchical argmax: reduce the γ axis first (XLA fuses the
     # max/argmax pair into the producing fusion), then argmax the small

@@ -563,9 +563,17 @@ class IndexService:
             out["phase"] = res.phase.tolist()
         return out
 
-    def sphere(self, patterns: np.ndarray) -> dict:
+    def sphere(self, patterns: np.ndarray, ambiguity: bool = False) -> dict:
         """Spherical-harmonic SO(3) indexing (`index.SphericalIndexer`) —
-        dictionary-free: only a master pattern + geometry."""
+        dictionary-free: only a master pattern + geometry.
+
+        ``ambiguity`` (POST /sphere?ambiguity=1) additionally runs the
+        secondary-peak pseudo-symmetry diagnostic
+        (`SphericalIndexer.ambiguity` — a second correlation pass) and
+        adds ``ambiguity_angle_deg`` / ``ambiguity_gap`` /
+        ``ambiguity_has_rival`` to the reply (NaNs serialize as null).
+        Multi-phase servers diagnose against the first master (phase
+        ambiguity is already in the scores)."""
         if self._sphere is None:
             raise ValueError(
                 "server started without a spherical indexer "
@@ -575,6 +583,10 @@ class IndexService:
         t0 = time.time()
         with self._lock:
             res = self._sphere.index_patterns(x)
+            amb = None
+            if ambiguity:
+                ix = getattr(self._sphere, "indexers", [self._sphere])[0]
+                amb = ix.ambiguity(x)
             self.requests += 1
             self.patterns_indexed += len(x)
         out = {
@@ -587,6 +599,13 @@ class IndexService:
         phase = getattr(res, "phase", None)
         if phase is not None:
             out["phase"] = phase.tolist()
+        if amb is not None:
+            nan_null = lambda a: [  # noqa: E731 — local JSON shim
+                None if np.isnan(v) else float(v) for v in a
+            ]
+            out["ambiguity_angle_deg"] = nan_null(amb.angle_deg)
+            out["ambiguity_gap"] = nan_null(amb.score_gap)
+            out["ambiguity_has_rival"] = amb.has_rival.tolist()
         return out
 
     def strain(self, patterns: np.ndarray) -> dict:
@@ -742,16 +761,23 @@ class _Handler(BaseHTTPRequestHandler):
             "/sphere": self.service.sphere,
             "/strain": self.service.strain,
         }
-        if self.path not in routes:
+        path, _, query = self.path.partition("?")
+        if path not in routes:
             self._reply(404, {"error": f"unknown path {self.path}"})
             return
+        kwargs = {}
+        if path == "/sphere" and query:
+            from urllib.parse import parse_qs
+
+            amb = parse_qs(query).get("ambiguity", ["0"])[-1].lower()
+            kwargs["ambiguity"] = amb in ("1", "true", "yes")
         try:
             patterns = np.load(io.BytesIO(self.rfile.read(length)), allow_pickle=False)
         except Exception as e:  # malformed payloads must not kill the server
             self._reply(400, {"error": f"body must be .npy bytes: {e}"})
             return
         try:
-            self._reply(200, routes[self.path](patterns))
+            self._reply(200, routes[path](patterns, **kwargs))
         except ValueError as e:
             self._reply(400, {"error": str(e)})
         except Exception as e:

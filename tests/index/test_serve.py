@@ -747,6 +747,29 @@ class TestZeroTrainingServe:
         # L=16 grid is ~11°; Newton refinement must land well below it.
         assert np.median(err) < 4.0, err
 
+    def test_sphere_ambiguity_query_param(self, served_zero_training):
+        """`POST /sphere?ambiguity=1` adds the secondary-peak diagnostic
+        fields (strict JSON: NaNs serialize as null)."""
+        url, patterns, _, _ = served_zero_training
+        out = _post(f"{url}/sphere?ambiguity=1", _npy_bytes(patterns))
+        assert out["n"] == len(patterns)
+        for key in (
+            "ambiguity_angle_deg", "ambiguity_gap", "ambiguity_has_rival"
+        ):
+            assert len(out[key]) == len(patterns)
+        for has, ang, gap in zip(
+            out["ambiguity_has_rival"],
+            out["ambiguity_angle_deg"],
+            out["ambiguity_gap"],
+        ):
+            if has:
+                assert ang is not None and gap is not None and gap >= 0
+            else:
+                assert ang is None and gap is None
+        # Without the flag the fields stay absent (contract unchanged).
+        plain = _post(f"{url}/sphere", _npy_bytes(patterns))
+        assert "ambiguity_gap" not in plain
+
     def test_strain_endpoint(self, served_zero_training):
         url, _, _, strain_ref = served_zero_training
         # Identical patterns → ~zero strain; a strict-JSON sanity check.
