@@ -227,6 +227,52 @@ def cmd_hough(args) -> None:
     logger.info(
         f"Hough-indexed {n} patterns in {dt:.2f}s ({n/max(dt, 1e-9):,.0f}/s)"
     )
+    refine_summary = {}
+    if args.refine:
+        # Autodiff sub-bin refinement (sim.refine) seeded by the Hough
+        # solution: the Radon bins cap band-vote accuracy at ~1°, well
+        # inside the renderer NCC's attraction basin, and the SAME
+        # reflector tables that voted also render — no extra physics
+        # inputs. Multi-phase refines each pattern against its winning
+        # phase's table (the `query --refine` analogue for this plane).
+        from scipy.spatial.transform import Rotation as R
+
+        from latice_tpu.crystal.sampling import reduce_to_fundamental_zone
+        from latice_tpu.sim import refine_orientations
+
+        t0 = time.time()
+        refined_q = np.asarray(res.quaternions, np.float64).copy()
+        ncc = np.full(n, np.nan, np.float32)
+        pid = phase_ids if phase_ids is not None else np.zeros(n, np.int64)
+        for i, (_, refl, grp, _) in enumerate(phases):
+            m = pid == i
+            if not m.any():
+                continue
+            q, c = refine_orientations(
+                x[m], refined_q[m].astype(np.float32), geometry, refl,
+                steps=args.refine,
+            )
+            refined_q[m] = reduce_to_fundamental_zone(
+                q.astype(np.float64), grp
+            )
+            ncc[m] = c
+        eulers = np.mod(
+            R.from_quat(np.roll(refined_q, -1, axis=1)).as_euler(
+                "zxz", degrees=True
+            ),
+            360.0,
+        )
+        res = res._replace(quaternions=refined_q, eulers_deg=eulers)
+        refine_summary = {
+            "refine_steps": args.refine,
+            "refine_ncc_median": round(float(np.nanmedian(ncc)), 4),
+            "refine_seconds": round(time.time() - t0, 2),
+        }
+        logger.info(
+            f"Refined {n} orientations in "
+            f"{refine_summary['refine_seconds']}s; median NCC "
+            f"{refine_summary['refine_ncc_median']}"
+        )
     np.save(args.out, res.eulers_deg)
     detail = dict(
         quaternions=res.quaternions,
@@ -251,6 +297,7 @@ def cmd_hough(args) -> None:
         "build_seconds": round(t_build, 2),
         "seconds": round(dt, 2),
         "out": args.out,
+        **refine_summary,
     }
     if phase_ids is not None:
         phase_out = args.out.replace(".npy", "") + "_phase.npy"
@@ -409,6 +456,14 @@ def register(sub, common) -> None:
     ho.add_argument("--ang", default=None, help="also write a TSL .ang file")
     ho.add_argument(
         "--ctf", default=None, help="also write a Channel .ctf file"
+    )
+    ho.add_argument(
+        "--refine", type=int, default=None, metavar="STEPS",
+        help="autodiff sub-bin orientation refinement through the "
+        "kinematical renderer, seeded by the Hough solution and using "
+        "the same reflector tables that voted (multi-phase refines each "
+        "pattern against its winning phase) — the `query --refine` "
+        "analogue; 40 steps is typical",
     )
     ho.set_defaults(fn=cmd_hough)
 

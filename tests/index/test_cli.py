@@ -1443,6 +1443,57 @@ class TestHoughCli:
         assert len(vm.eulers) == len(truth)
         np.testing.assert_allclose(np.mod(vm.eulers, 360.0), eulers, atol=0.5)
 
+    def test_hough_refine_beats_raw(self, tmp_path, monkeypatch, capsys):
+        """`hough --refine` (autodiff through the renderer, seeded by the
+        band solution) must land well below the raw Hough accuracy — the
+        Radon bins cap the raw solve at ~1 deg, inside the NCC basin."""
+        import math
+
+        from scipy.spatial.transform import Rotation as R
+
+        from latice_tpu.crystal import ROTATION_GROUPS
+        from latice_tpu.data import parse_angle_file
+
+        ang = str(tmp_path / "a.txt")
+        _run(["sample", "--group", "432", "--resolution", "40",
+              "--out", ang], monkeypatch, capsys)
+        pat = str(tmp_path / "p.npy")
+        _run(["simulate", "--angles", ang, "--out", pat,
+              "--structure", "fcc", "--max-hkl", "2", "--min-d", "1.0"],
+             monkeypatch, capsys)
+        truth = parse_angle_file(ang)
+        sym = R.from_quat(np.roll(ROTATION_GROUPS["432"], -1, axis=1))
+
+        def run_errs(extra):
+            out = str(tmp_path / f"h{len(extra)}.npy")
+            stdout = _run(
+                ["hough", "--patterns", pat, "--out", out,
+                 "--structure", "fcc", "--max-hkl", "2", "--min-d", "1.0",
+                 "--grid-resolution", "5", "--tolerance", "4",
+                 "--batch-size", "8"] + extra,
+                monkeypatch, capsys,
+            )
+            summary = json.loads(stdout.strip().splitlines()[-1])
+            eulers = np.load(out)
+            errs = [
+                math.degrees(
+                    min(((est * s).inv() * tru).magnitude() for s in sym)
+                )
+                for est, tru in zip(
+                    R.from_euler("zxz", eulers, degrees=True),
+                    R.from_euler("zxz", truth, degrees=True),
+                )
+            ]
+            return np.asarray(errs), summary
+
+        raw, _ = run_errs([])
+        refined, summary = run_errs(["--refine", "30"])
+        assert summary["refine_steps"] == 30
+        assert summary["refine_ncc_median"] > 0.8  # same renderer: near 1
+        assert np.median(refined) < 0.6 * np.median(raw), (
+            raw.tolist(), refined.tolist(),
+        )
+
 
 class TestSphereCli:
     """index.py sphere — dictionary-free spherical-harmonic indexing."""
