@@ -45,7 +45,12 @@ FLOORS = {
     # the CHIP row below: merge folds over pre-staged device chunks,
     # which link jitter cannot touch.
     "streamed_di_patterns_per_sec": 30.0,
-    "streamed_di_chip_patterns_per_sec": 51_500.0,  # ~8% under record
+    # The chip-side merge measures 58-59k patterns/s standalone (3 runs,
+    # 08-21) but 50.0-55.9k INSIDE a full bench run — the surrounding
+    # rows' host/device state costs 5-15% (measured same-binary).
+    # Floor ~8% under the in-bench low; the standalone number is the
+    # record.
+    "streamed_di_chip_patterns_per_sec": 46_500.0,
     # r5 trace-roofline rewrites (ROADMAP "Round-5 trace-roofline"):
     # hough 8.4x / sphere 2.8x on-device; rows re-measured 4x on 08-20,
     # floors ~8% under the LOW observed sample (hough 18.3-20.2k, sphere
@@ -56,8 +61,9 @@ FLOORS = {
     # overshoots 18% by an order of magnitude.
     "hough_patterns_per_sec": 16_500.0,
     # Sphere row moved to the production chunk=64 (r5 probe: +35% over
-    # chunk 32); floor ~8% under the single 64-chunk sample, consistent
-    # with the +/-2% spread measured at chunk 32.
+    # chunk 32); two 64-chunk samples so far (6,425 probe / 7,034 full
+    # bench) — floor ~8% under the LOW one until more spread data
+    # accumulates (so it sits 16% under the record).
     "sphere_patterns_per_sec": 5_900.0,  # dictionary-free SO(3) search, L=64
     # HR-EBSD wall spread measured 7.7k-11.8k across same-binary runs
     # (two small dispatches per iter — tenancy-bound even with the
@@ -78,10 +84,10 @@ RECORD = {
     "scaled_encode_patterns_per_sec": 22_427.9,
     "scaled_train_steps_per_sec": 12.58,
     "di_patterns_per_sec": 70_658.6,
-    "hough_patterns_per_sec": 20_151.9,  # r5 roofline rewrite (08-20)
+    "hough_patterns_per_sec": 20_189.3,  # r5 roofline rewrite (full bench 08-21)
     "streamed_di_patterns_per_sec": 99.5,
-    "streamed_di_chip_patterns_per_sec": 55_895.7,  # r5 recalibration run
-    "sphere_patterns_per_sec": 6_425.0,  # r5 roofline rewrite + chunk 64 (08-21)
+    "streamed_di_chip_patterns_per_sec": 58_887.8,  # standalone 08-21 (in-bench runs ~5-15% lower)
+    "sphere_patterns_per_sec": 7_033.8,  # r5 roofline rewrite + chunk 64 (driver-style full bench 08-21)
     "hrebsd_patterns_per_sec": 11_786.5,  # r5 best-of-4 wall (08-20)
     "vs_baseline": 5.767,
 }
@@ -114,11 +120,13 @@ class TestGateLogic:
         # chip-side row / the ROADMAP trace numbers — see FLOORS notes).
         loose = {
             "streamed_di_patterns_per_sec",
+            "streamed_di_chip_patterns_per_sec",
             "hrebsd_patterns_per_sec",
             "hough_patterns_per_sec",
+            "sphere_patterns_per_sec",
         }
         assert len(violations) == len(FLOORS) - len(loose), violations
-        assert any("streamed_di_chip" in v for v in violations)
+        assert any(v.startswith("value") for v in violations)
 
     def test_streamed_wall_collapse_still_trips(self):
         dead = dict(RECORD, streamed_di_patterns_per_sec=5.0)
