@@ -770,6 +770,17 @@ class TestZeroTrainingServe:
         plain = _post(f"{url}/sphere", _npy_bytes(patterns))
         assert "ambiguity_gap" not in plain
 
+    def test_query_strings_tolerated_on_every_endpoint(
+        self, served_zero_training
+    ):
+        """The r5 route parser splits query strings for every path —
+        unknown params must be ignored, not 404/500."""
+        url, patterns, _, _ = served_zero_training
+        out = _post(f"{url}/hough?unknown=1&x=y", _npy_bytes(patterns))
+        assert out["n"] == len(patterns)
+        out = _post(f"{url}/sphere?ambiguity=0", _npy_bytes(patterns))
+        assert "ambiguity_gap" not in out
+
     def test_strain_endpoint(self, served_zero_training):
         url, _, _, strain_ref = served_zero_training
         # Identical patterns → ~zero strain; a strict-JSON sanity check.
