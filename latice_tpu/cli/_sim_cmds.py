@@ -9,6 +9,8 @@ from pathlib import Path
 
 import numpy as np
 
+from latice_tpu.cli._common import _load_raw_pattern_stack
+
 logger = logging.getLogger(__name__)
 
 
@@ -224,6 +226,55 @@ def cmd_simulate(args) -> None:
     )
 
 
+
+
+def cmd_learn_master(args) -> None:
+    """Learn a master pattern FROM indexed experimental patterns.
+
+    The inverse of `simulate --master` (sim.master_from_patterns): any
+    indexed scan — orientations from `hough`, `di`, `sphere` or `query`
+    (the anglefile/.ang they export) — back-projects into a master
+    estimate. The workflow for phases without trustworthy simulations:
+    index a clean region with a zero-training plane, learn the master,
+    then feed it to `sphere` / `simulate --master` like a simulated one.
+    """
+    from latice_tpu.data import parse_angle_file
+    from latice_tpu.sim import DetectorGeometry, master_from_patterns
+
+    raw = _load_raw_pattern_stack(args)
+    if raw.ndim == 4:
+        raw = raw.reshape(-1, *raw.shape[2:])
+    if args.angles.endswith(".ang"):
+        from latice_tpu.data import read_ang
+
+        eulers = read_ang(args.angles).eulers
+    else:
+        eulers = parse_angle_file(args.angles)
+    h, w = raw.shape[1], raw.shape[2]
+    geometry = DetectorGeometry(
+        shape=(h, w), pcx=args.pc[0], pcy=args.pc[1], dd=args.pc[2],
+        tilt=args.tilt,
+    )
+    t0 = time.time()
+    master, weights = master_from_patterns(
+        raw, eulers, geometry, size=args.size,
+        group=args.group or None,
+    )
+    dt = time.time() - t0
+    np.save(args.out, master)
+    covered = float((weights > 1e-9).mean())
+    logger.info(
+        f"learned ({args.size}, {args.size}) master from {len(raw)} "
+        f"patterns in {dt:.1f}s; bin coverage {covered:.1%}"
+    )
+    print(json.dumps({
+        "n_patterns": int(len(raw)),
+        "size": args.size,
+        "group": args.group,
+        "coverage": round(covered, 4),
+        "seconds": round(dt, 2),
+        "out": args.out,
+    }))
 
 
 def cmd_master(args) -> None:
@@ -548,3 +599,39 @@ def register(sub, common) -> None:
         "parallel; results match single-device)",
     )
     dm.set_defaults(fn=cmd_master)
+
+    lm = sub.add_parser(
+        "learn-master",
+        help="learn a master pattern FROM indexed experimental patterns "
+        "(inverse of `simulate --master`; feeds `sphere` / `simulate "
+        "--master` like a simulated one)",
+    )
+    lm.add_argument(
+        "--patterns", required=True,
+        help=".npy stack, HDF5 scan, or EDAX .up1/.up2",
+    )
+    lm.add_argument("--h5-dataset", default=None)
+    lm.add_argument(
+        "--angles", required=True,
+        help="orientations of the patterns: anglefile (zxz degrees; "
+        "`sample`/`query` output) or a .ang file from any indexing plane",
+    )
+    lm.add_argument("--out", default="learned_master.npy")
+    lm.add_argument(
+        "--size", type=int, default=257, help="master image edge, px"
+    )
+    lm.add_argument(
+        "--group", default="432",
+        help="proper point group — the estimate is symmetrized over its "
+        "orbit (pass an empty string to skip)",
+    )
+    lm.add_argument(
+        "--pc", type=float, nargs=3, default=(0.5, 0.5, 0.7),
+        metavar=("PCX", "PCY", "DD"),
+        help="pattern center + detector distance, detector-width units",
+    )
+    lm.add_argument(
+        "--tilt", type=float, default=0.0,
+        help="detector tilt about the horizontal axis, degrees",
+    )
+    lm.set_defaults(fn=cmd_learn_master, scan_grid=None)

@@ -20,6 +20,7 @@ from latice_tpu.sim.master import (
     directions_to_lambert,
     lambert_to_directions,
     make_kinematical_master,
+    master_from_patterns,
     render_from_master,
     resample_square_lambert,
     square_lambert_to_directions,
@@ -83,6 +84,7 @@ __all__ = [
     "effective_medium",
     "simulate_bse_monte_carlo",
     "pixel_directions",
+    "master_from_patterns",
     "render_from_master",
     "reflectors_from_cell",
     "refine_candidates",

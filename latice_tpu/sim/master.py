@@ -44,6 +44,7 @@ from latice_tpu.sim.kinematical import Reflectors, cubic_reflectors
 
 __all__ = [
     "directions_to_lambert",
+    "master_from_patterns",
     "lambert_to_directions",
     "make_kinematical_master",
     "render_from_master",
@@ -269,3 +270,169 @@ def render_from_master(
         hi = out.max(axis=(1, 2), keepdims=True)
         out = (out - lo) / np.maximum(hi - lo, 1e-8)
     return out
+
+
+def master_from_patterns(
+    patterns: np.ndarray,
+    orientations: np.ndarray,
+    geometry: DetectorGeometry | None = None,
+    size: int = 257,
+    group: str | None = None,
+    chunk: int = 256,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Learn a master pattern FROM indexed experimental patterns.
+
+    The inverse of `render_from_master`: every detector pixel of every
+    pattern is a sample of the master at crystal direction ``Rᵀ d``
+    (the rendering contract above), so an indexed scan — orientations
+    from ANY plane: Hough, DI, spherical, the trained pipeline —
+    back-projects into a master estimate by bilinear deposit on the
+    equal-area grid. The standard use is phases without trustworthy
+    simulations (or unknown detector physics): learn the master from a
+    well-indexed region, then feed it to `render_from_master` /
+    `SphericalIndexer` like any simulated one. (The
+    kikuchipy/EMSphInx-style "experimental master" workflow; the
+    reference has no simulation plane at all.)
+
+    Args:
+        patterns: ``(B, H, W)`` detector patterns (any intensity scale —
+            each is min-max normalized before deposit, matching
+            `render_from_master`'s ``normalize=True`` contract; the
+            master is defined up to an affine transform anyway, and
+            every consumer — NCC, harmonic correlation — normalizes).
+        orientations: ``(B, 4)`` scalar-first quaternions or ``(B, 3)``
+            zxz Euler degrees (crystal→detector, the module contract).
+        geometry: detector description the patterns were captured with.
+        size: output master edge (``(size, size)``).
+        group: optional proper point group (`crystal.ROTATION_GROUPS`)
+            — the estimate is symmetrized over the group orbit (a real
+            master IS group-symmetric; symmetrizing also fills
+            directions the scan's texture never sampled directly).
+            Applied by orbit-averaging the ACCUMULATED value/weight
+            grids (24 grid lookups for cubic), not by 24x deposits.
+        chunk: patterns per accumulation pass (bounds host temporaries).
+
+    Returns:
+        ``(master (size, size) float32 in [0, 1], weights (size, size)
+        float64)`` — ``weights`` is the bilinear hit mass per bin
+        (AFTER symmetrization); bins with zero weight carry the covered
+        mean (neutral under the normalized correlations consumers use).
+        Host-side like the renderer (module docstring).
+    """
+    from scipy.spatial.transform import Rotation as R
+
+    x = np.asarray(patterns)
+    if x.ndim != 3:
+        raise ValueError(f"expected (B, H, W) patterns, got {x.shape}")
+    o = np.asarray(orientations, np.float64)
+    if o.ndim == 2 and o.shape[1] == 3:
+        rots = R.from_euler("zxz", o, degrees=True)
+    elif o.ndim == 2 and o.shape[1] == 4:
+        rots = R.from_quat(np.roll(o, -1, axis=1))
+    else:
+        raise ValueError(
+            f"expected (B, 4) quaternions or (B, 3) Euler deg, got {o.shape}"
+        )
+    if len(o) != len(x):
+        raise ValueError(f"{len(x)} patterns but {len(o)} orientations")
+    if size < 3:
+        raise ValueError(f"size must be >= 3, got {size}")
+    geometry = geometry or DetectorGeometry()
+    h, w = geometry.shape
+    if x.shape[1:] != (h, w):
+        raise ValueError(
+            f"patterns are {x.shape[1]}x{x.shape[2]} but the geometry "
+            f"is {h}x{w}"
+        )
+    dirs = pixel_directions(geometry).reshape(-1, 3).astype(np.float64)
+    rot = rots.as_matrix()
+
+    half = (size - 1) / 2.0
+    acc = np.zeros((size, size), np.float64)
+    wacc = np.zeros((size, size), np.float64)
+    flat = x.reshape(len(x), -1).astype(np.float64)
+    lo = flat.min(axis=1, keepdims=True)
+    hi = flat.max(axis=1, keepdims=True)
+    flat = (flat - lo) / np.maximum(hi - lo, 1e-12)
+    for start in range(0, len(flat), chunk):
+        rc = rot[start : start + chunk]
+        vc = flat[start : start + chunk].reshape(-1)
+        # Detector → crystal frame (inverse of render_from_master's
+        # lookup direction).
+        d_c = np.einsum("bji,pj->bpi", rc, dirs).reshape(-1, 3)
+        xy = directions_to_lambert(d_c)
+        col = np.clip(xy[..., 0] / np.sqrt(2.0) * half + half, 0.0, size - 1.0)
+        row = np.clip(-xy[..., 1] / np.sqrt(2.0) * half + half, 0.0, size - 1.0)
+        r0 = np.floor(row).astype(np.int64)
+        c0 = np.floor(col).astype(np.int64)
+        r1 = np.minimum(r0 + 1, size - 1)
+        c1 = np.minimum(c0 + 1, size - 1)
+        fr = row - r0
+        fc = col - c0
+        for rr, cc, ww in (
+            (r0, c0, (1 - fr) * (1 - fc)),
+            (r0, c1, (1 - fr) * fc),
+            (r1, c0, fr * (1 - fc)),
+            (r1, c1, fr * fc),
+        ):
+            np.add.at(acc, (rr, cc), vc * ww)
+            np.add.at(wacc, (rr, cc), ww)
+
+    if group is not None:
+        from latice_tpu.crystal.symmetry import ROTATION_GROUPS
+
+        if group not in ROTATION_GROUPS:
+            raise ValueError(
+                f"unknown point group {group!r}; choose from "
+                f"{sorted(ROTATION_GROUPS)}"
+            )
+        # Orbit-average the accumulated grids: for each output bin's
+        # direction d, sum the (value·weight, weight) samples at every
+        # s·d — equivalent to depositing each pattern |G| times, at |G|x
+        # less host work.
+        jj, ii = np.meshgrid(np.arange(size), np.arange(size))
+        gx = (jj - half) / half * np.sqrt(2.0)
+        gy = -(ii - half) / half * np.sqrt(2.0)
+        # Corner pixels beyond the inscribed equator circle are not
+        # directions (|XY| > sqrt(2)); sampling would alias equator
+        # values into them and mark them covered — keep them out.
+        valid = gx * gx + gy * gy <= 2.0
+        grid_d = lambert_to_directions(np.stack([gx, gy], axis=-1))
+        sym = R.from_quat(
+            np.roll(np.asarray(ROTATION_GROUPS[group]), -1, axis=1)
+        )
+        acc_s = np.zeros_like(acc)
+        wacc_s = np.zeros_like(wacc)
+        for s in sym:
+            d_s = grid_d @ s.as_matrix().T
+            xy = directions_to_lambert(d_s)
+            col = np.clip(
+                xy[..., 0] / np.sqrt(2.0) * half + half, 0.0, size - 1.0
+            )
+            row = np.clip(
+                -xy[..., 1] / np.sqrt(2.0) * half + half, 0.0, size - 1.0
+            )
+            r0 = np.floor(row).astype(np.int64)
+            c0 = np.floor(col).astype(np.int64)
+            r1 = np.minimum(r0 + 1, size - 1)
+            c1 = np.minimum(c0 + 1, size - 1)
+            fr = row - r0
+            fc = col - c0
+            for arr, out_s in ((acc, acc_s), (wacc, wacc_s)):
+                out_s += (
+                    arr[r0, c0] * (1 - fr) * (1 - fc)
+                    + arr[r0, c1] * (1 - fr) * fc
+                    + arr[r1, c0] * fr * (1 - fc)
+                    + arr[r1, c1] * fr * fc
+                )
+        acc, wacc = acc_s * valid, wacc_s * valid
+
+    covered = wacc > 1e-9
+    if not covered.any():
+        raise ValueError("no master bins received any deposit")
+    master = np.zeros((size, size), np.float64)
+    master[covered] = acc[covered] / wacc[covered]
+    master[~covered] = master[covered].mean()
+    lo, hi = master.min(), master.max()
+    master = (master - lo) / max(hi - lo, 1e-12)
+    return master.astype(np.float32), wacc

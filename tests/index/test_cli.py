@@ -1955,3 +1955,47 @@ class TestStrainCli:
             _run(["strain", "--patterns", str(p),
                   "--map", str(tmp_path / "m.png")],
                  monkeypatch, capsys)
+
+
+class TestLearnMasterCli:
+    """index.py learn-master — master estimation from indexed patterns
+    (sim.master_from_patterns), closing the loop simulate → learn-master
+    → re-render."""
+
+    def test_learned_master_rerenders_the_inputs(
+        self, tmp_path, monkeypatch, capsys
+    ):
+        from latice_tpu.data import parse_angle_file
+        from latice_tpu.sim import DetectorGeometry, render_from_master
+
+        ang = str(tmp_path / "a.txt")
+        _run(["sample", "--group", "432", "--resolution", "24",
+              "--out", ang], monkeypatch, capsys)
+        pat = str(tmp_path / "p.npy")
+        _run(["simulate", "--angles", ang, "--out", pat,
+              "--structure", "fcc", "--max-hkl", "2", "--min-d", "1.0",
+              "--size", "64"],
+             monkeypatch, capsys)
+        out = str(tmp_path / "m.npy")
+        stdout = _run(
+            ["learn-master", "--patterns", pat, "--angles", ang,
+             "--out", out, "--size", "129", "--group", "432"],
+            monkeypatch, capsys,
+        )
+        summary = json.loads(stdout.strip().splitlines()[-1])
+        assert summary["coverage"] > 0.7
+        master = np.load(out)
+        assert master.shape == (129, 129)
+        # Round trip: rendering the learned master at the sampled
+        # orientations must correlate strongly with the input patterns.
+        eulers = parse_angle_file(ang)
+        pats = np.load(pat).astype(np.float32)
+        geom = DetectorGeometry(shape=(64, 64))
+        rr = render_from_master(master, eulers, geom).reshape(len(pats), -1)
+        xx = pats.reshape(len(pats), -1)
+        rr = rr - rr.mean(axis=1, keepdims=True)
+        xx = xx - xx.mean(axis=1, keepdims=True)
+        ncc = (rr * xx).sum(axis=1) / np.sqrt(
+            (rr * rr).sum(axis=1) * (xx * xx).sum(axis=1) + 1e-30
+        )
+        assert np.median(ncc) > 0.85, np.median(ncc)

@@ -211,3 +211,78 @@ class TestSquareLambert:
 
         with pytest.raises(ValueError, match="square master"):
             resample_square_lambert(np.zeros((5, 7)))
+
+
+class TestMasterFromPatterns:
+    """`master_from_patterns` — the inverse of `render_from_master`:
+    learn a master from indexed experimental patterns (the
+    kikuchipy/EMSphInx "experimental master" workflow)."""
+
+    @pytest.fixture(scope="class")
+    def learned(self):
+        from scipy.spatial.transform import Rotation as R
+
+        from latice_tpu.sim import master_from_patterns
+
+        refl = cubic_reflectors("fcc", a=3.52, kv=20.0)
+        true = make_kinematical_master(size=129, reflectors=refl)
+        geom = DetectorGeometry(shape=(64, 64))
+        rots = R.random(160, random_state=3)
+        quats = np.roll(rots.as_quat(), 1, axis=1)
+        pats = render_from_master(true, quats, geom)
+        learned, weights = master_from_patterns(
+            pats, quats, geom, size=129, group="432"
+        )
+        return true, geom, quats, pats, learned, weights
+
+    def test_recovers_the_true_master(self, learned):
+        true, _, _, _, est, weights = learned
+        covered = weights > 1e-9
+        # The valid disc is pi/4 of the square; the cubic orbit fills it.
+        assert covered.mean() > 0.75
+        a = est[covered] - est[covered].mean()
+        b = true[covered] - true[covered].mean()
+        ncc = float(
+            (a * b).sum()
+            / np.sqrt((a * a).sum() * (b * b).sum() + 1e-30)
+        )
+        assert ncc > 0.9, ncc
+
+    def test_rerender_matches_true_master_renders(self, learned):
+        from scipy.spatial.transform import Rotation as R
+
+        true, geom, _, _, est, _ = learned
+        held = np.roll(R.random(12, random_state=7).as_quat(), 1, axis=1)
+        a = render_from_master(true, held, geom).reshape(12, -1)
+        b = render_from_master(est, held, geom).reshape(12, -1)
+        a = a - a.mean(axis=1, keepdims=True)
+        b = b - b.mean(axis=1, keepdims=True)
+        ncc = (a * b).sum(axis=1) / np.sqrt(
+            (a * a).sum(axis=1) * (b * b).sum(axis=1) + 1e-30
+        )
+        assert np.median(ncc) > 0.9, ncc
+
+    def test_euler_input_matches_quats(self, learned):
+        from scipy.spatial.transform import Rotation as R
+
+        from latice_tpu.sim import master_from_patterns
+
+        _, geom, quats, pats, est, _ = learned
+        eulers = R.from_quat(np.roll(quats, -1, axis=1)).as_euler(
+            "zxz", degrees=True
+        )
+        est2, _ = master_from_patterns(
+            pats, eulers, geom, size=129, group="432"
+        )
+        np.testing.assert_allclose(est2, est, atol=1e-5)
+
+    def test_validation(self, learned):
+        from latice_tpu.sim import master_from_patterns
+
+        _, geom, quats, pats, _, _ = learned
+        with pytest.raises(ValueError, match="orientations"):
+            master_from_patterns(pats, quats[: len(pats) - 1], geom)
+        with pytest.raises(ValueError, match="point group"):
+            master_from_patterns(pats, quats, geom, group="nope")
+        with pytest.raises(ValueError, match="patterns"):
+            master_from_patterns(pats[0], quats, geom)
