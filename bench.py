@@ -454,6 +454,13 @@ def _staged(fn, *args, **kw):
     then visible mid-run instead of looking like a silent hang."""
     import sys
 
+    import gc
+
+    # Free the previous stage's device residents BEFORE timing: Python's
+    # delayed collection can keep multi-GB dictionaries alive into the
+    # next stage (measured as a 5-15% in-bench tax on the streamed-DI
+    # chip row vs standalone runs, 08-21).
+    gc.collect()
     t0 = time.time()
     print(f"[bench] {fn.__name__}...", file=sys.stderr, flush=True)
     out = fn(*args, **kw)
