@@ -351,12 +351,20 @@ def bench_sphere_throughput(batch_size: int = 64, bandwidth: int = 64) -> float:
     )
     out = _correlate_chunk(pats, bin_factor=2, **idx._dev)
     float(np.asarray(out[0]).sum())  # warm + sync
-    n_iter = 15
-    t0 = time.time()
-    for _ in range(n_iter):
-        out = _correlate_chunk(pats, bin_factor=2, **idx._dev)
-    float(np.asarray(out[0]).sum())
-    return batch_size / ((time.time() - t0) / n_iter)
+    # Median of 5 chained samples — single 15-iter samples measured a
+    # 28% spread across full-bench runs (5.5-7.0k at chunk 64, 08-21);
+    # same rationale as the hough/hrebsd rows.
+    import statistics
+
+    n_iter = 10
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        for _ in range(n_iter):
+            out = _correlate_chunk(pats, bin_factor=2, **idx._dev)
+        float(np.asarray(out[0]).sum())
+        times.append((time.time() - t0) / n_iter)
+    return batch_size / statistics.median(times)
 
 
 def bench_hrebsd_throughput(batch_size: int = 128) -> float:

@@ -60,11 +60,12 @@ FLOORS = {
     # dispatches per iter — but any real regression of the 8.4x rewrite
     # overshoots 18% by an order of magnitude.
     "hough_patterns_per_sec": 16_500.0,
-    # Sphere row moved to the production chunk=64 (r5 probe: +35% over
-    # chunk 32); two 64-chunk samples so far (6,425 probe / 7,034 full
-    # bench) — floor ~8% under the LOW one until more spread data
-    # accumulates (so it sits 16% under the record).
-    "sphere_patterns_per_sec": 5_900.0,  # dictionary-free SO(3) search, L=64
+    # Sphere row at the production chunk=64 (r5 probe: +35% over chunk
+    # 32): single-sample readings spread 5.5-7.0k across full benches
+    # (08-21) — the row is median-of-5 since then; floor ~8% under the
+    # lowest observed single sample so even a pre-median-style outlier
+    # passes while the 2.8x rewrite regressing would trip by miles.
+    "sphere_patterns_per_sec": 5_050.0,  # dictionary-free SO(3) search, L=64
     # HR-EBSD wall spread measured 7.7k-11.8k across same-binary runs
     # (two small dispatches per iter — tenancy-bound even with the
     # median-of-5; chip-side truth 7.44 ms/b128 = 17.2k/s is in ROADMAP
@@ -85,10 +86,10 @@ RECORD = {
     "scaled_train_steps_per_sec": 12.58,
     "di_patterns_per_sec": 70_658.6,
     "hough_patterns_per_sec": 20_189.3,  # r5 roofline rewrite (full bench 08-21)
-    "streamed_di_patterns_per_sec": 99.5,
+    "streamed_di_patterns_per_sec": 101.4,  # full bench 08-21 (post gc-collect fix)
     "streamed_di_chip_patterns_per_sec": 58_887.8,  # standalone 08-21 (in-bench runs ~5-15% lower)
     "sphere_patterns_per_sec": 7_033.8,  # r5 roofline rewrite + chunk 64 (driver-style full bench 08-21)
-    "hrebsd_patterns_per_sec": 11_786.5,  # r5 best-of-4 wall (08-20)
+    "hrebsd_patterns_per_sec": 11_885.1,  # full bench 08-21 (post gc-collect fix)
     "vs_baseline": 5.767,
 }
 
