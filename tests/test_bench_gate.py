@@ -85,7 +85,7 @@ RECORD = {
     "scaled_encode_patterns_per_sec": 22_427.9,
     "scaled_train_steps_per_sec": 12.58,
     "di_patterns_per_sec": 70_658.6,
-    "hough_patterns_per_sec": 20_189.3,  # r5 roofline rewrite (full bench 08-21)
+    "hough_patterns_per_sec": 20_671.1,  # r5 roofline rewrite (final full bench 08-21)
     "streamed_di_patterns_per_sec": 101.4,  # full bench 08-21 (post gc-collect fix)
     "streamed_di_chip_patterns_per_sec": 58_887.8,  # standalone 08-21 (in-bench runs ~5-15% lower)
     "sphere_patterns_per_sec": 7_033.8,  # r5 roofline rewrite + chunk 64 (driver-style full bench 08-21)
